@@ -1,0 +1,386 @@
+"""Atomic systems: host records and padded device batches (NEF layout).
+
+TPU-native counterpart of metatomic's ``System`` (reference usage:
+``/root/reference/src/metatrain/utils/abc.py:16-21`` and the collate
+pipeline at ``utils/data/dataset.py:381-481``). Instead of a list of
+variable-size ``System`` objects flowing to the model, the host builds a
+single fixed-shape :class:`SystemBatch` -- a struct-of-arrays pytree padded
+to bucketed sizes -- so one XLA compilation serves every batch in a bucket.
+
+The neighbor data lives directly in the NEF layout ``(n_atoms_pad,
+max_neighbors)`` that PET's reference implementation builds on-the-fly per
+batch (``pet/modules/nef.py``, ``pet/modules/structures.py:115-378``); here
+it is produced once on the host by the neighbor-list builder and consumed
+unchanged by every model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .labels import Array
+
+
+@dataclasses.dataclass
+class System:
+    """A single atomic configuration on the host.
+
+    :param positions: ``(n_atoms, 3)`` float64 Cartesian positions.
+    :param types: ``(n_atoms,)`` integer atomic numbers.
+    :param cell: ``(3, 3)`` float64 cell matrix (rows are cell vectors);
+        zero rows for non-periodic directions, following metatomic.
+    :param pbc: ``(3,)`` booleans, one per cell vector.
+    :param extra: named per-system or per-atom host data (e.g. ``charge``,
+        ``momenta``, ``masses``).
+    """
+
+    positions: np.ndarray
+    types: np.ndarray
+    cell: np.ndarray
+    pbc: np.ndarray
+    extra: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        self.positions = np.ascontiguousarray(self.positions, dtype=np.float64)
+        self.types = np.ascontiguousarray(self.types, dtype=np.int32)
+        self.cell = np.ascontiguousarray(self.cell, dtype=np.float64)
+        self.pbc = np.ascontiguousarray(self.pbc, dtype=bool)
+        if self.positions.ndim != 2 or self.positions.shape[1] != 3:
+            raise ValueError(f"positions must be (n, 3), got {self.positions.shape}")
+        if self.cell.shape != (3, 3):
+            raise ValueError(f"cell must be (3, 3), got {self.cell.shape}")
+        if len(self.types) != len(self.positions):
+            raise ValueError("types and positions disagree on the number of atoms")
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+
+@dataclasses.dataclass
+class NeighborData:
+    """Host-side NEF neighbor data for one system (see ops.neighbors)."""
+
+    indices: np.ndarray  # (n_atoms, max_nbrs) int32, padding -> own atom index
+    shifts: np.ndarray  # (n_atoms, max_nbrs, 3) int32 cell shifts
+    mask: np.ndarray  # (n_atoms, max_nbrs) bool
+    reverse: np.ndarray  # (n_atoms, max_nbrs) int32 flat index of the ji edge
+
+    @property
+    def max_neighbors(self) -> int:
+        return int(self.indices.shape[1])
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+def bucket_size(value: int, ratio: float = 1.25, minimum: int = 8) -> int:
+    """Geometric bucketing: smallest ``minimum * ratio**k`` >= value.
+
+    Bounds both the number of distinct compilations (O(log n)) and the
+    padding waste (< ratio - 1). Same idea as the reference JAX calculator's
+    padding buckets (``experimental/space/calculator.py:19-60``).
+    """
+    if value <= minimum:
+        return minimum
+    size = float(minimum)
+    while size < value:
+        size = max(size * ratio, size + 1)
+    return int(np.ceil(size))
+
+
+@jax.tree_util.register_pytree_node_class
+class SystemBatch:
+    """A fixed-shape padded batch of systems, resident on device.
+
+    Array layout (A = padded atoms, S = padded systems, M = max neighbors):
+
+    - ``positions`` (A, 3) float: padding atoms sit at the origin.
+    - ``types`` (A,) int32: padding -> 0.
+    - ``atom_mask`` (A,) bool.
+    - ``system_index`` (A,) int32: system of each atom; padding -> S - 1
+      (pointing at a guaranteed-padded system slot keeps segment ops safe).
+    - ``cells`` (S, 3, 3) float; ``pbc`` (S, 3) bool; ``system_mask`` (S,) bool.
+    - ``nbr_indices`` (A, M) int32: global atom index of each neighbor,
+      padding -> the center atom itself (gives zero edge vectors).
+    - ``nbr_shifts`` (A, M, 3) int32 cell shift of each edge.
+    - ``nbr_mask`` (A, M) bool.
+    - ``nbr_reverse`` (A, M) int32: flat index (into A*M) of the reversed
+      ``j -> i`` edge; padding -> the edge's own flat index.
+    - ``extra``: dict of named per-system (S, ...) or per-atom (A, ...) data.
+    """
+
+    def __init__(
+        self,
+        positions: Array,
+        types: Array,
+        atom_mask: Array,
+        system_index: Array,
+        cells: Array,
+        pbc: Array,
+        system_mask: Array,
+        nbr_indices: Array,
+        nbr_shifts: Array,
+        nbr_mask: Array,
+        nbr_reverse: Array,
+        extra: Optional[Dict[str, Array]] = None,
+    ):
+        self.positions = positions
+        self.types = types
+        self.atom_mask = atom_mask
+        self.system_index = system_index
+        self.cells = cells
+        self.pbc = pbc
+        self.system_mask = system_mask
+        self.nbr_indices = nbr_indices
+        self.nbr_shifts = nbr_shifts
+        self.nbr_mask = nbr_mask
+        self.nbr_reverse = nbr_reverse
+        self.extra = dict(extra or {})
+
+    # -- pytree ------------------------------------------------------------
+
+    _FIELDS = (
+        "positions",
+        "types",
+        "atom_mask",
+        "system_index",
+        "cells",
+        "pbc",
+        "system_mask",
+        "nbr_indices",
+        "nbr_shifts",
+        "nbr_mask",
+        "nbr_reverse",
+    )
+
+    def tree_flatten(self):
+        extra_keys = tuple(sorted(self.extra.keys()))
+        children = tuple(getattr(self, f) for f in self._FIELDS) + tuple(
+            self.extra[k] for k in extra_keys
+        )
+        return children, extra_keys
+
+    @classmethod
+    def tree_unflatten(cls, extra_keys, children):
+        obj = object.__new__(cls)
+        for name, child in zip(cls._FIELDS, children[: len(cls._FIELDS)]):
+            setattr(obj, name, child)
+        obj.extra = dict(zip(extra_keys, children[len(cls._FIELDS):]))
+        return obj
+
+    # -- info -----------------------------------------------------------------
+
+    @property
+    def n_atoms_padded(self) -> int:
+        return int(self.positions.shape[0])
+
+    @property
+    def n_systems_padded(self) -> int:
+        return int(self.cells.shape[0])
+
+    @property
+    def max_neighbors(self) -> int:
+        return int(self.nbr_indices.shape[1])
+
+    @property
+    def n_atoms(self) -> Array:
+        return jnp.sum(self.atom_mask.astype(jnp.int32))
+
+    @property
+    def n_atoms_per_system(self) -> Array:
+        return jax.ops.segment_sum(
+            self.atom_mask.astype(jnp.int32),
+            self.system_index,
+            num_segments=self.n_systems_padded,
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"SystemBatch(A={self.n_atoms_padded}, S={self.n_systems_padded}, "
+            f"M={self.max_neighbors}, extra={sorted(self.extra)})"
+        )
+
+    # -- geometry --------------------------------------------------------------
+
+    def edge_vectors(
+        self, positions: Optional[Array] = None, cells: Optional[Array] = None
+    ) -> Tuple[Array, Array]:
+        """Edge vectors and distances in NEF layout.
+
+        :param positions: override positions (used by the autograd engine to
+            thread differentiable positions through).
+        :param cells: override cells (threaded through for the strain trick).
+        :return: ``(vectors, distances)`` of shapes (A, M, 3) and (A, M).
+            Masked slots have zero vectors and distance ~0.
+        """
+        pos = self.positions if positions is None else positions
+        cell = self.cells if cells is None else cells
+        atom_cells = cell[self.system_index]  # (A, 3, 3)
+        # HIGHEST precision: with bf16-default matmuls on TPU the shift*cell
+        # product would corrupt edge vectors by ~1e-2 Angstrom.
+        shift_contrib = jnp.einsum(
+            "amk,akc->amc",
+            self.nbr_shifts.astype(pos.dtype),
+            atom_cells,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vectors = pos[self.nbr_indices] - pos[:, None, :] + shift_contrib
+        vectors = jnp.where(self.nbr_mask[:, :, None], vectors, 0.0)
+        distances = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1) + 1e-15)
+        return vectors, distances
+
+
+def batch_from_systems(
+    systems: Sequence[System],
+    neighbors: Sequence[NeighborData],
+    n_atoms_padded: Optional[int] = None,
+    n_systems_padded: Optional[int] = None,
+    max_neighbors: Optional[int] = None,
+    dtype=jnp.float32,
+    bucket_ratio: float = 1.25,
+    extra_keys: Sequence[str] = (),
+) -> SystemBatch:
+    """Assemble host systems + NEF neighbor data into one padded batch.
+
+    This replaces the reference's serialize-into-a-blob CollateFn
+    (``utils/data/dataset.py:381-445``, a torch-DataLoader workaround that
+    is intentionally NOT ported) with direct construction of fixed-shape
+    arrays. Padded atoms point at a padded system slot; padded neighbor
+    slots self-reference so downstream gathers stay in-bounds.
+    """
+    n_systems = len(systems)
+    if n_systems == 0:
+        raise ValueError("cannot batch zero systems")
+    if len(neighbors) != n_systems:
+        raise ValueError("need one NeighborData per system")
+
+    total_atoms = sum(len(s) for s in systems)
+    m_required = max((n.max_neighbors for n in neighbors), default=1)
+
+    A = n_atoms_padded or bucket_size(total_atoms, bucket_ratio)
+    # reserve one always-padded system slot as the padding-atom target
+    S = n_systems_padded or bucket_size(n_systems + 1, bucket_ratio, minimum=2)
+    M = max_neighbors or bucket_size(max(m_required, 1), bucket_ratio, minimum=4)
+    if A < total_atoms:
+        raise ValueError(f"n_atoms_padded={A} < total atoms {total_atoms}")
+    if S < n_systems + 1:
+        raise ValueError(f"n_systems_padded={S} too small for {n_systems} systems")
+    if M < m_required:
+        raise ValueError(f"max_neighbors={M} < required {m_required}")
+
+    positions = np.zeros((A, 3), dtype=np.float64)
+    types = np.zeros((A,), dtype=np.int32)
+    atom_mask = np.zeros((A,), dtype=bool)
+    system_index = np.full((A,), S - 1, dtype=np.int32)
+    cells = np.zeros((S, 3, 3), dtype=np.float64)
+    pbc = np.zeros((S, 3), dtype=bool)
+    system_mask = np.zeros((S,), dtype=bool)
+
+    nbr_indices = np.tile(np.arange(A, dtype=np.int32)[:, None], (1, M))
+    nbr_shifts = np.zeros((A, M, 3), dtype=np.int32)
+    nbr_mask = np.zeros((A, M), dtype=bool)
+    # padded slots reverse to themselves (their own flat index)
+    nbr_reverse = (
+        np.arange(A, dtype=np.int32)[:, None] * M + np.arange(M, dtype=np.int32)[None, :]
+    )
+
+    offset = 0
+    for sys_i, (system, nbr) in enumerate(zip(systems, neighbors)):
+        n = len(system)
+        m = nbr.max_neighbors
+        sl = slice(offset, offset + n)
+        positions[sl] = system.positions
+        types[sl] = system.types
+        atom_mask[sl] = True
+        system_index[sl] = sys_i
+        cells[sys_i] = system.cell
+        pbc[sys_i] = system.pbc
+        system_mask[sys_i] = True
+
+        # neighbor indices are local to the system -> offset to global;
+        # masked slots self-reference the (offset) center atom
+        local_idx = np.where(
+            nbr.mask, nbr.indices, np.arange(n, dtype=np.int32)[:, None]
+        )
+        nbr_indices[sl, :m] = local_idx + offset
+        nbr_shifts[sl, :m, :] = np.where(nbr.mask[..., None], nbr.shifts, 0)
+        nbr_mask[sl, :m] = nbr.mask
+        # reverse indices are flat into (n, m_local); remap to flat (A, M)
+        rev_atom = nbr.reverse // m
+        rev_slot = nbr.reverse % m
+        remapped = (rev_atom + offset) * M + rev_slot
+        own_flat = (
+            (np.arange(n, dtype=np.int64)[:, None] + offset) * M
+            + np.arange(m, dtype=np.int64)[None, :]
+        )
+        nbr_reverse[sl, :m] = np.where(nbr.mask, remapped, own_flat).astype(np.int32)
+
+        offset += n
+
+    extra: Dict[str, np.ndarray] = {}
+    for key in extra_keys:
+        per_system_values = []
+        for system in systems:
+            if key not in system.extra:
+                raise KeyError(f"system missing extra data '{key}'")
+            per_system_values.append(np.asarray(system.extra[key]))
+        sample = per_system_values[0]
+        if sample.ndim == 0:  # per-system scalar
+            arr = np.zeros((S,), dtype=sample.dtype)
+            for i, v in enumerate(per_system_values):
+                arr[i] = v
+        else:  # per-atom array
+            arr = np.zeros((A,) + sample.shape[1:], dtype=sample.dtype)
+            off = 0
+            for system, v in zip(systems, per_system_values):
+                arr[off : off + len(system)] = v
+                off += len(system)
+        extra[key] = arr
+
+    def dev(x, dt=None):
+        return jnp.asarray(x, dtype=dt)
+
+    return SystemBatch(
+        positions=dev(positions, dtype),
+        types=dev(types),
+        atom_mask=dev(atom_mask),
+        system_index=dev(system_index),
+        cells=dev(cells, dtype),
+        pbc=dev(pbc),
+        system_mask=dev(system_mask),
+        nbr_indices=dev(nbr_indices),
+        nbr_shifts=dev(nbr_shifts),
+        nbr_mask=dev(nbr_mask),
+        nbr_reverse=dev(nbr_reverse),
+        extra={k: dev(v) for k, v in extra.items()},
+    )
+
+
+def systems_to_lists(batch: SystemBatch) -> List[System]:
+    """Host-side inverse of :func:`batch_from_systems` (for writers/tests)."""
+    positions = np.asarray(jax.device_get(batch.positions))
+    types = np.asarray(jax.device_get(batch.types))
+    atom_mask = np.asarray(jax.device_get(batch.atom_mask))
+    system_index = np.asarray(jax.device_get(batch.system_index))
+    cells = np.asarray(jax.device_get(batch.cells))
+    pbc = np.asarray(jax.device_get(batch.pbc))
+    system_mask = np.asarray(jax.device_get(batch.system_mask))
+
+    systems = []
+    for sys_i in np.nonzero(system_mask)[0]:
+        sel = atom_mask & (system_index == sys_i)
+        systems.append(
+            System(
+                positions=positions[sel],
+                types=types[sel],
+                cell=cells[sys_i],
+                pbc=pbc[sys_i],
+            )
+        )
+    return systems

@@ -1,0 +1,266 @@
+"""Host-side neighbor lists, emitted directly in the NEF device layout.
+
+Replaces the reference's vesin C++ cell lists + per-batch NEF conversion
+(``/root/reference/src/metatrain/utils/neighbor_lists.py:125-177`` and
+``pet/modules/nef.py``). The builder runs on the host (numpy + scipy
+cKDTree) and produces :class:`~metatrain_tpu.containers.system.NeighborData`
+-- padded ``(n_atoms, max_nbrs)`` arrays with the reversed-edge index
+precomputed -- so the device never touches ragged data.
+
+Supports full periodic (general triclinic), non-periodic and mixed-pbc
+cells. Optionally reuses lists across MD steps with a skin distance
+(Verlet-style rebuild trigger), the key to force-call throughput at MD
+rates (SURVEY.md section 7.2 item 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..containers.system import NeighborData, System
+
+
+def _required_shift_ranges(cell: np.ndarray, pbc: np.ndarray, cutoff: float) -> np.ndarray:
+    """Number of periodic images needed per cell vector to cover ``cutoff``.
+
+    Uses the perpendicular width of the cell along each reciprocal
+    direction, valid for arbitrary triclinic cells.
+    """
+    ranges = np.zeros(3, dtype=np.int64)
+    if not pbc.any():
+        return ranges
+    # Non-periodic directions may carry zero cell vectors (metatomic
+    # convention); replace them with unit vectors orthogonal to the others
+    # so the inverse below is well-defined.
+    cell_eff = np.array(cell, dtype=np.float64)
+    for k in range(3):
+        if not pbc[k] and np.linalg.norm(cell_eff[k]) == 0.0:
+            others = [cell_eff[(k + 1) % 3], cell_eff[(k + 2) % 3]]
+            normal = np.cross(others[0], others[1])
+            norm = np.linalg.norm(normal)
+            cell_eff[k] = normal / norm if norm > 0 else np.eye(3)[k]
+    # width of the cell along direction k = 1 / |column k of inv(cell)|
+    inv = np.linalg.inv(cell_eff)
+    for k in range(3):
+        if pbc[k]:
+            width = 1.0 / np.linalg.norm(inv[:, k])
+            ranges[k] = int(np.ceil(cutoff / width))
+    return ranges
+
+
+def neighbor_pairs(
+    positions: np.ndarray,
+    cell: np.ndarray,
+    pbc: np.ndarray,
+    cutoff: float,
+    full_list: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All pairs within ``cutoff``: ``(centers, neighbors, shifts)``.
+
+    Self-pairs with zero shift are excluded. With ``full_list`` both ``i->j``
+    and ``j->i`` (with opposite shifts) are present; otherwise each pair
+    appears once, selected as in the reference half-list dedup
+    (``utils/neighbor_lists.py:144-177``): keep ``i < j`` pairs, and for
+    ``i == j`` (periodic self-images) keep shifts in the positive
+    half-space.
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    n = len(positions)
+    if n == 0:
+        empty = np.zeros((0,), dtype=np.int64)
+        return empty, empty, np.zeros((0, 3), dtype=np.int64)
+
+    pbc = np.asarray(pbc, dtype=bool)
+    cell = np.asarray(cell, dtype=np.float64)
+
+    ranges = _required_shift_ranges(cell, pbc, cutoff) if pbc.any() else np.zeros(3, int)
+    shift_axes = [np.arange(-r, r + 1) for r in ranges]
+    shift_grid = np.stack(
+        np.meshgrid(*shift_axes, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+
+    tree = cKDTree(positions)
+    centers_list, neighbors_list, shifts_list = [], [], []
+
+    for shift in shift_grid:
+        if (shift == 0).all():
+            # intra-cell pairs
+            pairs = tree.query_pairs(cutoff, output_type="ndarray")
+            if len(pairs):
+                i, j = pairs[:, 0], pairs[:, 1]
+                centers_list.append(i)
+                neighbors_list.append(j)
+                shifts_list.append(np.zeros((len(i), 3), dtype=np.int64))
+            continue
+        shifted = positions + shift.astype(np.float64) @ cell
+        shifted_tree = cKDTree(shifted)
+        # pairs (i in original cell, j shifted by +shift): r = pos[j] + S@cell - pos[i]
+        hits = tree.query_ball_tree(shifted_tree, cutoff)
+        i_idx = np.repeat(
+            np.arange(n, dtype=np.int64), [len(h) for h in hits]
+        )
+        j_idx = np.concatenate([np.asarray(h, dtype=np.int64) for h in hits]) if len(
+            i_idx
+        ) else np.zeros((0,), dtype=np.int64)
+        if len(i_idx) == 0:
+            continue
+        # drop exact self-image at distance ~0 (can't happen unless cell degenerate)
+        # keep a canonical half: i < j, or i == j with shift in positive half-space
+        positive_half = (
+            (shift[0] > 0)
+            | ((shift[0] == 0) & (shift[1] > 0))
+            | ((shift[0] == 0) & (shift[1] == 0) & (shift[2] > 0))
+        )
+        if positive_half:
+            keep = i_idx <= j_idx
+        else:
+            keep = i_idx < j_idx
+        i_idx, j_idx = i_idx[keep], j_idx[keep]
+        if len(i_idx) == 0:
+            continue
+        centers_list.append(i_idx)
+        neighbors_list.append(j_idx)
+        shifts_list.append(np.tile(shift, (len(i_idx), 1)))
+
+    if not centers_list:
+        empty = np.zeros((0,), dtype=np.int64)
+        return empty, empty, np.zeros((0, 3), dtype=np.int64)
+
+    centers = np.concatenate(centers_list)
+    neighbors = np.concatenate(neighbors_list)
+    shifts = np.concatenate(shifts_list)
+
+    if full_list:
+        centers, neighbors, shifts = (
+            np.concatenate([centers, neighbors]),
+            np.concatenate([neighbors, centers]),
+            np.concatenate([shifts, -shifts]),
+        )
+    return centers, neighbors, shifts
+
+
+def pairs_to_nef(
+    centers: np.ndarray,
+    neighbors: np.ndarray,
+    shifts: np.ndarray,
+    n_atoms: int,
+    max_neighbors: Optional[int] = None,
+) -> NeighborData:
+    """Scatter a flat full pair list into padded NEF arrays.
+
+    Also computes the reversed-edge index: for edge ``(i, slot)`` holding
+    neighbor ``j`` with shift ``S``, ``reverse[i, slot]`` is the flat index
+    ``j * max_nbrs + slot'`` of the edge ``(j, i, -S)``. Requires a full
+    (symmetric) pair list.
+    """
+    counts = np.bincount(centers, minlength=n_atoms).astype(np.int64)
+    m_req = int(counts.max()) if n_atoms and len(centers) else 0
+    M = max(max_neighbors or m_req, 1)
+    if m_req > M:
+        raise ValueError(f"max_neighbors={M} < largest neighborhood {m_req}")
+
+    order = np.argsort(centers, kind="stable")
+    sorted_centers = centers[order]
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    slot = np.arange(len(centers), dtype=np.int64) - starts[sorted_centers]
+
+    indices = np.tile(np.arange(n_atoms, dtype=np.int32)[:, None], (1, M))
+    shift_arr = np.zeros((n_atoms, M, 3), dtype=np.int32)
+    mask = np.zeros((n_atoms, M), dtype=bool)
+
+    indices[sorted_centers, slot] = neighbors[order].astype(np.int32)
+    shift_arr[sorted_centers, slot] = shifts[order].astype(np.int32)
+    mask[sorted_centers, slot] = True
+
+    # per-edge flat NEF position, in original pair-list order
+    edge_flat = np.empty(len(centers), dtype=np.int64)
+    edge_flat[order] = sorted_centers * M + slot
+
+    # match (i, j, S) with (j, i, -S) by sorting packed keys
+    key_fwd = _pack_edge_keys(centers, neighbors, shifts)
+    key_rev = _pack_edge_keys(neighbors, centers, -shifts)
+    fwd_order = np.argsort(key_fwd, kind="stable")
+    rev_order = np.argsort(key_rev, kind="stable")
+    # after sorting, key_fwd[fwd_order] == key_rev[rev_order] elementwise
+    reverse_of = np.empty(len(centers), dtype=np.int64)
+    reverse_of[rev_order] = fwd_order  # edge e's reverse partner
+    reverse_flat = edge_flat[reverse_of]
+
+    own_flat = (
+        np.arange(n_atoms, dtype=np.int64)[:, None] * M
+        + np.arange(M, dtype=np.int64)[None, :]
+    )
+    reverse = own_flat.copy()
+    reverse[sorted_centers, slot] = reverse_flat[order]
+
+    return NeighborData(
+        indices=indices,
+        shifts=shift_arr,
+        mask=mask,
+        reverse=reverse.astype(np.int32),
+    )
+
+
+def _pack_edge_keys(
+    centers: np.ndarray, neighbors: np.ndarray, shifts: np.ndarray
+) -> np.ndarray:
+    """Pack (center, neighbor, shift) into one sortable int64 key per edge."""
+    if len(centers) == 0:
+        return np.zeros((0,), dtype=np.int64)
+    smin = shifts.min() if len(shifts) else 0
+    s = shifts - smin
+    base_s = int(s.max()) + 1 if len(s) else 1
+    base_n = int(max(centers.max(), neighbors.max())) + 1
+    key = centers.astype(np.int64)
+    key = key * base_n + neighbors
+    for axis in range(3):
+        key = key * base_s + s[:, axis]
+    return key
+
+
+def compute_neighbor_data(
+    system: System,
+    cutoff: float,
+    max_neighbors: Optional[int] = None,
+) -> NeighborData:
+    """Full NEF neighbor data for one system at ``cutoff``."""
+    centers, neighbors, shifts = neighbor_pairs(
+        system.positions, system.cell, system.pbc, cutoff, full_list=True
+    )
+    return pairs_to_nef(centers, neighbors, shifts, len(system), max_neighbors)
+
+
+@dataclasses.dataclass
+class VerletNeighborList:
+    """Neighbor list with skin-distance reuse for MD-rate force calls.
+
+    Builds at ``cutoff + skin`` and reuses the list until any atom moved
+    more than ``skin / 2`` since the last rebuild. The model's own cutoff
+    function smoothly zeroes pairs beyond ``cutoff``, so the extra pairs in
+    the skin shell are harmless (they carry cutoff factor 0).
+    """
+
+    cutoff: float
+    skin: float = 0.5
+    _data: Optional[NeighborData] = None
+    _positions0: Optional[np.ndarray] = None
+    _cell0: Optional[np.ndarray] = None
+
+    def update(self, system: System, max_neighbors: Optional[int] = None) -> NeighborData:
+        if self._data is not None and self._positions0 is not None:
+            same_shape = len(self._positions0) == len(system)
+            if same_shape and np.allclose(self._cell0, system.cell):
+                disp = np.linalg.norm(system.positions - self._positions0, axis=1)
+                if disp.max(initial=0.0) < self.skin / 2.0:
+                    return self._data
+        data = compute_neighbor_data(
+            system, self.cutoff + self.skin, max_neighbors
+        )
+        self._data = data
+        self._positions0 = system.positions.copy()
+        self._cell0 = system.cell.copy()
+        return data

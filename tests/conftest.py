@@ -1,0 +1,75 @@
+"""Test configuration: run on a simulated 8-device CPU mesh.
+
+Mirrors the reference's multi-process CPU distributed test pattern
+(``composition/tests/test_distributed.py``) using JAX's host-platform
+device-count flag, so data-parallel code paths get real multi-device
+coverage without TPU hardware (SURVEY.md section 4.3).
+"""
+
+import os
+
+# NOTE: jax is preloaded at interpreter startup in this image (a .pth hook),
+# so JAX_PLATFORMS/JAX_ENABLE_X64 env vars are captured before conftest runs;
+# jax.config.update still works, and XLA_FLAGS is read lazily at backend init.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from metatrain_tpu.containers import System  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_molecule(n_atoms=8, seed=0, types=(1, 6, 8)):
+    rng = np.random.default_rng(seed)
+    return System(
+        positions=rng.uniform(-3, 3, size=(n_atoms, 3)),
+        types=rng.choice(types, size=n_atoms),
+        cell=np.zeros((3, 3)),
+        pbc=np.zeros(3, dtype=bool),
+    )
+
+
+def make_crystal(n_cells=2, a=3.6, seed=0, jitter=0.05):
+    """FCC-ish periodic crystal (copper lattice constant by default)."""
+    rng = np.random.default_rng(seed)
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    )
+    cells = []
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                cells.append(base + np.array([i, j, k]))
+    frac = np.concatenate(cells)
+    cell = np.eye(3) * a * n_cells
+    positions = frac / n_cells @ cell + rng.normal(0, jitter, size=(len(frac), 3))
+    return System(
+        positions=positions,
+        types=np.full(len(frac), 29, dtype=np.int32),
+        cell=cell,
+        pbc=np.ones(3, dtype=bool),
+    )
+
+
+@pytest.fixture
+def molecule():
+    return make_molecule()
+
+
+@pytest.fixture
+def crystal():
+    return make_crystal()
