@@ -174,6 +174,17 @@ class SystemBatch:
         obj.extra = dict(zip(extra_keys, children[len(cls._FIELDS):]))
         return obj
 
+    def replace(self, **updates) -> "SystemBatch":
+        """Functional update (used by the autograd engine to thread
+        differentiable positions/cells through the forward pass)."""
+        new = object.__new__(SystemBatch)
+        for name in self._FIELDS:
+            setattr(new, name, updates.pop(name, getattr(self, name)))
+        new.extra = updates.pop("extra", dict(self.extra))
+        if updates:
+            raise TypeError(f"unknown fields {sorted(updates)}")
+        return new
+
     # -- info -----------------------------------------------------------------
 
     @property

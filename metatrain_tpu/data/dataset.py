@@ -1,0 +1,165 @@
+"""In-memory datasets and train/val/test splitting.
+
+Counterpart of the reference ``utils/data/dataset.py`` (Dataset building,
+``get_dataset``, stats) -- minus the byte-serialization CollateFn, which is
+a torch-DataLoader artifact that has no reason to exist here (SURVEY.md
+section 7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..containers import System, TensorMap
+from .readers import read_systems, read_targets
+from .target_info import DatasetInfo, TargetInfo, collect_atomic_types
+
+
+@dataclasses.dataclass
+class Sample:
+    """One dataset entry: a system plus its target TensorMaps."""
+
+    system: System
+    targets: Dict[str, TensorMap]
+    extra_data: Dict[str, TensorMap] = dataclasses.field(default_factory=dict)
+
+
+class Dataset:
+    """A list of systems with aligned targets.
+
+    :param systems: host systems.
+    :param targets: target name -> one TensorMap per system.
+    """
+
+    def __init__(
+        self,
+        systems: Sequence[System],
+        targets: Dict[str, List[TensorMap]],
+        extra_data: Optional[Dict[str, List[TensorMap]]] = None,
+    ):
+        for name, maps in targets.items():
+            if len(maps) != len(systems):
+                raise ValueError(
+                    f"target '{name}' has {len(maps)} entries "
+                    f"for {len(systems)} systems"
+                )
+        self.systems = list(systems)
+        self.targets = {k: list(v) for k, v in targets.items()}
+        self.extra_data = {k: list(v) for k, v in (extra_data or {}).items()}
+
+    def __len__(self) -> int:
+        return len(self.systems)
+
+    def __getitem__(self, index: int) -> Sample:
+        return Sample(
+            system=self.systems[index],
+            targets={k: v[index] for k, v in self.targets.items()},
+            extra_data={k: v[index] for k, v in self.extra_data.items()},
+        )
+
+    def select(self, indices: Sequence[int]) -> "Dataset":
+        indices = list(indices)
+        return Dataset(
+            [self.systems[i] for i in indices],
+            {k: [v[i] for i in indices] for k, v in self.targets.items()},
+            {k: [v[i] for i in indices] for k, v in self.extra_data.items()},
+        )
+
+    @property
+    def atom_counts(self) -> np.ndarray:
+        return np.array([len(s) for s in self.systems], dtype=np.int64)
+
+
+def get_dataset(
+    config: Dict[str, Any],
+) -> Tuple[Dataset, Dict[str, TargetInfo]]:
+    """Build a dataset from one expanded dataset config section.
+
+    :param config: dict with ``systems: {read_from: ...}`` and
+        ``targets: {name: {...}}`` (see readers); mirrors the canonical
+        expanded form of the reference config
+        (``utils/omegaconf.py:149-430``).
+    """
+    systems_cfg = config["systems"]
+    if isinstance(systems_cfg, str):
+        systems_cfg = {"read_from": systems_cfg}
+    systems = read_systems(systems_cfg["read_from"])
+
+    targets, target_infos = read_targets(systems, config.get("targets", {}))
+
+    extra_data = {}
+    extra_infos: Dict[str, TargetInfo] = {}
+    if config.get("extra_data"):
+        extra_data, extra_infos = read_targets(systems, config["extra_data"])
+
+    dataset = Dataset(systems, targets, extra_data)
+    dataset.extra_infos = extra_infos  # type: ignore[attr-defined]
+    return dataset, target_infos
+
+
+def get_dataset_info(
+    datasets: Sequence[Dataset],
+    target_infos: Dict[str, TargetInfo],
+    length_unit: str = "",
+) -> DatasetInfo:
+    types: set = set()
+    for ds in datasets:
+        types |= collect_atomic_types(ds.systems)
+    return DatasetInfo(
+        length_unit=length_unit, atomic_types=sorted(types), targets=target_infos
+    )
+
+
+def train_val_test_split(
+    dataset: Dataset,
+    train_fraction: Optional[float] = None,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.0,
+    seed: int = 0,
+) -> Tuple[Dataset, Dataset, Dataset]:
+    """Random fraction split (reference: ``cli/train.py:337-540``)."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = int(round(val_fraction * n))
+    n_test = int(round(test_fraction * n))
+    n_train = n - n_val - n_test if train_fraction is None else int(
+        round(train_fraction * n)
+    )
+    if n_train + n_val + n_test > n:
+        raise ValueError("split fractions exceed dataset size")
+    train_idx = perm[:n_train]
+    val_idx = perm[n_train : n_train + n_val]
+    test_idx = perm[n_train + n_val : n_train + n_val + n_test]
+    return (
+        dataset.select(train_idx),
+        dataset.select(val_idx),
+        dataset.select(test_idx),
+    )
+
+
+def get_stats(dataset: Dataset, dataset_info: DatasetInfo) -> str:
+    """Human-readable dataset statistics (reference ``dataset.py`` get_stats)."""
+    counts = dataset.atom_counts
+    lines = [
+        f"Dataset with {len(dataset)} structures, "
+        f"{int(counts.sum())} atoms "
+        f"(min {int(counts.min(initial=0))} / "
+        f"mean {counts.mean() if len(counts) else 0:.1f} / "
+        f"max {int(counts.max(initial=0))} per structure)",
+        f"Atomic types: {dataset_info.atomic_types}",
+    ]
+    for name, maps in dataset.targets.items():
+        info = dataset_info.targets.get(name)
+        unit = f" [{info.unit}]" if info and info.unit else ""
+        values = np.concatenate(
+            [np.asarray(m.block(0).values).reshape(-1) for m in maps]
+        )
+        lines.append(
+            f"Target '{name}'{unit}: mean {values.mean():.6g}, "
+            f"std {values.std():.6g}"
+        )
+    return "\n".join(lines)
