@@ -79,6 +79,10 @@ class CollateFn:
     :param transforms: host-side batch transforms applied in order (e.g.
         O3 augmentation, additive-baseline removal), each
         ``(samples) -> samples``.
+    :param n_atoms_padded: optional fixed atom padding (otherwise bucketed);
+        fixed sizes give identical shapes across batches, required when
+        stacking per-device batches for data parallelism.
+    :param n_systems_padded: optional fixed system padding.
     """
 
     def __init__(
@@ -90,6 +94,8 @@ class CollateFn:
         max_neighbors: Optional[int] = None,
         extra_system_keys: Sequence[str] = (),
         transforms: Sequence[Callable[[List[Sample]], List[Sample]]] = (),
+        n_atoms_padded: Optional[int] = None,
+        n_systems_padded: Optional[int] = None,
     ):
         self.cutoff = cutoff
         self.target_infos = dict(target_infos)
@@ -98,6 +104,8 @@ class CollateFn:
         self.max_neighbors = max_neighbors
         self.extra_system_keys = tuple(extra_system_keys)
         self.transforms = list(transforms)
+        self.n_atoms_padded = n_atoms_padded
+        self.n_systems_padded = n_systems_padded
         self.nl_cache = NeighborListCache(cutoff)
 
     def __call__(self, samples: List[Sample]) -> Batch:
@@ -108,8 +116,10 @@ class CollateFn:
         neighbor_data = [self.nl_cache(system) for system in systems]
 
         total_atoms = sum(len(s) for s in systems)
-        A = bucket_size(total_atoms, self.bucket_ratio)
-        S = bucket_size(len(systems) + 1, self.bucket_ratio, minimum=2)
+        A = self.n_atoms_padded or bucket_size(total_atoms, self.bucket_ratio)
+        S = self.n_systems_padded or bucket_size(
+            len(systems) + 1, self.bucket_ratio, minimum=2
+        )
         m_req = max((n.max_neighbors for n in neighbor_data), default=1)
         M = self.max_neighbors or bucket_size(m_req, self.bucket_ratio, minimum=4)
 

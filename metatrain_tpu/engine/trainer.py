@@ -1,0 +1,387 @@
+"""Shared NN training loop: one implementation for every architecture.
+
+The reference duplicates ~700-line trainers per architecture
+(``pet/trainer.py``, ``soap_bpnn/trainer.py``, ...). Here the loop is a
+single engine: fit baselines -> removal collate pipeline -> jitted
+(optionally shard_mapped) train step with forces-through-loss -> epoch
+metrics -> best-model tracking -> versioned checkpoints. Architectures
+subclass :class:`NNTrainer` only to change default hypers.
+
+The train step is one pure function ``(params, opt_state, batch) ->
+(params, opt_state, loss, errors)``; with a device mesh it runs under
+``shard_map`` with ``psum`` on gradients, loss and error sums, giving
+exactly the reference's DDP semantics (grad all-reduce + global metric
+union, SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..containers import TensorMap
+from ..data.collate import Batch, CollateFn
+from ..data.dataset import Dataset
+from ..data.samplers import (
+    BatchSampler,
+    CombinedDataLoader,
+    DataLoader,
+    MaxAtomBatchSampler,
+)
+from ..data.target_info import TargetInfo
+from ..models.composition import CompositionModel, train_or_load_composition_model
+from ..models.scaler import Scaler, train_or_load_scaler
+from ..ops.segment import average_by_num_atoms
+from ..utils.abc import ModelInterface, TrainerInterface
+from ..utils.io import save_checkpoint_file
+from ..utils.logging import CSVMetricsWriter, MetricLogger, ROOT_LOGGER
+from .evaluate import evaluate_model
+from .loss import LossAggregator
+from .metrics import ErrorAccumulator, batch_errors, get_selected_metric
+
+
+logger = logging.getLogger(ROOT_LOGGER + ".trainer")
+
+
+DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
+    # reference defaults: pet/documentation.py:262-393
+    "batch_size": 16,
+    "num_epochs": 100,
+    "warmup_fraction": 0.01,
+    "learning_rate": 1e-4,
+    "weight_decay": None,
+    "log_interval": 1,
+    "checkpoint_interval": 100,
+    "scale_targets": True,
+    "atomic_baseline": {},
+    "fixed_scaling_weights": {},
+    "per_structure_targets": [],
+    "log_mae": True,
+    "log_separate_blocks": False,
+    "best_model_metric": "mae_prod",
+    "grad_clip_norm": 1.0,
+    "loss": "mse",
+    "max_atoms_per_batch": None,
+    "min_atoms_per_batch": 0,
+    "seed": 0,
+}
+
+
+class NNTrainer(TrainerInterface):
+    """Gradient-descent trainer shared by all NN architectures."""
+
+    __checkpoint_version__ = 1
+    DEFAULT_HYPERS = DEFAULT_TRAINER_HYPERS
+
+    def __init__(self, hypers: Optional[Dict[str, Any]] = None):
+        full = copy.deepcopy(self.DEFAULT_HYPERS)
+        full.update(hypers or {})
+        super().__init__(full)
+        self.epoch: int = 0
+        self.opt_state: Any = None
+        self.best_metric: float = float("inf")
+        self.best_params: Any = None
+        self.best_epoch: Optional[int] = None
+
+    # -- main entry point ----------------------------------------------------
+
+    def train(
+        self,
+        model: ModelInterface,
+        dtype: Any,
+        train_datasets: List[Dataset],
+        val_datasets: List[Dataset],
+        checkpoint_dir: str = ".",
+    ) -> None:
+        hp = self.hypers
+        checkpoint_dir = Path(checkpoint_dir)
+        target_infos = dict(model.dataset_info.targets)
+
+        # ---- baselines: composition fit + target scaling ----------------
+        atomic_baseline = hp["atomic_baseline"]
+        if isinstance(atomic_baseline, str):
+            composition = train_or_load_composition_model(
+                atomic_baseline, model.dataset_info, train_datasets
+            )
+        else:
+            composition = train_or_load_composition_model(
+                None,
+                model.dataset_info,
+                train_datasets,
+                fixed_weights=atomic_baseline or None,
+            )
+
+        removed_datasets = [
+            _remove_composition_from_dataset(ds, composition)
+            for ds in train_datasets
+        ]
+        fixed_scaling = hp["fixed_scaling_weights"]
+        if isinstance(fixed_scaling, str):
+            scaler = train_or_load_scaler(fixed_scaling, model.dataset_info, [])
+        else:
+            scaler = train_or_load_scaler(
+                None,
+                model.dataset_info,
+                removed_datasets,
+                fixed_scales=fixed_scaling or None,
+                enabled=hp["scale_targets"],
+            )
+        model.composition = composition
+        model.scaler = scaler
+
+        # ---- data pipeline ----------------------------------------------
+        collate = CollateFn(
+            cutoff=model.requested_neighbor_cutoff() or 5.0,
+            target_infos=target_infos,
+            dtype=dtype,
+            extra_system_keys=model.requested_extra_system_keys(),
+            transforms=[composition.remove_transform, scaler.remove_transform],
+        )
+        train_loader = _build_loader(
+            train_datasets, collate, hp, shuffle=True
+        )
+        val_loader = _build_loader(val_datasets, collate, hp, shuffle=False)
+
+        # ---- parameters & optimizer ----------------------------------------
+        if model.params is None:
+            model.init_params(jax.random.PRNGKey(hp["seed"]))
+
+        steps_per_epoch = max(len(train_loader), 1)
+        total_steps = steps_per_epoch * hp["num_epochs"]
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=hp["learning_rate"],
+            warmup_steps=max(int(hp["warmup_fraction"] * total_steps), 1),
+            decay_steps=max(total_steps, 2),
+        )
+        if hp["weight_decay"]:
+            opt = optax.adamw(schedule, weight_decay=hp["weight_decay"])
+        else:
+            opt = optax.adam(schedule)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(hp["grad_clip_norm"]), opt
+        )
+        if self.opt_state is None:
+            self.opt_state = optimizer.init(model.params)
+
+        loss_agg = LossAggregator(target_infos, hp["loss"])
+        per_structure = list(hp["per_structure_targets"])
+        scales = {
+            name: jnp.asarray(scaler.scale_value(name))
+            for name in target_infos
+        }
+
+        train_step = _make_train_step(
+            model, loss_agg, target_infos, optimizer, per_structure, scales
+        )
+        val_step = _make_val_step(
+            model, loss_agg, target_infos, per_structure, scales
+        )
+
+        metric_logger = MetricLogger(
+            logger, CSVMetricsWriter(checkpoint_dir / "train.csv")
+        )
+        not_per_atom = ["positions_gradients"] + per_structure
+
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, hp["num_epochs"]):
+            self.epoch = epoch
+            train_loader.set_epoch(epoch)
+            epoch_start = time.time()
+
+            train_errors = ErrorAccumulator(hp["log_separate_blocks"])
+            train_loss_sum, n_batches = 0.0, 0
+            for batch in train_loader:
+                model.params, self.opt_state, loss, errors = train_step(
+                    model.params, self.opt_state, batch
+                )
+                train_loss_sum += float(loss)
+                n_batches += 1
+                train_errors.update_from_errors(jax.device_get(errors))
+
+            val_errors = ErrorAccumulator(hp["log_separate_blocks"])
+            val_loss_sum, n_val = 0.0, 0
+            for batch in val_loader:
+                loss, errors = val_step(model.params, batch)
+                val_loss_sum += float(loss)
+                n_val += 1
+                val_errors.update_from_errors(jax.device_get(errors))
+
+            metrics: Dict[str, float] = {
+                "train loss": train_loss_sum / max(n_batches, 1),
+            }
+            if n_val:
+                metrics["val loss"] = val_loss_sum / max(n_val, 1)
+            for key, value in train_errors.finalize(
+                not_per_atom, ("RMSE", "MAE") if hp["log_mae"] else ("RMSE",)
+            ).items():
+                metrics[f"train {key}"] = value
+            val_finalized = val_errors.finalize(
+                not_per_atom, ("RMSE", "MAE") if hp["log_mae"] else ("RMSE",)
+            )
+            for key, value in val_finalized.items():
+                metrics[f"val {key}"] = value
+            metrics["epoch time (s)"] = time.time() - epoch_start
+
+            if epoch == start_epoch or epoch % hp["log_interval"] == 0:
+                lr = float(schedule(epoch * steps_per_epoch))
+                metric_logger.log(epoch, metrics, learning_rate=lr)
+
+            # best-model tracking on the configured validation metric
+            selection_pool = dict(val_finalized)
+            selection_pool["loss"] = metrics.get(
+                "val loss", metrics["train loss"]
+            )
+            selected = get_selected_metric(
+                selection_pool, hp["best_model_metric"]
+            )
+            if selected < self.best_metric:
+                self.best_metric = selected
+                self.best_params = jax.device_get(model.params)
+                self.best_epoch = epoch
+
+            if (
+                hp["checkpoint_interval"]
+                and (epoch + 1) % hp["checkpoint_interval"] == 0
+            ):
+                self.save_checkpoint(
+                    model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
+                )
+
+        self.epoch = hp["num_epochs"]
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save_checkpoint(self, model: ModelInterface, path: str) -> None:
+        checkpoint = model.get_checkpoint()
+        checkpoint.update(
+            {
+                "trainer_ckpt_version": self.__checkpoint_version__,
+                "train_hypers": self.hypers,
+                "epoch": self.epoch,
+                "opt_state": self.opt_state,
+                "best_metric": self.best_metric,
+                "best_params": self.best_params,
+                "best_epoch": self.best_epoch,
+            }
+        )
+        save_checkpoint_file(checkpoint, path)
+
+    @classmethod
+    def load_checkpoint(
+        cls, checkpoint: Dict[str, Any], hypers: Dict[str, Any]
+    ) -> "NNTrainer":
+        trainer = cls(hypers)
+        trainer.epoch = checkpoint.get("epoch", 0)
+        trainer.opt_state = checkpoint.get("opt_state")
+        trainer.best_metric = checkpoint.get("best_metric", float("inf"))
+        trainer.best_params = checkpoint.get("best_params")
+        trainer.best_epoch = checkpoint.get("best_epoch")
+        return trainer
+
+
+# -- helpers --------------------------------------------------------------------
+
+
+def _remove_composition_from_dataset(
+    dataset: Dataset, composition: CompositionModel
+) -> Dataset:
+    """Host-side composition removal over a whole dataset (for scaler fit)."""
+    samples = [dataset[i] for i in range(len(dataset))]
+    removed = composition.remove_transform(samples)
+    return Dataset(
+        [s.system for s in removed],
+        {
+            name: [s.targets[name] for s in removed]
+            for name in dataset.targets
+        },
+        {
+            name: [s.extra_data[name] for s in removed]
+            for name in dataset.extra_data
+        },
+    )
+
+
+def _build_loader(
+    datasets: List[Dataset], collate: CollateFn, hp: Dict[str, Any], shuffle: bool
+):
+    loaders = []
+    for i, dataset in enumerate(datasets):
+        if hp["max_atoms_per_batch"]:
+            sampler = MaxAtomBatchSampler(
+                dataset.atom_counts,
+                hp["max_atoms_per_batch"],
+                min_atoms=hp["min_atoms_per_batch"],
+                shuffle=shuffle,
+                seed=hp["seed"] + i,
+            )
+        else:
+            sampler = BatchSampler(
+                len(dataset),
+                hp["batch_size"],
+                shuffle=shuffle,
+                seed=hp["seed"] + i,
+            )
+        loaders.append(DataLoader(dataset, sampler, collate))
+    if len(loaders) == 1:
+        return loaders[0]
+    return CombinedDataLoader(loaders, shuffle=shuffle, seed=hp["seed"])
+
+
+def _compute_loss_and_errors(
+    model, loss_agg, target_infos, per_structure, scales, params, batch: Batch
+):
+    batch_target_names = list(batch.targets.keys())
+    infos = {n: target_infos[n] for n in batch_target_names}
+    predictions = evaluate_model(
+        model.forward, params, batch.systems, infos, is_training=True
+    )
+    predictions = average_by_num_atoms(predictions, batch.systems, per_structure)
+    targets = average_by_num_atoms(batch.targets, batch.systems, per_structure)
+    loss = loss_agg(predictions, targets, batch.extra_data)
+
+    # metrics are reported in physical units: undo the target scaling
+    scaled_predictions = {
+        n: t.map_values(lambda v, s=scales[n]: v * s.astype(v.dtype))
+        for n, t in predictions.items()
+    }
+    scaled_targets = {
+        n: t.map_values(lambda v, s=scales[n]: v * s.astype(v.dtype))
+        for n, t in targets.items()
+    }
+    errors = batch_errors(scaled_predictions, scaled_targets, batch.extra_data)
+    return loss, errors
+
+
+def _make_train_step(
+    model, loss_agg, target_infos, optimizer, per_structure, scales
+):
+    def step(params, opt_state, batch: Batch):
+        def loss_fn(p):
+            return _compute_loss_and_errors(
+                model, loss_agg, target_infos, per_structure, scales, p, batch
+            )
+
+        (loss, errors), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, errors
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _make_val_step(model, loss_agg, target_infos, per_structure, scales):
+    def step(params, batch: Batch):
+        return _compute_loss_and_errors(
+            model, loss_agg, target_infos, per_structure, scales, params, batch
+        )
+
+    return jax.jit(step)

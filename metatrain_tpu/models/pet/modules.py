@@ -1,0 +1,465 @@
+"""PET neural modules (flax.linen), designed for the TPU MXU.
+
+Behavioral parity with the reference PET backbone
+(``/root/reference/src/metatrain/pet/modules/{transformer,backend}.py``),
+built TPU-first:
+
+- neighborhood attention runs directly on the NEF layout ``(n_atoms_pad,
+  1 + max_nbrs, d)``: one batched MHA over tiny windows, where the heavy
+  FLOPs (QKV/output/FFN projections) are large ``(A*(M+1), d) x (d, d')``
+  matmuls that tile perfectly onto the MXU;
+- the smooth cutoff enters as a log-additive pre-softmax bias
+  (``log(clamp(cutoff, eps))``), exactly like the reference
+  (``transformer.py:109-111``) -- padded and cut-off edges vanish smoothly
+  and differentiably;
+- no ``manual_attention`` split: JAX differentiates the same code path for
+  double backward (training with forces);
+- computation dtype is a parameter (bf16-ready), parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+EPSILON_ATTN = 1e-15
+
+
+def cutoff_func_bump(values, cutoff, width):
+    """C^inf bump switching function (reference ``pet/modules/utilities.py:4``)."""
+    scaled = (values - (cutoff - width)) / width
+    clamped = jnp.clip(scaled, 1e-6, 1.0 - 1e-6)
+    return 0.5 * (1.0 + jnp.tanh(1.0 / jnp.tan(jnp.pi * clamped)))
+
+
+def cutoff_func_cosine(values, cutoff, width):
+    """Cosine switching function (reference ``pet/modules/utilities.py:25``)."""
+    scaled = (values - (cutoff - width)) / width
+    clamped = jnp.clip(scaled, 0.0, 1.0)
+    return 0.5 * (1.0 + jnp.cos(jnp.pi * clamped))
+
+
+class FeedForward(nn.Module):
+    """SiLU MLP or SwiGLU gated unit (reference ``transformer.py:21-50``)."""
+
+    d_model: int
+    d_feedforward: int
+    activation: str = "SwiGLU"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.activation.lower() == "swiglu":
+            vg = nn.Dense(2 * self.d_feedforward, dtype=self.dtype, name="w_in")(x)
+            v, g = jnp.split(vg, 2, axis=-1)
+            h = v * jax.nn.sigmoid(g)
+        else:
+            h = nn.Dense(self.d_feedforward, dtype=self.dtype, name="w_in")(x)
+            h = jax.nn.silu(h)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="w_out")(h)
+
+
+class AttentionBlock(nn.Module):
+    """Multi-head attention over each atom's neighborhood window.
+
+    :param attn_bias: (A, T) log-cutoff bias, identical for every query
+        position and head.
+    """
+
+    total_dim: int
+    num_heads: int
+    temperature: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        A, T, D = x.shape
+        head_dim = self.total_dim // self.num_heads
+        qkv = nn.Dense(3 * self.total_dim, dtype=self.dtype, name="input_linear")(x)
+        qkv = qkv.reshape(A, T, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # (A, H, T, hd)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        scale = 1.0 / (head_dim**0.5 * self.temperature)
+        # accumulate in >= f32: softmax numerics must not degrade in bf16 mode
+        acc_dtype = jnp.promote_types(jnp.float32, q.dtype)
+        scores = jnp.einsum(
+            "ahqd,ahkd->ahqk", q, k, preferred_element_type=acc_dtype
+        ) * scale
+        scores = scores + attn_bias[:, None, None, :].astype(scores.dtype)
+        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum(
+            "ahqk,ahkd->ahqd", weights, v, preferred_element_type=acc_dtype
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(A, T, self.total_dim)
+        return nn.Dense(self.total_dim, dtype=self.dtype, name="output_linear")(out)
+
+
+def _norm(kind: str, dtype, name: str):
+    if kind == "RMSNorm":
+        return nn.RMSNorm(dtype=dtype, name=name)
+    return nn.LayerNorm(dtype=dtype, name=name)
+
+
+class TransformerLayer(nn.Module):
+    """One transformer layer over [center token | edge tokens].
+
+    Node features live in ``d_node`` and are contracted to ``d_pet`` for
+    attention when the widths differ (reference ``transformer.py:155-262``).
+    """
+
+    d_model: int
+    num_heads: int
+    d_node: int
+    d_feedforward: int
+    normalization: str = "RMSNorm"
+    activation: str = "SwiGLU"
+    transformer_type: str = "PreLN"
+    temperature: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_emb, edge_emb, attn_bias):
+        expanded = self.d_node != self.d_model
+        attention = AttentionBlock(
+            self.d_model,
+            self.num_heads,
+            self.temperature,
+            dtype=self.dtype,
+            name="attention",
+        )
+        norm_attention = _norm(self.normalization, self.dtype, "norm_attention")
+        norm_mlp = _norm(self.normalization, self.dtype, "norm_mlp")
+        mlp = FeedForward(
+            self.d_model, self.d_feedforward, self.activation, self.dtype, name="mlp"
+        )
+
+        if expanded:
+            center_contraction = nn.Dense(
+                self.d_model, dtype=self.dtype, name="center_contraction"
+            )
+            center_expansion = nn.Dense(
+                self.d_node, dtype=self.dtype, name="center_expansion"
+            )
+            norm_center = _norm(self.normalization, self.dtype, "norm_center_features")
+            center_mlp = FeedForward(
+                self.d_node,
+                2 * self.d_node,
+                self.activation,
+                self.dtype,
+                name="center_mlp",
+            )
+            center_token = center_contraction(node_emb)
+        else:
+            center_token = node_emb
+
+        tokens = jnp.concatenate([center_token[:, None, :], edge_emb], axis=1)
+
+        if self.transformer_type == "PreLN":
+            new_tokens = attention(norm_attention(tokens), attn_bias)
+            out_center = new_tokens[:, 0, :]
+            out_edges = new_tokens[:, 1:, :]
+            if expanded:
+                out_node = node_emb + center_expansion(out_center)
+                out_node = out_node + center_mlp(norm_center(out_node))
+            else:
+                out_node = node_emb + out_center
+            out_edges = edge_emb + out_edges
+            out_edges = out_edges + mlp(norm_mlp(out_edges))
+        else:  # PostLN
+            tokens = norm_attention(tokens + attention(tokens, attn_bias))
+            tokens = norm_mlp(tokens + mlp(tokens))
+            out_center = tokens[:, 0, :]
+            out_edges = tokens[:, 1:, :]
+            if expanded:
+                out_node = node_emb + center_expansion(out_center)
+                out_node = out_node + center_mlp(norm_center(out_node))
+            else:
+                out_node = out_center
+        return out_node, out_edges
+
+
+class CartesianTransformer(nn.Module):
+    """One GNN layer: geometric edge tokens -> windowed attention.
+
+    Reference ``transformer.py:395-562``: edge token = Dense([edge_vec,
+    dist]) composed with neighbor-species embedding (layers > 0) and the
+    incoming message, compressed to ``d_pet``; attention over [center |
+    edges] with log-cutoff bias.
+    """
+
+    d_pet: int
+    d_node: int
+    d_head_dim_total: int  # kept for clarity; equals d_pet
+    num_heads: int
+    d_feedforward: int
+    num_attention_layers: int
+    normalization: str
+    activation: str
+    transformer_type: str
+    temperature: float
+    num_species: int
+    is_first: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        node_emb,  # (A, d_node)
+        input_messages,  # (A, M, d_pet)
+        neighbor_species_index,  # (A, M) int
+        edge_vectors,  # (A, M, 3)
+        edge_distances,  # (A, M)
+        nbr_mask,  # (A, M) bool
+        cutoff_factors,  # (A, M)
+    ):
+        geom = jnp.concatenate(
+            [edge_vectors, edge_distances[:, :, None]], axis=-1
+        ).astype(self.dtype)
+        edge_emb = nn.Dense(self.d_pet, dtype=self.dtype, name="edge_embedder")(geom)
+
+        if self.is_first:
+            tokens_in = jnp.concatenate([edge_emb, input_messages], axis=-1)
+        else:
+            nbr_emb = nn.Embed(
+                self.num_species,
+                self.d_pet,
+                dtype=self.dtype,
+                name="neighbor_embedder",
+            )(neighbor_species_index)
+            tokens_in = jnp.concatenate([edge_emb, nbr_emb, input_messages], axis=-1)
+
+        h = nn.Dense(self.d_pet, dtype=self.dtype, name="compress_0")(tokens_in)
+        h = jax.nn.silu(h)
+        edge_tokens = nn.Dense(self.d_pet, dtype=self.dtype, name="compress_1")(h)
+
+        # cutoff factor of the central token is 1; padded edges are 0
+        cf = jnp.where(nbr_mask, cutoff_factors, 0.0)
+        cf_tokens = jnp.concatenate(
+            [jnp.ones((cf.shape[0], 1), dtype=cf.dtype), cf], axis=1
+        )
+        attn_bias = jnp.log(jnp.clip(cf_tokens, EPSILON_ATTN, None))
+
+        out_node, out_edges = node_emb, edge_tokens
+        for i in range(self.num_attention_layers):
+            out_node, out_edges = TransformerLayer(
+                d_model=self.d_pet,
+                num_heads=self.num_heads,
+                d_node=self.d_node,
+                d_feedforward=self.d_feedforward,
+                normalization=self.normalization,
+                activation=self.activation,
+                transformer_type=self.transformer_type,
+                temperature=self.temperature,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(out_node, out_edges, attn_bias)
+        return out_node, out_edges
+
+
+def reverse_edges(edge_array, nbr_reverse):
+    """Gather each edge's reversed (j -> i) partner: the message-passing
+    primitive (reference ``nef.py:221-251`` + ``backend.py:556-566``)."""
+    A, M = edge_array.shape[:2]
+    flat = edge_array.reshape((A * M,) + edge_array.shape[2:])
+    return flat[nbr_reverse.reshape(-1)].reshape(edge_array.shape)
+
+
+class PETBackbone(nn.Module):
+    """Featurizer: species embeddings -> stacked CartesianTransformers.
+
+    Returns per-readout-layer node features (A, d_node) and edge features
+    (A, M, d_pet): one pair for the ``feedforward`` featurizer, one per
+    GNN layer for ``residual`` (reference ``backend.py:496-649``).
+    """
+
+    hypers: Dict[str, Any]
+    num_species: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_data: Dict[str, Any]):
+        hp = self.hypers
+        d_pet, d_node = hp["d_pet"], hp["d_node"]
+        num_gnn = hp["num_gnn_layers"]
+        feedforward = hp["featurizer_type"] == "feedforward"
+        num_readout = 1 if feedforward else num_gnn
+
+        species_idx = batch_data["species_index"]  # (A,)
+        nbr_species_idx = batch_data["neighbor_species_index"]  # (A, M)
+        conditioning = batch_data.get("conditioning")  # (A, d_node) or None
+
+        node_embedders = [
+            nn.Embed(
+                self.num_species, d_node, dtype=self.dtype, name=f"node_embedder_{i}"
+            )
+            for i in range(num_readout)
+        ]
+        edge_embedder = nn.Embed(
+            self.num_species, d_pet, dtype=self.dtype, name="edge_species_embedder"
+        )
+
+        gnn_layers = [
+            CartesianTransformer(
+                d_pet=d_pet,
+                d_node=d_node,
+                d_head_dim_total=d_pet,
+                num_heads=hp["num_heads"],
+                d_feedforward=hp["d_feedforward"],
+                num_attention_layers=hp["num_attention_layers"],
+                normalization=hp["normalization"],
+                activation=hp["activation"],
+                transformer_type=hp["transformer_type"],
+                temperature=hp["attention_temperature"],
+                num_species=self.num_species,
+                is_first=(i == 0),
+                dtype=self.dtype,
+                name=f"gnn_layer_{i}",
+            )
+            for i in range(num_gnn)
+        ]
+
+        input_messages = edge_embedder(nbr_species_idx)
+        node_features: List[jnp.ndarray] = []
+        edge_features: List[jnp.ndarray] = []
+
+        common = (
+            nbr_species_idx,
+            batch_data["edge_vectors"],
+            batch_data["edge_distances"],
+            batch_data["nbr_mask"],
+            batch_data["cutoff_factors"],
+        )
+
+        if feedforward:
+            node_state = node_embedders[0](species_idx)
+            for i, layer in enumerate(gnn_layers):
+                out_node, out_edges = layer(node_state, input_messages, *common)
+                if conditioning is not None:
+                    out_node = out_node + conditioning
+                node_state = out_node
+                reversed_edges = reverse_edges(
+                    out_edges, batch_data["nbr_reverse"]
+                )
+                cat = jnp.concatenate([out_edges, reversed_edges], axis=-1)
+                combined = nn.LayerNorm(
+                    dtype=self.dtype, name=f"combination_norm_{i}"
+                )(cat)
+                combined = nn.Dense(
+                    2 * d_pet, dtype=self.dtype, name=f"combination_mlp_{i}_0"
+                )(combined)
+                combined = jax.nn.silu(combined)
+                combined = nn.Dense(
+                    d_pet, dtype=self.dtype, name=f"combination_mlp_{i}_1"
+                )(combined)
+                input_messages = input_messages + out_edges + combined
+            node_features.append(node_state)
+            edge_features.append(input_messages)
+        else:  # residual
+            for i, layer in enumerate(gnn_layers):
+                node_state = node_embedders[i](species_idx)
+                out_node, out_edges = layer(node_state, input_messages, *common)
+                if conditioning is not None:
+                    out_node = out_node + conditioning
+                node_features.append(out_node)
+                edge_features.append(out_edges)
+                reversed_edges = reverse_edges(
+                    out_edges, batch_data["nbr_reverse"]
+                )
+                input_messages = 0.5 * (input_messages + reversed_edges)
+
+        return node_features, edge_features
+
+
+class Head(nn.Module):
+    """Two-layer SiLU head (reference ``backend.py:171-193``)."""
+
+    d_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.d_head, dtype=self.dtype, name="linear_0")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(self.d_head, dtype=self.dtype, name="linear_1")(x)
+        return jax.nn.silu(x)
+
+
+class PETModule(nn.Module):
+    """Full PET network: backbone + per-target heads and last layers.
+
+    ``output_shapes``: target name -> {block key string -> flat output
+    size}; one node head/edge head pair and per-block last linear layers
+    per target, per readout layer (reference ``backend.py:157-217``).
+    """
+
+    hypers: Dict[str, Any]
+    num_species: int
+    output_shapes: Dict[str, Dict[str, int]]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        batch_data: Dict[str, Any],
+        requested: Sequence[str],
+    ) -> Dict[str, Any]:
+        node_features, edge_features = PETBackbone(
+            self.hypers, self.num_species, dtype=self.dtype, name="backbone"
+        )(batch_data)
+
+        cutoff_factors = jnp.where(
+            batch_data["nbr_mask"], batch_data["cutoff_factors"], 0.0
+        )
+
+        d_head = self.hypers["d_head"]
+        results: Dict[str, Any] = {"_node_features": node_features,
+                                   "_edge_features": edge_features}
+        for target_name, shapes in self.output_shapes.items():
+            if target_name not in requested:
+                continue
+            safe = target_name.replace(":", "_")
+            node_ll_list, edge_ll_list = [], []
+            per_block_sums: Dict[str, jnp.ndarray] = {}
+            for layer_i, (nf, ef) in enumerate(
+                zip(node_features, edge_features)
+            ):
+                node_ll = Head(
+                    d_head, dtype=self.dtype, name=f"node_head_{safe}_{layer_i}"
+                )(nf)
+                edge_ll = Head(
+                    d_head, dtype=self.dtype, name=f"edge_head_{safe}_{layer_i}"
+                )(ef)
+                node_ll_list.append(node_ll)
+                edge_ll_list.append(edge_ll)
+                for block_key, size in shapes.items():
+                    node_pred = nn.Dense(
+                        size,
+                        dtype=self.dtype,
+                        name=f"node_last_{safe}_{layer_i}_{block_key}",
+                    )(node_ll)
+                    edge_pred = nn.Dense(
+                        size,
+                        dtype=self.dtype,
+                        name=f"edge_last_{safe}_{layer_i}_{block_key}",
+                    )(edge_ll)
+                    # edge contributions: cutoff-weighted sum over neighbors
+                    edge_pred = jnp.sum(
+                        edge_pred * cutoff_factors[:, :, None], axis=1
+                    )
+                    total = node_pred + edge_pred
+                    if block_key in per_block_sums:
+                        per_block_sums[block_key] = per_block_sums[block_key] + total
+                    else:
+                        per_block_sums[block_key] = total
+            results[target_name] = per_block_sums
+            results[f"_ll_features::{target_name}"] = (node_ll_list, edge_ll_list)
+        return results

@@ -1,0 +1,41 @@
+"""Scaler as a standalone architecture (reference ``src/metatrain/scaler/``)."""
+
+from typing import Any, Dict
+
+from ..utils.abc import ModelInterface, TrainerInterface
+from ..utils.io import save_checkpoint_file
+from .scaler import Scaler
+
+
+class ScalerTrainer(TrainerInterface):
+    __checkpoint_version__ = 1
+    DEFAULT_HYPERS: Dict[str, Any] = {"fixed_weights": {}}
+
+    def __init__(self, hypers=None):
+        full = dict(self.DEFAULT_HYPERS)
+        full.update(hypers or {})
+        super().__init__(full)
+        self.epoch = 0
+
+    def train(self, model, dtype, train_datasets, val_datasets, checkpoint_dir="."):
+        model.fit(
+            train_datasets, fixed_scales=self.hypers.get("fixed_weights") or None
+        )
+        model.init_params(None)
+        self.epoch = 1
+
+    def save_checkpoint(self, model: ModelInterface, path: str) -> None:
+        checkpoint = model.get_checkpoint()
+        checkpoint["trainer_ckpt_version"] = self.__checkpoint_version__
+        checkpoint["train_hypers"] = self.hypers
+        save_checkpoint_file(checkpoint, path)
+
+    @classmethod
+    def load_checkpoint(cls, checkpoint, hypers):
+        return cls(hypers)
+
+
+__model__ = Scaler
+__trainer__ = ScalerTrainer
+
+DEFAULT_HYPERS = {"model": {}, "training": dict(ScalerTrainer.DEFAULT_HYPERS)}

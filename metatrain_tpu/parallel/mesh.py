@@ -1,0 +1,111 @@
+"""Data parallelism over a device mesh.
+
+TPU-native replacement for the reference's DDP/NCCL layer
+(``utils/distributed/``, SURVEY.md section 2.4): the train step runs under
+``shard_map`` over a 1-D ``"dp"`` mesh axis; each device holds one
+fixed-shape sub-batch, gradients/losses are ``psum``-reduced over ICI,
+and parameters stay replicated. Semantics match the reference exactly:
+deterministic rank-strided sampling (samplers already support
+``num_replicas``/``rank``), global metric reduction, process-0 IO.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.collate import Batch
+from ..engine.evaluate import evaluate_model
+from ..ops.segment import average_by_num_atoms
+
+
+DP_AXIS = "dp"
+
+
+def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DP_AXIS,))
+
+
+def stack_batches(batches: Sequence[Batch]):
+    """Stack per-device batches along a new leading device axis.
+
+    All batches must share one bucket shape (use fixed collate sizes)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def _local_loss(model, loss_agg, target_infos, per_structure, params, batch: Batch):
+    infos = {n: target_infos[n] for n in batch.targets}
+    predictions = evaluate_model(
+        model.forward, params, batch.systems, infos, is_training=True
+    )
+    predictions = average_by_num_atoms(predictions, batch.systems, per_structure)
+    targets = average_by_num_atoms(batch.targets, batch.systems, per_structure)
+    return loss_agg(predictions, targets, batch.extra_data)
+
+
+def make_sharded_train_step(
+    model,
+    loss_agg,
+    target_infos: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    per_structure_targets: Sequence[str],
+    mesh: Mesh,
+    batches: Sequence[Batch],
+) -> Tuple[Callable, Any]:
+    """Build the data-parallel train step and the stacked example batch.
+
+    Returns ``(step, stacked_batch)`` where ``step(params, opt_state,
+    stacked_batch) -> (params, opt_state, loss)`` runs one SPMD update:
+    per-device forward+backward, ``psum`` gradient reduction over ICI,
+    replicated optimizer update (identical on every device).
+    """
+    stacked = stack_batches(batches)
+    per_structure = list(per_structure_targets)
+
+    def device_step(params, opt_state, local_batch):
+        # local_batch leaves have leading axis 1 (this device's shard)
+        batch = jax.tree_util.tree_map(lambda x: x[0], local_batch)
+
+        def loss_fn(p):
+            return _local_loss(
+                model, loss_agg, target_infos, per_structure, p, batch
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        loss = jax.lax.pmean(loss, DP_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DP_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded), stacked
+
+
+def shard_batch_to_mesh(stacked, mesh: Mesh):
+    """Place a stacked batch with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(DP_AXIS))
+
+    def place(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, stacked)

@@ -1,0 +1,62 @@
+"""Architecture registry and dynamic import.
+
+Counterpart of the reference ``utils/architectures.py``: architectures are
+discovered by name, imported dynamically, and must expose ``__model__``
+and ``__trainer__`` module attributes plus a ``DEFAULT_HYPERS`` dict
+(the reference derives defaults from ``documentation.py`` TypedDicts;
+here each architecture module declares them directly).
+"""
+
+from __future__ import annotations
+
+import difflib
+import importlib
+from typing import Any, Dict, List
+
+
+# name -> module path (relative to metatrain_tpu)
+ARCHITECTURES: Dict[str, str] = {
+    "pet": "metatrain_tpu.models.pet",
+    "soap_bpnn": "metatrain_tpu.models.soap_bpnn",
+    "composition": "metatrain_tpu.models.composition_arch",
+    "scaler": "metatrain_tpu.models.scaler_arch",
+    "gap": "metatrain_tpu.models.gap",
+    "llpr": "metatrain_tpu.models.llpr",
+    "experimental.flashmd": "metatrain_tpu.models.flashmd",
+    "experimental.classifier": "metatrain_tpu.models.classifier",
+    "experimental.mace": "metatrain_tpu.models.mace",
+}
+
+
+def check_architecture_name(name: str) -> None:
+    if name in ARCHITECTURES:
+        return
+    close = difflib.get_close_matches(name, ARCHITECTURES.keys(), cutoff=0.4)
+    hint = f" Did you mean '{close[0]}'?" if close else ""
+    raise ValueError(
+        f"architecture {name!r} is not known; available: "
+        f"{sorted(ARCHITECTURES)}.{hint}"
+    )
+
+
+def import_architecture(name: str):
+    check_architecture_name(name)
+    module = importlib.import_module(ARCHITECTURES[name])
+    for attr in ("__model__", "__trainer__"):
+        if not hasattr(module, attr):
+            raise RuntimeError(
+                f"architecture module {ARCHITECTURES[name]} lacks {attr}"
+            )
+    return module
+
+
+def get_default_hypers(name: str) -> Dict[str, Any]:
+    module = import_architecture(name)
+    defaults = getattr(module, "DEFAULT_HYPERS", {"model": {}, "training": {}})
+    import copy
+
+    return copy.deepcopy(defaults)
+
+
+def available_architectures() -> List[str]:
+    return sorted(ARCHITECTURES)

@@ -1,0 +1,102 @@
+"""Checkpoint save/load with versioned migrations.
+
+Counterpart of the reference ``utils/io.py``: a checkpoint is one file
+holding a dict with ``architecture_name``, ``model_ckpt_version``,
+``trainer_ckpt_version``, hypers, ``dataset_info``, the parameter pytree
+(as numpy) and trainer state. Loading an older checkpoint walks the
+architecture's stepwise ``upgrade_checkpoint`` chain; too-new checkpoints
+are refused (reference ``utils/io.py:190-258``).
+
+Format: pickle of a pure (dict/list/str/number/numpy) tree -- every jax
+array is converted to numpy on save, so checkpoints are device-independent.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    def convert(x):
+        if isinstance(x, jax.Array):
+            return np.asarray(jax.device_get(x))
+        return x
+
+    return jax.tree_util.tree_map(convert, tree)
+
+
+def save_checkpoint_file(checkpoint: Dict[str, Any], path: str) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(_to_host(checkpoint), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _upgrade_chain(cls, checkpoint: Dict[str, Any], version_key: str) -> Dict[str, Any]:
+    current = int(checkpoint.get(version_key, 1))
+    target = int(cls.__checkpoint_version__)
+    if current > target:
+        raise ValueError(
+            f"checkpoint {version_key}={current} is newer than this "
+            f"version of the code supports ({target}); please update"
+        )
+    while current < target:
+        upgrader = getattr(cls, f"upgrade_v{current}_v{current + 1}", None)
+        if upgrader is None:
+            checkpoint = cls.upgrade_checkpoint(checkpoint)
+            checkpoint[version_key] = target
+            break
+        checkpoint = upgrader(checkpoint)
+        current += 1
+        checkpoint[version_key] = current
+    return checkpoint
+
+
+def model_from_checkpoint(
+    checkpoint_or_path, context: str = "restart"
+):
+    """Rebuild a model from a checkpoint file or dict, applying upgrades."""
+    if isinstance(checkpoint_or_path, (str, Path)):
+        checkpoint = load_checkpoint_file(checkpoint_or_path)
+    else:
+        checkpoint = checkpoint_or_path
+    from .architectures import import_architecture
+
+    architecture = import_architecture(checkpoint["architecture_name"])
+    model_cls = architecture.__model__
+    checkpoint = _upgrade_chain(model_cls, checkpoint, "model_ckpt_version")
+    return model_cls.load_checkpoint(checkpoint, context=context)
+
+
+def trainer_from_checkpoint(
+    checkpoint_or_path, hypers: Dict[str, Any], context: str = "restart"
+):
+    if isinstance(checkpoint_or_path, (str, Path)):
+        checkpoint = load_checkpoint_file(checkpoint_or_path)
+    else:
+        checkpoint = checkpoint_or_path
+    from .architectures import import_architecture
+
+    architecture = import_architecture(checkpoint["architecture_name"])
+    trainer_cls = architecture.__trainer__
+    checkpoint = _upgrade_chain(trainer_cls, checkpoint, "trainer_ckpt_version")
+    return trainer_cls.load_checkpoint(checkpoint, hypers)
+
+
+def load_model(path: str, context: str = "export"):
+    """Load a model from a checkpoint path (URL/HF-hub support pending)."""
+    if str(path).startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "remote model download is not available in this build"
+        )
+    return model_from_checkpoint(path, context=context)
