@@ -1,0 +1,128 @@
+"""The ``mtt-tpu`` command line interface.
+
+Counterpart of reference ``src/metatrain/__main__.py``: three subcommands
+(``train``, ``eval``, ``export``), timestamped output directories,
+``error.log`` capture on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import sys
+import traceback
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="mtt-tpu",
+        description="TPU-native training and evaluation of atomistic ML models",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    train = sub.add_parser("train", help="train a model from an options file")
+    train.add_argument("options", help="YAML options file")
+    train.add_argument("-o", "--output", default="model.mtt")
+    train.add_argument(
+        "--restart",
+        default=None,
+        help="checkpoint to restart from, or 'auto' for the most recent",
+    )
+    train.add_argument(
+        "-r",
+        "--override",
+        action="append",
+        default=[],
+        help="dotlist override, e.g. -r architecture.training.num_epochs=10",
+    )
+
+    evaluate = sub.add_parser("eval", help="evaluate an exported model")
+    evaluate.add_argument("model", help="exported .mtt file or checkpoint")
+    evaluate.add_argument("options", help="YAML eval dataset options")
+    evaluate.add_argument("-o", "--output", default=None)
+    evaluate.add_argument("-b", "--batch-size", type=int, default=16)
+    evaluate.add_argument("--check-consistency", action="store_true")
+
+    export = sub.add_parser("export", help="export a checkpoint")
+    export.add_argument("checkpoint")
+    export.add_argument("-o", "--output", default="model.mtt")
+    return parser
+
+
+def _apply_overrides(options: dict, overrides: list) -> dict:
+    """OmegaConf-style dotlist overrides (reference ``cli/train.py:151-161``)."""
+    import yaml
+
+    for override in overrides:
+        if "=" not in override:
+            raise ValueError(f"override {override!r} must be key=value")
+        key, value = override.split("=", 1)
+        target = options
+        parts = key.split(".")
+        for part in parts[:-1]:
+            target = target.setdefault(part, {})
+        target[parts[-1]] = yaml.safe_load(value)
+    return options
+
+
+def main(argv=None) -> int:
+    from .utils.config import load_options
+    from .utils.logging import setup_logging
+
+    args = build_parser().parse_args(argv)
+
+    if args.command == "train":
+        now = datetime.datetime.now()
+        output_dir = Path("outputs") / now.strftime("%Y-%m-%d") / now.strftime(
+            "%H-%M-%S"
+        )
+        output_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        output_dir = Path(".")
+
+    with setup_logging(str(output_dir / "train.log") if args.command == "train" else None):
+        try:
+            if args.command == "train":
+                from .cli.train import find_latest_checkpoint, train_model
+
+                options = load_options(args.options)
+                options = _apply_overrides(options, args.override)
+                restart = args.restart
+                if restart == "auto":
+                    restart = find_latest_checkpoint()
+                train_model(
+                    options,
+                    output_dir=".",
+                    checkpoint_dir=str(output_dir),
+                    restart_from=restart,
+                )
+            elif args.command == "eval":
+                from .cli.eval import eval_model
+
+                options = load_options(args.options)
+                eval_model(
+                    args.model,
+                    options,
+                    output_path=args.output,
+                    batch_size=args.batch_size,
+                    check_consistency=args.check_consistency,
+                )
+            elif args.command == "export":
+                from .cli.export import export_model
+
+                export_model(args.checkpoint, args.output)
+        except Exception:
+            error_log = output_dir / "error.log"
+            with open(error_log, "w") as f:
+                f.write(traceback.format_exc())
+            logging.getLogger("metatrain_tpu").error(
+                "command failed; full traceback in %s", error_log
+            )
+            raise
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

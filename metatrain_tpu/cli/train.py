@@ -1,0 +1,173 @@
+"""``mtt-tpu train``: full training orchestration.
+
+Counterpart of reference ``cli/train.py:229-842``: validate options ->
+import architecture -> merge hypers -> seed -> build datasets (fraction
+split or explicit files) -> DatasetInfo -> instantiate/restore model ->
+train -> save checkpoint -> export -> final eval.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import (
+    Dataset,
+    get_dataset,
+    get_dataset_info,
+    get_stats,
+    train_val_test_split,
+)
+from ..utils.architectures import import_architecture
+from ..utils.config import (
+    merge_architecture_hypers,
+    save_expanded_options,
+    validate_base_options,
+)
+from ..utils.io import (
+    load_checkpoint_file,
+    model_from_checkpoint,
+    save_checkpoint_file,
+    trainer_from_checkpoint,
+)
+from ..utils.logging import ROOT_LOGGER
+
+
+logger = logging.getLogger(ROOT_LOGGER + ".train")
+
+_PRECISION_DTYPES = {16: jnp.bfloat16, 32: jnp.float32, 64: jnp.float64}
+
+
+def train_model(
+    options: Dict[str, Any],
+    output_dir: str = ".",
+    checkpoint_dir: str = ".",
+    restart_from: Optional[str] = None,
+) -> None:
+    options = validate_base_options(options)
+    arch_name = options["architecture"]["name"]
+    architecture = import_architecture(arch_name)
+
+    hypers = merge_architecture_hypers(
+        arch_name,
+        {
+            "model": options["architecture"]["model"],
+            "training": options["architecture"]["training"],
+        },
+    )
+
+    seed = int(options["seed"])
+    random.seed(seed)
+    np.random.seed(seed)
+    hypers["training"].setdefault("seed", seed)
+
+    dtype = _PRECISION_DTYPES[options["base_precision"]]
+
+    # ---- datasets -------------------------------------------------------
+    train_dataset, target_infos = get_dataset(options["training_set"])
+    length_unit = options["training_set"]["systems"].get("length_unit", "")
+
+    val_conf = options["validation_set"]
+    test_conf = options["test_set"]
+    if isinstance(val_conf, (int, float)):
+        test_fraction = (
+            float(test_conf) if isinstance(test_conf, (int, float)) else 0.0
+        )
+        train_dataset, val_dataset, test_dataset = train_val_test_split(
+            train_dataset,
+            val_fraction=float(val_conf),
+            test_fraction=test_fraction,
+            seed=seed,
+        )
+    else:
+        val_dataset, _ = get_dataset(val_conf)
+        if isinstance(test_conf, (int, float)):
+            test_dataset = Dataset([], {n: [] for n in train_dataset.targets})
+        else:
+            test_dataset, _ = get_dataset(test_conf)
+
+    dataset_info = get_dataset_info(
+        [train_dataset, val_dataset], target_infos, length_unit
+    )
+    logger.info("Training dataset:\n%s", get_stats(train_dataset, dataset_info))
+    if len(val_dataset):
+        logger.info(
+            "Validation dataset:\n%s", get_stats(val_dataset, dataset_info)
+        )
+
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    save_expanded_options(options, checkpoint_dir / "options_restart.yaml")
+
+    # ---- model + trainer (fresh / restart / finetune) --------------------
+    finetune_from = hypers["training"].get("finetune", {}) or {}
+    finetune_path = (
+        finetune_from.get("read_from")
+        if isinstance(finetune_from, dict)
+        else None
+    )
+    if restart_from is not None:
+        logger.info("Restarting training from %s", restart_from)
+        checkpoint = load_checkpoint_file(restart_from)
+        model = model_from_checkpoint(checkpoint, context="restart")
+        model = model.restart(dataset_info)
+        trainer = trainer_from_checkpoint(
+            checkpoint, hypers["training"], context="restart"
+        )
+    elif finetune_path:
+        logger.info("Finetuning from %s", finetune_path)
+        model = model_from_checkpoint(finetune_path, context="finetune")
+        model = model.restart(dataset_info)
+        trainer = architecture.__trainer__(hypers["training"])
+    else:
+        model = architecture.__model__(hypers["model"], dataset_info)
+        trainer = architecture.__trainer__(hypers["training"])
+
+    # ---- train ------------------------------------------------------------
+    trainer.train(
+        model=model,
+        dtype=dtype,
+        train_datasets=[train_dataset],
+        val_datasets=[val_dataset] if len(val_dataset) else [train_dataset],
+        checkpoint_dir=str(checkpoint_dir),
+    )
+
+    # ---- save + export -----------------------------------------------------
+    final_ckpt = checkpoint_dir / "model.ckpt"
+    trainer.save_checkpoint(model, str(final_ckpt))
+    logger.info("Saved checkpoint to %s", final_ckpt)
+
+    from .export import export_model_object
+
+    export_path = Path(output_dir) / "model.mtt"
+    export_model_object(model, trainer, str(export_path))
+    logger.info("Exported model to %s", export_path)
+
+    # ---- final eval on train/val/test --------------------------------------
+    from .eval import evaluate_datasets
+
+    for split_name, dataset in (
+        ("train", train_dataset),
+        ("validation", val_dataset),
+        ("test", test_dataset),
+    ):
+        if not len(dataset):
+            continue
+        metrics = evaluate_datasets(model, dataset, dataset_info)
+        for key, value in metrics.items():
+            logger.info("%s %s: %.6g", split_name, key, value)
+
+
+def find_latest_checkpoint(outputs_root: str = "outputs") -> Optional[str]:
+    """``--restart auto``: most recent ckpt by mtime
+    (reference ``cli/train.py:214-226``)."""
+    root = Path(outputs_root)
+    candidates = sorted(
+        root.glob("*/*/*.ckpt"), key=lambda p: p.stat().st_mtime
+    )
+    return str(candidates[-1]) if candidates else None

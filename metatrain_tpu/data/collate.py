@@ -109,11 +109,16 @@ class CollateFn:
         self.nl_cache = NeighborListCache(cutoff)
 
     def __call__(self, samples: List[Sample]) -> Batch:
+        # Neighbor lists are computed on the ORIGINAL systems (cache hits
+        # across epochs); transforms must preserve the neighbor topology
+        # (O3 rotations and target-space removals do -- distances are
+        # invariant), they only change positions/cells/target values.
+        neighbor_data = [self.nl_cache(s.system) for s in samples]
+
         for transform in self.transforms:
             samples = transform(samples)
 
         systems = [s.system for s in samples]
-        neighbor_data = [self.nl_cache(system) for system in systems]
 
         total_atoms = sum(len(s) for s in systems)
         A = self.n_atoms_padded or bucket_size(total_atoms, self.bucket_ratio)

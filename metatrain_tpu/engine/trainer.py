@@ -72,6 +72,9 @@ DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
     "max_atoms_per_batch": None,
     "min_atoms_per_batch": 0,
     "seed": 0,
+    # random O(3) augmentation of training batches (reference
+    # pet/trainer.py:187,299: train loader only, never validation)
+    "o3_augmentation": True,
 }
 
 
@@ -138,17 +141,37 @@ class NNTrainer(TrainerInterface):
         model.scaler = scaler
 
         # ---- data pipeline ----------------------------------------------
-        collate = CollateFn(
+        removal_transforms = [
+            composition.remove_transform,
+            scaler.remove_transform,
+        ]
+        train_transforms = list(removal_transforms)
+        if hp["o3_augmentation"]:
+            from .augmentation import O3Augmenter
+
+            # augment before removal: baselines are rotation invariant, but
+            # gradient blocks must be rotated before scaling
+            train_transforms = [
+                O3Augmenter(seed=hp["seed"])
+            ] + train_transforms
+        train_collate = CollateFn(
             cutoff=model.requested_neighbor_cutoff() or 5.0,
             target_infos=target_infos,
             dtype=dtype,
             extra_system_keys=model.requested_extra_system_keys(),
-            transforms=[composition.remove_transform, scaler.remove_transform],
+            transforms=train_transforms,
+        )
+        val_collate = CollateFn(
+            cutoff=model.requested_neighbor_cutoff() or 5.0,
+            target_infos=target_infos,
+            dtype=dtype,
+            extra_system_keys=model.requested_extra_system_keys(),
+            transforms=removal_transforms,
         )
         train_loader = _build_loader(
-            train_datasets, collate, hp, shuffle=True
+            train_datasets, train_collate, hp, shuffle=True
         )
-        val_loader = _build_loader(val_datasets, collate, hp, shuffle=False)
+        val_loader = _build_loader(val_datasets, val_collate, hp, shuffle=False)
 
         # ---- parameters & optimizer ----------------------------------------
         if model.params is None:

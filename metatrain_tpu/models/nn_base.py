@@ -1,0 +1,283 @@
+"""Shared base for neural-network architectures.
+
+Everything an atomistic NN model needs besides its network: species
+lookup, per-target output-shape bookkeeping, TensorMap assembly (per-atom
+vs per-structure, stress-like post-processing), embedded
+composition/scaler baselines with eval-time application, and versioned
+checkpointing. PET, SOAP-BPNN (and future architectures) subclass this
+and provide ``preprocess`` + a flax module.
+
+Reference counterpart: the duplicated model-side bookkeeping in
+``pet/model.py`` / ``soap_bpnn/model.py``.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import (
+    Labels,
+    NeighborData,
+    System,
+    SystemBatch,
+    TensorBlock,
+    TensorMap,
+    batch_from_systems,
+)
+from ..data.target_info import DatasetInfo, TargetInfo
+from ..ops.segment import sum_over_atoms
+from ..utils.abc import ModelInterface
+from .composition import CompositionModel
+from .scaler import Scaler
+
+
+def block_key_str(key_tuple) -> str:
+    return "_".join(str(int(v)) for v in key_tuple)
+
+
+class AtomisticNNModel(ModelInterface):
+    """Base class: flax network + baselines + TensorMap assembly."""
+
+    ARCHITECTURE_NAME = "base"
+
+    def __init__(
+        self,
+        hypers: Dict[str, Any],
+        dataset_info: DatasetInfo,
+        compute_dtype=jnp.float32,
+    ):
+        super().__init__(hypers, dataset_info)
+        self.compute_dtype = compute_dtype
+        self.atomic_types = list(dataset_info.atomic_types)
+        self.target_infos: Dict[str, TargetInfo] = dict(dataset_info.targets)
+
+        self.output_shapes: Dict[str, Dict[str, int]] = {}
+        for name, info in self.target_infos.items():
+            shapes: Dict[str, int] = {}
+            for key_tuple, block in info.layout.items():
+                size = int(
+                    np.prod([len(c) for c in block.components], initial=1)
+                ) * len(block.properties)
+                shapes[block_key_str(key_tuple)] = size
+            self.output_shapes[name] = shapes
+
+        self._species_lookup = self._build_species_lookup()
+        self.module = None  # set by subclass
+        self.composition = CompositionModel({}, dataset_info)
+        self.scaler = Scaler({}, dataset_info)
+
+    # -- to implement in subclasses ---------------------------------------
+
+    def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    # -- species ------------------------------------------------------------
+
+    def _build_species_lookup(self) -> np.ndarray:
+        size = max(self.atomic_types) + 1 if self.atomic_types else 1
+        lookup = np.zeros((size,), dtype=np.int32)
+        for i, z in enumerate(self.atomic_types):
+            lookup[z] = i
+        return lookup
+
+    def species_index(self, batch: SystemBatch) -> jnp.ndarray:
+        lookup = jnp.asarray(self._species_lookup)
+        return lookup[jnp.clip(batch.types, 0, lookup.shape[0] - 1)]
+
+    # -- parameter init -------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> Any:
+        dummy = self._dummy_batch()
+        batch_data = self.preprocess(dummy)
+        self.params = self.module.init(
+            rng, batch_data, tuple(self.output_shapes.keys())
+        )
+        return self.params
+
+    def _dummy_batch(self) -> SystemBatch:
+        system = System(
+            positions=np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]),
+            types=np.array(
+                [self.atomic_types[0], self.atomic_types[-1]], dtype=np.int32
+            ),
+            cell=np.zeros((3, 3)),
+            pbc=np.zeros(3, dtype=bool),
+        )
+        nbr = NeighborData(
+            indices=np.array([[1], [0]], dtype=np.int32),
+            shifts=np.zeros((2, 1, 3), dtype=np.int32),
+            mask=np.ones((2, 1), dtype=bool),
+            reverse=np.array([[1], [0]], dtype=np.int32),
+        )
+        return batch_from_systems([system], [nbr], dtype=jnp.float32)
+
+    # -- forward ---------------------------------------------------------------
+
+    def forward(
+        self, params: Any, batch: SystemBatch, outputs: Sequence[str]
+    ) -> Dict[str, TensorMap]:
+        """Training-space predictions (no scaler/additive baselines)."""
+        requested = tuple(n for n in outputs if n in self.output_shapes)
+        batch_data = self.preprocess(batch)
+        raw = self.module.apply(params, batch_data, requested)
+        return {
+            name: self._assemble_target(name, raw[name], batch)
+            for name in requested
+        }
+
+    def forward_eval(
+        self, params: Any, batch: SystemBatch, outputs: Sequence[str]
+    ) -> Dict[str, TensorMap]:
+        """Evaluation predictions: scaler + additive baselines applied
+        (reference ``pet/model.py:591-660``)."""
+        results = self.forward(params, batch, outputs)
+        results = self.scaler.apply_scales(results)
+        comp_params = self.composition._device_params(dtype=jnp.float32)
+        additive = self.composition.forward(comp_params, batch, list(results))
+        for name, contribution in additive.items():
+            if name in results:
+                results[name] = add_tensormaps(results[name], contribution)
+        return results
+
+    def _assemble_target(
+        self,
+        name: str,
+        per_block: Dict[str, jnp.ndarray],
+        batch: SystemBatch,
+    ) -> TensorMap:
+        info = self.target_infos[name]
+        per_atom = info.per_atom
+        A = batch.n_atoms_padded
+        S = batch.n_systems_padded
+
+        blocks = []
+        for key_tuple, layout_block in info.layout.items():
+            flat = per_block[block_key_str(key_tuple)]
+            flat = flat.astype(jnp.promote_types(jnp.float32, flat.dtype))
+            comp_sizes = tuple(len(c) for c in layout_block.components)
+            n_props = len(layout_block.properties)
+
+            if name == "non_conservative_stress":
+                flat = process_stress_like(flat, batch, n_props).reshape(A, -1)
+
+            if per_atom:
+                values = flat.reshape((A,) + comp_sizes + (n_props,))
+                values = jnp.where(
+                    batch.atom_mask.reshape((A,) + (1,) * (values.ndim - 1)),
+                    values,
+                    0.0,
+                )
+                samples = Labels(
+                    ["system", "atom"],
+                    jnp.stack(
+                        [
+                            batch.system_index,
+                            jnp.arange(A, dtype=jnp.int32),
+                        ],
+                        axis=1,
+                    ),
+                )
+                mask = batch.atom_mask
+            else:
+                summed = sum_over_atoms(
+                    flat, batch.system_index, S, batch.atom_mask
+                )
+                values = summed.reshape((S,) + comp_sizes + (n_props,))
+                samples = Labels.range("system", S)
+                mask = batch.system_mask
+
+            blocks.append(
+                TensorBlock(
+                    values=values,
+                    samples=samples,
+                    components=layout_block.components,
+                    properties=layout_block.properties,
+                    mask=mask,
+                )
+            )
+        return TensorMap(info.layout.keys, blocks)
+
+    # -- metadata ------------------------------------------------------------------
+
+    def supported_outputs(self) -> Dict[str, TargetInfo]:
+        return dict(self.target_infos)
+
+    # -- checkpointing ----------------------------------------------------------------
+
+    def get_checkpoint(self) -> Dict[str, Any]:
+        return {
+            "architecture_name": self.ARCHITECTURE_NAME,
+            "model_ckpt_version": self.__checkpoint_version__,
+            "hypers": copy.deepcopy(dict(self.hypers)),
+            "dataset_info": self.dataset_info.to_dict(),
+            "params": self.params,
+            "composition": self.composition.get_checkpoint(),
+            "scaler": self.scaler.get_checkpoint(),
+        }
+
+    @classmethod
+    def load_checkpoint(
+        cls, checkpoint: Dict[str, Any], context: str = "restart"
+    ):
+        model = cls(
+            checkpoint["hypers"],
+            DatasetInfo.from_dict(checkpoint["dataset_info"]),
+        )
+        model.params = jax.tree_util.tree_map(jnp.asarray, checkpoint["params"])
+        model.composition = CompositionModel.load_checkpoint(
+            checkpoint["composition"]
+        )
+        model.scaler = Scaler.load_checkpoint(checkpoint["scaler"])
+        return model
+
+    def restart(self, dataset_info: DatasetInfo):
+        if dataset_info == self.dataset_info:
+            return self
+        merged = self.dataset_info.union(dataset_info)
+        if set(merged.atomic_types) != set(self.atomic_types):
+            raise ValueError(
+                f"{type(self).__name__} cannot be restarted with new atomic "
+                f"types; missing "
+                f"{set(merged.atomic_types) - set(self.atomic_types)}"
+            )
+        new = type(self)(self.hypers, merged, self.compute_dtype)
+        new.params = self.params
+        new.composition = self.composition.restart(merged)
+        new.scaler = self.scaler.restart(merged)
+        return new
+
+
+def process_stress_like(
+    flat: jnp.ndarray, batch: SystemBatch, n_props: int
+) -> jnp.ndarray:
+    """Symmetrize rank-2 outputs and divide by cell volume
+    (reference ``pet/modules/backend.py:780-813``)."""
+    A = flat.shape[0]
+    t = flat.reshape(A, 3, 3, n_props)
+    volumes = jnp.abs(jnp.linalg.det(batch.cells))
+    volumes = jnp.where(volumes == 0.0, jnp.inf, volumes)
+    v_atom = volumes[batch.system_index][:, None, None, None]
+    t = t / v_atom
+    return 0.5 * (t + jnp.swapaxes(t, 1, 2))
+
+
+def add_tensormaps(a: TensorMap, b: TensorMap) -> TensorMap:
+    """Blockwise sum for additive contributions (same keys assumed)."""
+    blocks = []
+    for block_a, block_b in zip(a.blocks(), b.blocks()):
+        new_block = TensorBlock(
+            values=block_a.values + block_b.values.astype(block_a.values.dtype),
+            samples=block_a.samples,
+            components=block_a.components,
+            properties=block_a.properties,
+            mask=block_a.mask,
+        )
+        for gname, grad in block_a.gradients():
+            new_block.add_gradient(gname, grad)
+        blocks.append(new_block)
+    return TensorMap(a.keys, blocks)

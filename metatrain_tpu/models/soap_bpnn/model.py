@@ -1,0 +1,103 @@
+"""SOAP-BPNN: Behler-Parrinello networks on SOAP power-spectrum features.
+
+TPU-native re-design of the reference ``src/metatrain/soap_bpnn/model.py``:
+the spherical expansion, power spectrum and per-species MLPs all run as
+dense batched contractions on the NEF layout (see ``modules.py``), with
+the same shared preprocessing/assembly as every other architecture.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from ...containers import SystemBatch
+from ...data.target_info import DatasetInfo
+from ..nn_base import AtomisticNNModel
+from .modules import SoapBpnnModule
+
+
+DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    # reference defaults: soap_bpnn/documentation.py
+    "soap": {
+        "max_angular": 6,
+        "max_radial": 7,
+        "cutoff": {"radius": 5.0, "width": 0.5},
+    },
+    "legacy": True,
+    "num_pseudo_species": 4,  # used when legacy=False (alchemical channels)
+    "bpnn": {
+        "num_hidden_layers": 2,
+        "num_neurons_per_layer": 32,
+        "layernorm": True,
+    },
+    "add_lambda_basis": True,
+    "heads": {},
+    "zbl": False,
+    "long_range": {"enable": False},
+}
+
+
+class SoapBpnn(AtomisticNNModel):
+    ARCHITECTURE_NAME = "soap_bpnn"
+    __checkpoint_version__ = 1
+    __supported_dtypes__ = [jnp.float64, jnp.float32]
+
+    def __init__(
+        self,
+        hypers: Dict[str, Any],
+        dataset_info: DatasetInfo,
+        compute_dtype=jnp.float32,
+    ):
+        full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
+        for key, value in (hypers or {}).items():
+            if isinstance(value, dict) and isinstance(full.get(key), dict):
+                merged = copy.deepcopy(full[key])
+                _deep_update(merged, value)
+                full[key] = merged
+            else:
+                full[key] = value
+        super().__init__(full, dataset_info, compute_dtype)
+        hp = self.hypers
+
+        if hp["long_range"].get("enable"):
+            raise NotImplementedError("SOAP-BPNN long-range features: pending")
+        for name, info in self.target_infos.items():
+            if not info.is_scalar:
+                raise NotImplementedError(
+                    f"SOAP-BPNN tensorial target '{name}': "
+                    "spherical/Cartesian targets pending (CG tensor basis)"
+                )
+
+        self.cutoff = float(hp["soap"]["cutoff"]["radius"])
+        self.module = SoapBpnnModule(
+            hypers=hp,
+            num_species=len(self.atomic_types),
+            output_shapes=self.output_shapes,
+            head_types=dict(hp["heads"] or {}),
+            dtype=compute_dtype,
+        )
+
+    def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
+        vectors, distances = batch.edge_vectors()
+        species_index = self.species_index(batch)
+        return {
+            "species_index": species_index,
+            "neighbor_species_index": species_index[batch.nbr_indices],
+            "edge_vectors": vectors,
+            "edge_distances": distances,
+            "nbr_mask": batch.nbr_mask,
+        }
+
+    def requested_neighbor_cutoff(self) -> float:
+        return self.cutoff
+
+
+def _deep_update(base: dict, update: dict) -> None:
+    for key, value in update.items():
+        if isinstance(value, dict) and isinstance(base.get(key), dict):
+            _deep_update(base[key], value)
+        else:
+            base[key] = value

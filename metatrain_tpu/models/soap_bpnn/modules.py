@@ -1,0 +1,271 @@
+"""SOAP-BPNN neural modules (flax).
+
+TPU-first re-design of the reference ``src/metatrain/soap_bpnn``: the
+spherical expansion runs on the NEF layout as three fused contractions
+(radial basis x species channel x spherical harmonics -> one einsum onto
+the MXU), the power spectrum is one batched self-outer-product per l, and
+the per-species Behler-Parrinello MLPs are *gathered* batched matmuls
+(weights indexed by species) instead of one module per species --
+identical math to ``MLPMap`` (reference ``soap_bpnn/model.py:50-94``)
+with no species loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.radial import radial_basis
+from ...ops.spherical import real_spherical_harmonics
+
+
+class SphericalExpansion(nn.Module):
+    """Density expansion coefficients on the NEF layout.
+
+    ``c[i, a, n, l, m] = sum_j w_a(z_j) R_n(r_ij) Y_lm(u_ij)`` where
+    ``w_a`` is either a one-hot species channel (legacy / "Orthogonal")
+    or a learned alchemical pseudo-species embedding (reference
+    torch-spex usage at ``soap_bpnn/modules/power_spectrum.py:42-53``).
+    """
+
+    cutoff: float
+    cutoff_width: float
+    max_angular: int
+    max_radial: int
+    num_species: int
+    num_pseudo_species: int = 0  # 0 -> one-hot species channels
+    radial_kind: str = "bessel"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, edge_vectors, edge_distances, nbr_species_index, nbr_mask):
+        A, M = edge_distances.shape
+        n_max = self.max_radial + 1
+
+        rb = radial_basis(
+            edge_distances,
+            self.cutoff,
+            n_max,
+            self.radial_kind,
+            self.cutoff_width,
+        )  # (A, M, n)
+        rb = jnp.where(nbr_mask[:, :, None], rb, 0.0).astype(self.dtype)
+
+        unit = edge_vectors / jnp.maximum(edge_distances, 1e-10)[:, :, None]
+        sph = jnp.concatenate(
+            real_spherical_harmonics(unit, self.max_angular), axis=-1
+        ).astype(self.dtype)  # (A, M, (l_max+1)^2)
+        sph = jnp.where(nbr_mask[:, :, None], sph, 0.0)
+
+        if self.num_pseudo_species > 0:
+            species_w = nn.Embed(
+                self.num_species,
+                self.num_pseudo_species,
+                dtype=self.dtype,
+                name="alchemical_embedding",
+            )(nbr_species_index)  # (A, M, a)
+        else:
+            species_w = jax.nn.one_hot(
+                nbr_species_index, self.num_species, dtype=self.dtype
+            )
+
+        # fuse radial x species channel, then contract against harmonics:
+        # (A, M, a*n) x (A, M, L) -> (A, a*n, L) -- batched MXU matmul
+        chan = (species_w[:, :, :, None] * rb[:, :, None, :]).reshape(
+            A, M, -1
+        )
+        coeffs = jnp.einsum(
+            "amc,aml->acl",
+            chan,
+            sph,
+            preferred_element_type=jnp.promote_types(jnp.float32, chan.dtype),
+        )
+        return coeffs  # (A, n_channels, (l_max+1)^2)
+
+
+def power_spectrum(coeffs: jnp.ndarray, max_angular: int) -> jnp.ndarray:
+    """SOAP power spectrum: per-l invariant contraction
+    ``p[i, c, c'] = sum_m c[i, c, lm] c[i, c', lm]``
+    (reference ``power_spectrum.py:127-137``), concatenated over l."""
+    A, C, _ = coeffs.shape
+    acc_dtype = jnp.promote_types(jnp.float32, coeffs.dtype)
+    blocks = []
+    offset = 0
+    for l in range(max_angular + 1):
+        c_l = coeffs[:, :, offset : offset + 2 * l + 1]
+        offset += 2 * l + 1
+        p_l = jnp.einsum(
+            "acm,adm->acd", c_l, c_l, preferred_element_type=acc_dtype
+        )
+        blocks.append(p_l.reshape(A, C * C))
+    return jnp.concatenate(blocks, axis=1)
+
+
+class SpeciesMLP(nn.Module):
+    """Per-species MLP as gathered batched matmuls.
+
+    The reference builds one ``nn.Sequential`` per species and routes
+    blocks by ``center_type`` keys (``MLPMap``); here every atom picks its
+    species' weight slices, so one einsum serves all species at once.
+    """
+
+    num_species: int
+    d_in: int
+    d_hidden: int
+    num_hidden_layers: int
+    d_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, species_index):
+        h = features.astype(self.dtype)
+        d_prev = self.d_in
+        for layer in range(self.num_hidden_layers):
+            W = self.param(
+                f"W_{layer}",
+                nn.initializers.lecun_normal(),
+                (self.num_species, d_prev, self.d_hidden),
+            )
+            b = self.param(
+                f"b_{layer}", nn.initializers.zeros, (self.num_species, self.d_hidden)
+            )
+            W_atom = W[species_index].astype(self.dtype)
+            b_atom = b[species_index].astype(self.dtype)
+            h = (
+                jnp.einsum(
+                    "ad,adh->ah",
+                    h,
+                    W_atom,
+                    preferred_element_type=jnp.promote_types(
+                        jnp.float32, self.dtype
+                    ),
+                ).astype(self.dtype)
+                + b_atom
+            )
+            h = jax.nn.silu(h)
+            d_prev = self.d_hidden
+        W_out = self.param(
+            "W_out",
+            nn.initializers.lecun_normal(),
+            (self.num_species, d_prev, self.d_out),
+        )
+        b_out = self.param(
+            "b_out", nn.initializers.zeros, (self.num_species, self.d_out)
+        )
+        out = jnp.einsum(
+            "ad,ado->ao",
+            h,
+            W_out[species_index].astype(self.dtype),
+            preferred_element_type=jnp.promote_types(jnp.float32, self.dtype),
+        )
+        return out + b_out[species_index].astype(out.dtype)
+
+
+class SpeciesLayerNorm(nn.Module):
+    """Per-species LayerNorm (reference ``LayerNormMap``): per-species
+    scale/offset over shared normalized features."""
+
+    num_species: int
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, species_index):
+        mean = jnp.mean(features, axis=-1, keepdims=True)
+        var = jnp.var(features, axis=-1, keepdims=True)
+        normalized = (features - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.num_species, self.dim)
+        )
+        offset = self.param(
+            "offset", nn.initializers.zeros, (self.num_species, self.dim)
+        )
+        return normalized * scale[species_index] + offset[species_index]
+
+
+class SoapBpnnModule(nn.Module):
+    """Full SOAP-BPNN: expansion -> power spectrum -> per-species MLP ->
+    per-target heads (linear or MLP) -> per-block last layers."""
+
+    hypers: Dict[str, Any]
+    num_species: int
+    output_shapes: Dict[str, Dict[str, int]]
+    head_types: Dict[str, str]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_data: Dict[str, Any], requested: Sequence[str]):
+        hp = self.hypers
+        soap = hp["soap"]
+        max_angular = soap["max_angular"]
+
+        coeffs = SphericalExpansion(
+            cutoff=soap["cutoff"]["radius"],
+            cutoff_width=soap["cutoff"]["width"],
+            max_angular=max_angular,
+            max_radial=soap["max_radial"],
+            num_species=self.num_species,
+            num_pseudo_species=0 if hp["legacy"] else hp.get(
+                "num_pseudo_species", 4
+            ),
+            dtype=self.dtype,
+            name="spherical_expansion",
+        )(
+            batch_data["edge_vectors"],
+            batch_data["edge_distances"],
+            batch_data["neighbor_species_index"],
+            batch_data["nbr_mask"],
+        )
+        features = power_spectrum(coeffs, max_angular).astype(self.dtype)
+
+        species_index = batch_data["species_index"]
+        bpnn = hp["bpnn"]
+        if bpnn["layernorm"]:
+            features = SpeciesLayerNorm(
+                self.num_species, features.shape[-1], self.dtype, name="layernorm"
+            )(features, species_index)
+
+        hidden = SpeciesMLP(
+            num_species=self.num_species,
+            d_in=features.shape[-1],
+            d_hidden=bpnn["num_neurons_per_layer"],
+            num_hidden_layers=bpnn["num_hidden_layers"],
+            d_out=bpnn["num_neurons_per_layer"],
+            dtype=self.dtype,
+            name="bpnn",
+        )(features, species_index)
+        hidden = jax.nn.silu(hidden)
+
+        results: Dict[str, Any] = {"_features": hidden}
+        for target_name, shapes in self.output_shapes.items():
+            if target_name not in requested:
+                continue
+            safe = target_name.replace(":", "_")
+            head_type = self.head_types.get(target_name, "mlp")
+            if head_type == "linear":
+                head_features = hidden
+            else:
+                head_features = nn.Dense(
+                    bpnn["num_neurons_per_layer"],
+                    dtype=self.dtype,
+                    name=f"head_{safe}",
+                )(hidden)
+                head_features = jax.nn.silu(head_features)
+            results[f"_ll_features::{target_name}"] = head_features
+            per_block: Dict[str, jnp.ndarray] = {}
+            for block_key, size in shapes.items():
+                per_block[block_key] = SpeciesMLP(
+                    num_species=self.num_species,
+                    d_in=head_features.shape[-1],
+                    d_hidden=1,
+                    num_hidden_layers=0,
+                    d_out=size,
+                    dtype=self.dtype,
+                    name=f"last_layer_{safe}_{block_key}",
+                )(head_features, species_index)
+            results[target_name] = per_block
+        return results

@@ -94,9 +94,13 @@ def trainer_from_checkpoint(
 
 
 def load_model(path: str, context: str = "export"):
-    """Load a model from a checkpoint path (URL/HF-hub support pending)."""
+    """Load a model from an exported ``.mtt`` envelope or a checkpoint
+    (sniffing, reference ``utils/io.py:135-188``)."""
     if str(path).startswith(("http://", "https://")):
         raise NotImplementedError(
             "remote model download is not available in this build"
         )
-    return model_from_checkpoint(path, context=context)
+    data = load_checkpoint_file(path)
+    if isinstance(data, dict) and data.get("exported"):
+        return model_from_checkpoint(data["checkpoint"], context=context)
+    return model_from_checkpoint(data, context=context)

@@ -1,0 +1,200 @@
+"""CLI integration tests: the full train -> export -> eval path."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from metatrain_tpu.data.readers.extxyz import write_xyz
+from metatrain_tpu.utils.config import (
+    MetatrainConfigError,
+    expand_dataset_config,
+    validate_base_options,
+)
+
+from conftest import make_molecule
+
+
+@pytest.fixture
+def dataset_file(tmp_path):
+    rng = np.random.default_rng(0)
+    systems, infos, arrays = [], [], []
+    for i in range(12):
+        s = make_molecule(4 + i % 3, seed=i)
+        systems.append(s)
+        infos.append({"energy": float(rng.normal())})
+        arrays.append({"forces": rng.normal(size=(len(s), 3))})
+    path = str(tmp_path / "data.xyz")
+    write_xyz(path, systems, per_atom_arrays=arrays, info=infos)
+    return path
+
+
+def test_expand_dataset_config_shorthands(dataset_file):
+    expanded = expand_dataset_config(dataset_file)
+    assert expanded["systems"]["read_from"] == dataset_file
+    assert "energy" in expanded["targets"]
+    energy = expanded["targets"]["energy"]
+    assert energy["quantity"] == "energy"
+    assert energy["unit"] == "eV"
+    assert energy["forces"] is None
+
+    expanded2 = expand_dataset_config(
+        {
+            "systems": dataset_file,
+            "targets": {"energy": {"forces": "on", "stress": False}},
+        }
+    )
+    assert expanded2["targets"]["energy"]["forces"] == {"key": "forces"}
+    assert expanded2["targets"]["energy"]["stress"] is None
+
+
+def test_validate_base_options_errors(dataset_file):
+    with pytest.raises(MetatrainConfigError):
+        validate_base_options({"architecture": {"name": "nope"}, "training_set": dataset_file})
+    with pytest.raises(MetatrainConfigError):
+        validate_base_options(
+            {
+                "architecture": {"name": "pet"},
+                "training_set": dataset_file,
+                "base_precision": 8,
+            }
+        )
+    with pytest.raises(MetatrainConfigError):
+        validate_base_options(
+            {
+                "architecture": {"name": "pet"},
+                "training_set": dataset_file,
+                "validation_set": 1.5,
+            }
+        )
+
+
+def test_train_eval_export_cli(tmp_path, dataset_file, monkeypatch):
+    options = {
+        "seed": 0,
+        "architecture": {
+            "name": "soap_bpnn",
+            "model": {
+                "soap": {
+                    "max_angular": 2,
+                    "max_radial": 2,
+                    "cutoff": {"radius": 4.0},
+                },
+                "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 8},
+            },
+            "training": {"num_epochs": 2, "batch_size": 6},
+        },
+        "training_set": {
+            "systems": {"read_from": dataset_file, "length_unit": "angstrom"},
+            "targets": {
+                "energy": {"key": "energy", "unit": "eV", "forces": "on"}
+            },
+        },
+        "validation_set": 0.2,
+        "test_set": 0.0,
+    }
+    options_path = tmp_path / "options.yaml"
+    with open(options_path, "w") as f:
+        yaml.safe_dump(options, f)
+
+    monkeypatch.chdir(tmp_path)
+    from metatrain_tpu.__main__ import main
+
+    assert main(["train", str(options_path)]) == 0
+
+    out_dirs = list((tmp_path / "outputs").glob("*/*"))
+    assert len(out_dirs) == 1
+    assert (out_dirs[0] / "model.ckpt").exists()
+    assert (out_dirs[0] / "options_restart.yaml").exists()
+    assert (out_dirs[0] / "train.csv").exists()
+    assert (tmp_path / "model.mtt").exists()
+
+    # eval the exported model on the same dataset
+    eval_options = {
+        "systems": {"read_from": dataset_file},
+        "targets": {"energy": {"key": "energy", "forces": "on"}},
+    }
+    eval_path = tmp_path / "eval.yaml"
+    with open(eval_path, "w") as f:
+        yaml.safe_dump(eval_options, f)
+    assert (
+        main(
+            [
+                "eval",
+                str(tmp_path / "model.mtt"),
+                str(eval_path),
+                "-o",
+                str(tmp_path / "predictions.xyz"),
+            ]
+        )
+        == 0
+    )
+    assert (tmp_path / "predictions.xyz").exists()
+    from metatrain_tpu.data.readers.extxyz import read_xyz
+
+    predictions = read_xyz(str(tmp_path / "predictions.xyz"))
+    assert len(predictions) == 12
+    assert "energy" in predictions[0].extra
+    assert "energy_forces" in predictions[0].extra
+
+    # export from the checkpoint
+    assert (
+        main(
+            [
+                "export",
+                str(out_dirs[0] / "model.ckpt"),
+                "-o",
+                str(tmp_path / "exported2.mtt"),
+            ]
+        )
+        == 0
+    )
+    assert (tmp_path / "exported2.mtt").exists()
+
+
+def test_restart_continues_training(tmp_path, dataset_file, monkeypatch):
+    options = {
+        "architecture": {
+            "name": "soap_bpnn",
+            "model": {
+                "soap": {
+                    "max_angular": 1,
+                    "max_radial": 1,
+                    "cutoff": {"radius": 4.0},
+                },
+                "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 4},
+            },
+            "training": {"num_epochs": 2, "batch_size": 6},
+        },
+        "training_set": {
+            "systems": {"read_from": dataset_file, "length_unit": "angstrom"},
+            "targets": {"energy": {"key": "energy"}},
+        },
+        "validation_set": 0.2,
+    }
+    options_path = tmp_path / "options.yaml"
+    with open(options_path, "w") as f:
+        yaml.safe_dump(options, f)
+
+    monkeypatch.chdir(tmp_path)
+    from metatrain_tpu.__main__ import main
+
+    assert main(["train", str(options_path)]) == 0
+    # restart with more epochs
+    assert (
+        main(
+            [
+                "train",
+                str(options_path),
+                "--restart",
+                "auto",
+                "-r",
+                "architecture.training.num_epochs=4",
+            ]
+        )
+        == 0
+    )
+    out_dirs = sorted((tmp_path / "outputs").glob("*/*"))
+    assert len(out_dirs) == 2
