@@ -148,6 +148,7 @@ class CollateFn:
                 self.dtype,
             )
             for name in samples[0].targets
+            if name in self.target_infos
         }
         extra = {
             name: batch_targets(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..containers import TensorBlock, TensorMap
@@ -63,6 +64,17 @@ def block_loss_terms(
         valid = jnp.logical_and(valid, sample_mask)
     if extra_mask is not None:
         valid = jnp.logical_and(valid, extra_mask.values.astype(bool))
+
+    if kind == "cross_entropy":
+        # softmax cross entropy over the property axis; targets are class
+        # probabilities (soft or one-hot), reference classifier/model.py
+        log_probs = jax.nn.log_softmax(pred, axis=-1)
+        per_elem = jnp.where(valid, -jnp.nan_to_num(tgt) * log_probs, 0.0)
+        sample_valid = valid.reshape(valid.shape[0], -1).any(axis=1)
+        return jnp.sum(per_elem), jnp.sum(
+            sample_valid.astype(per_elem.dtype)
+        )
+
     diff = jnp.where(valid, pred - jnp.nan_to_num(tgt), 0.0)
     loss = _pointwise(kind, diff, **kw)
     return jnp.sum(loss), jnp.sum(valid.astype(loss.dtype))

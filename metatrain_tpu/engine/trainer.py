@@ -122,8 +122,14 @@ class NNTrainer(TrainerInterface):
                 fixed_weights=atomic_baseline or None,
             )
 
+        baseline_transforms = [composition.remove_transform]
+        extra_removals = getattr(model, "extra_removal_transforms", None)
+        if extra_removals is not None:
+            baseline_transforms.extend(extra_removals())
+        if getattr(model, "zbl", None) is not None:
+            baseline_transforms.append(model.zbl.remove_transform)
         removed_datasets = [
-            _remove_composition_from_dataset(ds, composition)
+            _apply_removals_to_dataset(ds, baseline_transforms)
             for ds in train_datasets
         ]
         fixed_scaling = hp["fixed_scaling_weights"]
@@ -141,10 +147,7 @@ class NNTrainer(TrainerInterface):
         model.scaler = scaler
 
         # ---- data pipeline ----------------------------------------------
-        removal_transforms = [
-            composition.remove_transform,
-            scaler.remove_transform,
-        ]
+        removal_transforms = baseline_transforms + [scaler.remove_transform]
         train_transforms = list(removal_transforms)
         if hp["o3_augmentation"]:
             from .augmentation import O3Augmenter
@@ -314,12 +317,11 @@ class NNTrainer(TrainerInterface):
 # -- helpers --------------------------------------------------------------------
 
 
-def _remove_composition_from_dataset(
-    dataset: Dataset, composition: CompositionModel
-) -> Dataset:
-    """Host-side composition removal over a whole dataset (for scaler fit)."""
-    samples = [dataset[i] for i in range(len(dataset))]
-    removed = composition.remove_transform(samples)
+def _apply_removals_to_dataset(dataset: Dataset, transforms) -> Dataset:
+    """Host-side baseline removal over a whole dataset (for the scaler fit)."""
+    removed = [dataset[i] for i in range(len(dataset))]
+    for transform in transforms:
+        removed = transform(removed)
     return Dataset(
         [s.system for s in removed],
         {

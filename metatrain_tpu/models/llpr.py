@@ -1,0 +1,346 @@
+"""LLPR: Last-Layer Prediction Rigidity uncertainty wrapper.
+
+Re-design of the reference ``src/metatrain/llpr/``: wraps any trained
+model exposing last-layer features, accumulates the feature covariance
+over the training set, inverts it (regularized Cholesky), calibrates the
+uncertainty scale on a validation set, and can sample ensemble weights
+from the Laplace posterior. All the heavy lifting is dense linear algebra
+-- a natural fit for the TPU, with the tiny (F x F) solves on the host in
+float64.
+
+Outputs added on top of the wrapped model's (reference naming):
+- ``mtt::aux::{target}_uncertainty``: per-structure predictive variance.
+- ``mtt::aux::{target}_ensemble``: per-structure ensemble predictions.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import Labels, SystemBatch, TensorBlock, TensorMap
+from ..data.collate import CollateFn
+from ..data.dataset import Dataset
+from ..data.samplers import BatchSampler, DataLoader
+from ..data.target_info import DatasetInfo
+from ..ops.segment import sum_over_atoms
+from ..utils.abc import ModelInterface, TrainerInterface
+from ..utils.io import model_from_checkpoint, save_checkpoint_file
+
+
+DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    "regularizer": None,  # None -> auto-scaled from the covariance trace
+    "ensemble_size": 0,
+    "batch_size": 8,
+}
+
+
+class LLPRUncertaintyModel(ModelInterface):
+    """Uncertainty wrapper around a trained model."""
+
+    __checkpoint_version__ = 1
+    __supported_dtypes__ = [jnp.float64, jnp.float32]
+
+    def __init__(
+        self,
+        hypers: Dict[str, Any],
+        dataset_info: Optional[DatasetInfo] = None,
+        wrapped: Optional[ModelInterface] = None,
+    ):
+        full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
+        full.update(hypers or {})
+        if wrapped is None and "model_checkpoint" in full:
+            wrapped = model_from_checkpoint(
+                full["model_checkpoint"], context="export"
+            )
+        if wrapped is None:
+            raise ValueError(
+                "LLPR needs a wrapped model (hypers['model_checkpoint'] "
+                "or the `wrapped` argument)"
+            )
+        super().__init__(full, dataset_info or wrapped.dataset_info)
+        self.model = wrapped
+        self.target_names = list(self.model.supported_outputs().keys())
+        self.covariances: Dict[str, np.ndarray] = {}
+        self.inv_covariances: Dict[str, np.ndarray] = {}
+        self.calibration: Dict[str, float] = {
+            name: 1.0 for name in self.target_names
+        }
+        self.ensemble_weights: Dict[str, np.ndarray] = {}
+
+    # -- covariance accumulation ----------------------------------------------
+
+    def compute_covariance(self, datasets: Sequence[Dataset]) -> None:
+        """Accumulate per-structure last-layer feature covariance
+        (reference ``llpr/model.py:856``)."""
+        collate = CollateFn(
+            cutoff=self.model.requested_neighbor_cutoff() or 5.0,
+            target_infos={},
+        )
+        for name in self.target_names:
+            cov: Optional[np.ndarray] = None
+            for dataset in datasets:
+                loader = DataLoader(
+                    dataset,
+                    BatchSampler(
+                        len(dataset), self.hypers["batch_size"], shuffle=False
+                    ),
+                    collate,
+                )
+                for batch in loader:
+                    feats = self._structure_features(batch.systems, name)
+                    feats = np.asarray(feats, dtype=np.float64)
+                    if cov is None:
+                        cov = np.zeros((feats.shape[1], feats.shape[1]))
+                    cov += feats.T @ feats
+            if cov is not None:
+                self.covariances[name] = cov
+
+    def _structure_features(self, batch: SystemBatch, name: str) -> jnp.ndarray:
+        atom_feats = self.model.last_layer_features(
+            self.model.params, batch, name
+        )
+        info = self.model.supported_outputs()[name]
+        if info.per_atom:
+            return atom_feats[np.asarray(jax.device_get(batch.atom_mask))]
+        per_structure = sum_over_atoms(
+            atom_feats,
+            batch.system_index,
+            batch.n_systems_padded,
+            batch.atom_mask,
+        )
+        return per_structure[np.asarray(jax.device_get(batch.system_mask))]
+
+    def compute_inverse_covariance(self, regularizer: Optional[float] = None):
+        """Regularized inverse (reference ``llpr/model.py:928``): smallest
+        power-of-ten multiple of the mean diagonal that keeps the Cholesky
+        factorization positive definite."""
+        for name, cov in self.covariances.items():
+            F = len(cov)
+            if regularizer is not None:
+                self.inv_covariances[name] = np.linalg.inv(
+                    cov + regularizer * np.eye(F)
+                )
+                continue
+            scale = np.trace(cov) / F
+            for exponent in range(-16, 4):
+                reg = 10.0**exponent * scale
+                try:
+                    L = np.linalg.cholesky(cov + reg * np.eye(F))
+                    inv_L = np.linalg.inv(L)
+                    self.inv_covariances[name] = inv_L.T @ inv_L
+                    break
+                except np.linalg.LinAlgError:
+                    continue
+            else:
+                raise RuntimeError(f"covariance for '{name}' cannot be inverted")
+
+    def calibrate(self, val_dataset: Dataset) -> None:
+        """Ratio calibration on a validation set
+        (reference ``llpr/calibration.py:10``): alpha^2 = mean(residual^2 /
+        raw variance)."""
+        collate = CollateFn(
+            cutoff=self.model.requested_neighbor_cutoff() or 5.0,
+            target_infos={
+                n: i
+                for n, i in self.model.supported_outputs().items()
+                if n in val_dataset.targets
+            },
+        )
+        loader = DataLoader(
+            val_dataset,
+            BatchSampler(len(val_dataset), self.hypers["batch_size"], shuffle=False),
+            collate,
+        )
+        ratios: Dict[str, List[float]] = {n: [] for n in self.target_names}
+        for batch in loader:
+            predictions = self.model.forward_eval(
+                self.model.params, batch.systems, list(batch.targets)
+            )
+            for name in self.target_names:
+                if name not in batch.targets:
+                    continue
+                variance = np.asarray(
+                    jax.device_get(self._raw_variance(batch.systems, name))
+                )
+                pred = np.asarray(
+                    jax.device_get(predictions[name].block(0).values)
+                )
+                tgt_block = batch.targets[name].block(0)
+                tgt = np.asarray(jax.device_get(tgt_block.values))
+                mask = np.asarray(jax.device_get(tgt_block.mask))
+                residual_sq = ((pred - tgt) ** 2).reshape(len(mask), -1).sum(1)
+                ratios[name].extend(
+                    (residual_sq[mask] / np.maximum(variance[mask], 1e-30)).tolist()
+                )
+        for name, values in ratios.items():
+            if values:
+                self.calibration[name] = float(np.mean(values))
+
+    def _raw_variance(self, batch: SystemBatch, name: str) -> jnp.ndarray:
+        feats = self.model.last_layer_features(self.model.params, batch, name)
+        info = self.model.supported_outputs()[name]
+        if not info.per_atom:
+            feats = sum_over_atoms(
+                feats, batch.system_index, batch.n_systems_padded, batch.atom_mask
+            )
+        inv_cov = jnp.asarray(
+            self.inv_covariances[name], dtype=feats.dtype
+        )
+        return jnp.einsum(
+            "sf,fg,sg->s", feats, inv_cov, feats,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def generate_ensemble(self, n_members: int, seed: int = 0) -> None:
+        """Sample last-layer weight ensembles from the Laplace posterior
+        (reference ``llpr/model.py:1079``)."""
+        rng = np.random.default_rng(seed)
+        for name, inv_cov in self.inv_covariances.items():
+            F = len(inv_cov)
+            # symmetric square root of the calibrated inverse covariance
+            eigval, eigvec = np.linalg.eigh(inv_cov)
+            sqrt_cov = (
+                eigvec
+                @ np.diag(np.sqrt(np.maximum(eigval, 0.0)))
+                @ eigvec.T
+            ) * np.sqrt(self.calibration[name])
+            self.ensemble_weights[name] = sqrt_cov @ rng.normal(
+                size=(F, n_members)
+            )
+
+    # -- ModelInterface ----------------------------------------------------------
+
+    def init_params(self, rng=None):
+        self.params = self.model.params
+        return self.params
+
+    def forward(
+        self, params, batch: SystemBatch, outputs: Sequence[str]
+    ) -> Dict[str, TensorMap]:
+        base_outputs = [o for o in outputs if o in self.target_names]
+        results = self.model.forward_eval(params, batch, base_outputs)
+        S = batch.n_systems_padded
+        for name in self.target_names:
+            unc_name = f"mtt::aux::{name}_uncertainty"
+            ens_name = f"mtt::aux::{name}_ensemble"
+            if unc_name in outputs and name in self.inv_covariances:
+                variance = (
+                    self._raw_variance(batch, name) * self.calibration[name]
+                )
+                results[unc_name] = _scalar_map(
+                    variance[:, None], batch, per_atom=False
+                )
+            if ens_name in outputs and name in self.ensemble_weights:
+                feats = self.model.last_layer_features(params, batch, name)
+                members = feats @ jnp.asarray(
+                    self.ensemble_weights[name], dtype=feats.dtype
+                )
+                per_structure = sum_over_atoms(
+                    members, batch.system_index, S, batch.atom_mask
+                )
+                mean = results[name].block(0).values
+                results[ens_name] = _scalar_map(
+                    per_structure + mean, batch, per_atom=False
+                )
+        return results
+
+    forward_eval = forward
+
+    def supported_outputs(self):
+        out = dict(self.model.supported_outputs())
+        for name in self.target_names:
+            out[f"mtt::aux::{name}_uncertainty"] = out[name]
+            if name in self.ensemble_weights:
+                out[f"mtt::aux::{name}_ensemble"] = out[name]
+        return out
+
+    def requested_neighbor_cutoff(self):
+        return self.model.requested_neighbor_cutoff()
+
+    def get_checkpoint(self):
+        return {
+            "architecture_name": "llpr",
+            "model_ckpt_version": self.__checkpoint_version__,
+            "hypers": {
+                k: v for k, v in self.hypers.items() if k != "model_checkpoint"
+            },
+            "dataset_info": self.dataset_info.to_dict(),
+            "wrapped": self.model.get_checkpoint(),
+            "covariances": self.covariances,
+            "inv_covariances": self.inv_covariances,
+            "calibration": self.calibration,
+            "ensemble_weights": self.ensemble_weights,
+        }
+
+    @classmethod
+    def load_checkpoint(cls, checkpoint, context="restart"):
+        wrapped = model_from_checkpoint(checkpoint["wrapped"], context=context)
+        model = cls(checkpoint["hypers"], wrapped=wrapped)
+        model.covariances = checkpoint["covariances"]
+        model.inv_covariances = checkpoint["inv_covariances"]
+        model.calibration = checkpoint["calibration"]
+        model.ensemble_weights = checkpoint["ensemble_weights"]
+        model.init_params()
+        return model
+
+
+def _scalar_map(values, batch, per_atom: bool) -> TensorMap:
+    n = values.shape[0]
+    block = TensorBlock(
+        values=values,
+        samples=Labels.range("system", n),
+        components=[],
+        properties=Labels.range("property", values.shape[-1]),
+        mask=batch.system_mask if not per_atom else batch.atom_mask,
+    )
+    return TensorMap(Labels.single(), [block])
+
+
+class LLPRTrainer(TrainerInterface):
+    """Covariance + calibration 'training' (no SGD; the gradient-based
+    ensemble finetuning of the reference is pending)."""
+
+    __checkpoint_version__ = 1
+    DEFAULT_HYPERS = {"ensemble_size": 0, "seed": 0}
+
+    def __init__(self, hypers=None):
+        full = dict(self.DEFAULT_HYPERS)
+        full.update(hypers or {})
+        super().__init__(full)
+        self.epoch = 0
+
+    def train(self, model, dtype, train_datasets, val_datasets, checkpoint_dir="."):
+        model.compute_covariance(train_datasets)
+        model.compute_inverse_covariance()
+        if val_datasets and len(val_datasets[0]):
+            model.calibrate(val_datasets[0])
+        if self.hypers["ensemble_size"]:
+            model.generate_ensemble(
+                self.hypers["ensemble_size"], self.hypers["seed"]
+            )
+        model.init_params()
+        self.epoch = 1
+
+    def save_checkpoint(self, model, path):
+        checkpoint = model.get_checkpoint()
+        checkpoint["trainer_ckpt_version"] = self.__checkpoint_version__
+        checkpoint["train_hypers"] = self.hypers
+        save_checkpoint_file(checkpoint, path)
+
+    @classmethod
+    def load_checkpoint(cls, checkpoint, hypers):
+        return cls(hypers)
+
+
+__model__ = LLPRUncertaintyModel
+__trainer__ = LLPRTrainer
+
+DEFAULT_HYPERS = {
+    "model": copy.deepcopy(DEFAULT_MODEL_HYPERS),
+    "training": dict(LLPRTrainer.DEFAULT_HYPERS),
+}

@@ -70,11 +70,18 @@ class AtomisticNNModel(ModelInterface):
         self.module = None  # set by subclass
         self.composition = CompositionModel({}, dataset_info)
         self.scaler = Scaler({}, dataset_info)
+        self.zbl = None  # set by subclass when hypers["zbl"]
 
     # -- to implement in subclasses ---------------------------------------
 
     def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
         raise NotImplementedError
+
+    def extra_removal_transforms(self):
+        """Architecture-specific target-baseline removals applied in the
+        collate pipeline before scaling (e.g. FlashMD's current-position
+        subtraction)."""
+        return []
 
     # -- species ------------------------------------------------------------
 
@@ -142,6 +149,11 @@ class AtomisticNNModel(ModelInterface):
         for name, contribution in additive.items():
             if name in results:
                 results[name] = add_tensormaps(results[name], contribution)
+        if self.zbl is not None:
+            zbl_contrib = self.zbl.forward(batch, list(results))
+            for name, contribution in zbl_contrib.items():
+                if name in results:
+                    results[name] = add_tensormaps(results[name], contribution)
         return results
 
     def _assemble_target(
@@ -201,6 +213,35 @@ class AtomisticNNModel(ModelInterface):
                 )
             )
         return TensorMap(info.layout.keys, blocks)
+
+    # -- last-layer features (for LLPR / transfer learning) ---------------------
+
+    def last_layer_features(
+        self, params: Any, batch: SystemBatch, target_name: str
+    ) -> jnp.ndarray:
+        """Per-atom last-layer features (A, F) for one target
+        (reference ``mtt::aux::{target}_last_layer_features``)."""
+        batch_data = self.preprocess(batch)
+        raw = self.module.apply(params, batch_data, (target_name,))
+        features = raw[f"_ll_features::{target_name}"]
+        if isinstance(features, tuple):  # PET: (node_list, edge_list)
+            node_list, edge_list = features
+            cf = batch_data["cutoff_factors"]
+            parts = []
+            for node_ll, edge_ll in zip(node_list, edge_list):
+                parts.append(node_ll)
+                parts.append(jnp.sum(edge_ll * cf[:, :, None], axis=1))
+            return jnp.concatenate(parts, axis=-1)
+        return features
+
+    @property
+    def last_layer_feature_size(self) -> int:
+        """Width of the concatenated last-layer feature vector."""
+        dummy = self._dummy_batch()
+        name = next(iter(self.output_shapes))
+        return int(
+            self.last_layer_features(self.params, dummy, name).shape[-1]
+        )
 
     # -- metadata ------------------------------------------------------------------
 

@@ -85,6 +85,11 @@ class PET(AtomisticNNModel):
         self.num_neighbors_adaptive = hp["num_neighbors_adaptive"]
         self.cutoff_width_adaptive = float(hp["cutoff_width_adaptive"])
 
+        if hp["zbl"]:
+            from ..zbl import ZBL
+
+            self.zbl = ZBL(dataset_info, self.cutoff, self.cutoff_width)
+
         self.module = PETModule(
             hypers={
                 k: hp[k]

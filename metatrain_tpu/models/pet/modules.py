@@ -67,6 +67,12 @@ class FeedForward(nn.Module):
 class AttentionBlock(nn.Module):
     """Multi-head attention over each atom's neighborhood window.
 
+    With ``fused=True`` (default in f32/bf16) the core runs as a Pallas
+    flash-style kernel (``ops/pallas/attention.py``): no (A, H, T, T)
+    score materialization in HBM, q/k/v stay in the MXU-friendly
+    (A, T, 128) layout. The XLA einsum path remains for f64 and as a
+    numerical reference.
+
     :param attn_bias: (A, T) log-cutoff bias, identical for every query
         position and head.
     """
@@ -75,32 +81,39 @@ class AttentionBlock(nn.Module):
     num_heads: int
     temperature: float = 1.0
     dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, attn_bias):
+        from ...ops.pallas.attention import (
+            reference_window_attention,
+            window_attention,
+        )
+
         A, T, D = x.shape
         head_dim = self.total_dim // self.num_heads
         qkv = nn.Dense(3 * self.total_dim, dtype=self.dtype, name="input_linear")(x)
-        qkv = qkv.reshape(A, T, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # (A, H, T, hd)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-
         scale = 1.0 / (head_dim**0.5 * self.temperature)
-        # accumulate in >= f32: softmax numerics must not degrade in bf16 mode
-        acc_dtype = jnp.promote_types(jnp.float32, q.dtype)
-        scores = jnp.einsum(
-            "ahqd,ahkd->ahqk", q, k, preferred_element_type=acc_dtype
-        ) * scale
-        scores = scores + attn_bias[:, None, None, :].astype(scores.dtype)
-        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum(
-            "ahqk,ahkd->ahqd", weights, v, preferred_element_type=acc_dtype
-        ).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(A, T, self.total_dim)
-        return nn.Dense(self.total_dim, dtype=self.dtype, name="output_linear")(out)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (A, T, D) each, D minor
+
+        # fused kernel on real TPUs only: the interpret-mode fallback is
+        # far slower than plain XLA on CPU (tests exercise it directly)
+        use_fused = (
+            self.fused
+            and jax.default_backend() == "tpu"
+            and q.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        if use_fused:
+            out = window_attention(
+                q, k, v, attn_bias.astype(jnp.float32), self.num_heads, scale
+            )
+        else:
+            out = reference_window_attention(
+                q, k, v, attn_bias, self.num_heads, scale
+            )
+        return nn.Dense(self.total_dim, dtype=self.dtype, name="output_linear")(
+            out.astype(x.dtype)
+        )
 
 
 def _norm(kind: str, dtype, name: str):

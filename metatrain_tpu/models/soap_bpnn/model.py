@@ -72,6 +72,12 @@ class SoapBpnn(AtomisticNNModel):
                 )
 
         self.cutoff = float(hp["soap"]["cutoff"]["radius"])
+        if hp["zbl"]:
+            from ..zbl import ZBL
+
+            self.zbl = ZBL(
+                dataset_info, self.cutoff, hp["soap"]["cutoff"]["width"]
+            )
         self.module = SoapBpnnModule(
             hypers=hp,
             num_species=len(self.atomic_types),
