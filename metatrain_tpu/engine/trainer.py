@@ -75,6 +75,10 @@ DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
     # random O(3) augmentation of training batches (reference
     # pet/trainer.py:187,299: train loader only, never validation)
     "o3_augmentation": True,
+    # data parallelism over all visible devices: "auto" enables it when
+    # more than one device is present (reference auto-enables DDP when
+    # SLURM_NTASKS > 1, utils/distributed/slurm.py:28-41)
+    "data_parallel": "auto",
 }
 
 
@@ -171,10 +175,59 @@ class NNTrainer(TrainerInterface):
             extra_system_keys=model.requested_extra_system_keys(),
             transforms=removal_transforms,
         )
+        # ---- data parallelism over the device mesh ----------------------
+        n_dp = 1
+        if hp["data_parallel"] in ("auto", True):
+            n_dp = jax.local_device_count()
+        if n_dp > 1:
+            if hp["max_atoms_per_batch"]:
+                approx_batches = sum(
+                    int(ds.atom_counts.sum()) // hp["max_atoms_per_batch"] + 1
+                    for ds in train_datasets
+                )
+            else:
+                approx_batches = sum(
+                    (len(ds) + hp["batch_size"] - 1) // hp["batch_size"]
+                    for ds in train_datasets
+                )
+            if approx_batches < n_dp:
+                logger.warning(
+                    "data parallelism disabled: only ~%d batches for %d "
+                    "devices", approx_batches, n_dp,
+                )
+                n_dp = 1
+        mesh = None
+        if n_dp > 1:
+            from ..parallel.mesh import DataParallelLoader, make_data_mesh
+
+            mesh = make_data_mesh(n_dp)
+            # fixed collate shapes so per-device batches stack
+            max_struct = max(
+                (int(ds.atom_counts.max(initial=1)) for ds in train_datasets),
+                default=1,
+            )
+            if hp["max_atoms_per_batch"]:
+                atoms_budget = hp["max_atoms_per_batch"] + max_struct
+            else:
+                atoms_budget = hp["batch_size"] * max_struct
+            from ..containers import bucket_size
+
+            fixed_A = bucket_size(atoms_budget)
+            fixed_S = bucket_size(hp["batch_size"] + 1, minimum=2)
+            fixed_M = _max_neighbors_over_datasets(
+                train_datasets + val_datasets, train_collate
+            )
+            for fn in (train_collate, val_collate):
+                fn.n_atoms_padded = fixed_A
+                fn.n_systems_padded = fixed_S
+                fn.max_neighbors = fixed_M
+
         train_loader = _build_loader(
             train_datasets, train_collate, hp, shuffle=True
         )
         val_loader = _build_loader(val_datasets, val_collate, hp, shuffle=False)
+        if n_dp > 1:
+            train_loader = DataParallelLoader(train_loader, n_dp, mesh)
 
         # ---- parameters & optimizer ----------------------------------------
         if model.params is None:
@@ -205,9 +258,19 @@ class NNTrainer(TrainerInterface):
             for name in target_infos
         }
 
-        train_step = _make_train_step(
-            model, loss_agg, target_infos, optimizer, per_structure, scales
-        )
+        if mesh is not None:
+            from ..parallel.mesh import make_dp_train_step
+
+            def _loss_and_errors(p, batch):
+                return _compute_loss_and_errors(
+                    model, loss_agg, target_infos, per_structure, scales, p, batch
+                )
+
+            train_step = make_dp_train_step(_loss_and_errors, optimizer, mesh)
+        else:
+            train_step = _make_train_step(
+                model, loss_agg, target_infos, optimizer, per_structure, scales
+            )
         val_step = _make_val_step(
             model, loss_agg, target_infos, per_structure, scales
         )
@@ -315,6 +378,17 @@ class NNTrainer(TrainerInterface):
 
 
 # -- helpers --------------------------------------------------------------------
+
+
+def _max_neighbors_over_datasets(datasets, collate: CollateFn) -> int:
+    """Largest NEF width over all systems (also warms the NL cache)."""
+    from ..containers import bucket_size
+
+    max_m = 1
+    for dataset in datasets:
+        for system in dataset.systems:
+            max_m = max(max_m, collate.nl_cache(system).max_neighbors)
+    return bucket_size(max_m, minimum=4)
 
 
 def _apply_removals_to_dataset(dataset: Dataset, transforms) -> Dataset:

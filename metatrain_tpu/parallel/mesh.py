@@ -56,6 +56,75 @@ def _local_loss(model, loss_agg, target_infos, per_structure, params, batch: Bat
     return loss_agg(predictions, targets, batch.extra_data)
 
 
+def make_dp_train_step(
+    compute_loss_and_errors: Callable,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+):
+    """Data-parallel train step with metric reduction.
+
+    ``compute_loss_and_errors(params, batch) -> (loss, errors)`` runs per
+    device on its shard; gradients and losses are ``pmean``-reduced,
+    error sums ``psum``-reduced (global metric union, reference
+    ``utils/metrics.py:217-241``).
+    """
+
+    def device_step(params, opt_state, local_batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], local_batch)
+
+        def loss_fn(p):
+            return compute_loss_and_errors(p, batch)
+
+        (loss, errors), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        loss = jax.lax.pmean(loss, DP_AXIS)
+        errors = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DP_AXIS), errors
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, errors
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DP_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+class DataParallelLoader:
+    """Groups consecutive batches from a loader into stacked per-device
+    super-batches (requires fixed collate shapes)."""
+
+    def __init__(self, loader, n_devices: int, mesh: Optional[Mesh] = None):
+        self.loader = loader
+        self.n_devices = n_devices
+        self.mesh = mesh
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        buffer = []
+        for batch in self.loader:
+            buffer.append(batch)
+            if len(buffer) == self.n_devices:
+                stacked = stack_batches(buffer)
+                if self.mesh is not None:
+                    stacked = shard_batch_to_mesh(stacked, self.mesh)
+                yield stacked
+                buffer = []
+        # remainder dropped: every device must receive a shard
+
+    def __len__(self):
+        return len(self.loader) // self.n_devices
+
+
 def make_sharded_train_step(
     model,
     loss_agg,
