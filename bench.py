@@ -88,26 +88,26 @@ def main():
         block = preds["energy"].block()
         return block.values, block.gradient("positions").values
 
-    # On-device chained timing: N force calls inside one jit, each step's
-    # positions depending on the previous forces, so the device MUST run
-    # them sequentially and host/RPC dispatch overhead is amortized to
-    # zero. (Per-call host timing through the TPU tunnel is unreliable.)
-    @partial(jax.jit, static_argnums=2)
-    def chained_force_calls(params, positions, n_steps):
-        def body(_, pos):
-            energy, forces = one_force_call(params, pos)
-            return pos + 0.0 * forces[:, :, 0]
+    # Chained timing: each step's positions depend on the previous step's
+    # forces, so the device must execute the calls strictly in sequence --
+    # host timing then measures real device throughput even through an
+    # async RPC tunnel (single per-call host timestamps are unreliable
+    # there). One jitted single-step program keeps compile time low.
+    @jax.jit
+    def md_step(params, positions):
+        energy, forces = one_force_call(
+            params, positions
+        )
+        return positions + 0.0 * forces[:, :, 0], energy
 
-        return jax.lax.fori_loop(0, n_steps, body, positions)
+    pos, energy = md_step(params, batch.positions)  # compile
+    jax.block_until_ready(pos)
 
-    # one compile + execution, then time the cached second invocation
-    n_timed = 20
-    jax.block_until_ready(
-        chained_force_calls(params, batch.positions, n_timed)
-    )
+    n_timed = 30
     start = time.perf_counter()
-    out = chained_force_calls(params, batch.positions, n_timed)
-    jax.block_until_ready(out)
+    for _ in range(n_timed):
+        pos, energy = md_step(params, pos)
+    jax.block_until_ready(pos)
     elapsed = time.perf_counter() - start
 
     throughput = n_atoms * n_timed / elapsed  # atom-steps/sec/chip

@@ -1,0 +1,321 @@
+"""Disk-backed datasets: zip archives and binary memmaps.
+
+Counterparts of the reference's ``DiskDataset`` (zip of per-structure
+members, ``utils/data/dataset.py:624-867``) and ``MemmapDataset``
+(``ns.npy / na.npy / x.bin / a.bin / c.bin / <target>.bin`` binary layout,
+``:1273-1725``). Both serve :class:`~metatrain_tpu.data.dataset.Sample`
+objects lazily, so million-structure datasets never fully materialize.
+
+Zip format (``.zip``): member ``{i}/system.npz`` holds positions/types/
+cell/pbc; ``{i}/{target}.npz`` holds target values (+ optional
+``positions_gradient`` / ``strain_gradient``); ``metadata/atom_counts.npy``
+enables length-aware batch packing without touching members.
+
+Memmap format (directory): ``ns.npy`` (int64 scalar), ``na.npy``
+(int64[ns]), ``x.bin`` (f64 positions), ``a.bin`` (i32 types), ``c.bin``
+(f64 cells), ``p.bin`` (bool pbc), per-target ``{name}.bin`` (f64,
+per-structure) plus optional ``momenta.bin`` / ``masses.bin`` for FlashMD.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..containers import Labels, System, TensorBlock, TensorMap
+from .dataset import Sample
+from .target_info import TargetInfo, get_energy_target_info
+
+
+_XYZ = Labels(["xyz"], np.arange(3, dtype=np.int32).reshape(-1, 1))
+_STRAIN = [
+    Labels(["xyz_1"], np.arange(3, dtype=np.int32).reshape(-1, 1)),
+    Labels(["xyz_2"], np.arange(3, dtype=np.int32).reshape(-1, 1)),
+]
+_E_PROPS = Labels(["energy"], np.zeros((1, 1), dtype=np.int32))
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class DiskDatasetWriter:
+    """Stream systems + targets into a zip archive."""
+
+    def __init__(self, path: str):
+        self.zipf = zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED)
+        self._count = 0
+        self._atom_counts: List[int] = []
+
+    def write(self, system: System, targets: Dict[str, Dict[str, np.ndarray]]):
+        i = self._count
+        self.zipf.writestr(
+            f"{i}/system.npz",
+            _npz_bytes(
+                positions=system.positions,
+                types=system.types,
+                cell=system.cell,
+                pbc=system.pbc,
+            ),
+        )
+        for name, fields in targets.items():
+            self.zipf.writestr(f"{i}/{name}.npz", _npz_bytes(**fields))
+        self._atom_counts.append(len(system))
+        self._count += 1
+
+    def close(self):
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(self._atom_counts, dtype=np.int64))
+        self.zipf.writestr("metadata/atom_counts.npy", buf.getvalue())
+        self.zipf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DiskDataset:
+    """Zip-backed dataset with lazy member reads.
+
+    :param target_infos: target name -> TargetInfo (drives gradient
+        reconstruction). Defaults to an energy target whose gradients are
+        inferred from the stored fields.
+    """
+
+    def __init__(
+        self, path: str, target_infos: Optional[Dict[str, TargetInfo]] = None
+    ):
+        self.path = str(path)
+        self.zipf = zipfile.ZipFile(self.path, "r")
+        names = self.zipf.namelist()
+        with self.zipf.open("metadata/atom_counts.npy") as f:
+            self._atom_counts = np.load(io.BytesIO(f.read()))
+        self._len = len(self._atom_counts)
+        self.target_names = sorted(
+            {
+                n.split("/")[1].removesuffix(".npz")
+                for n in names
+                if "/" in n and not n.endswith("system.npz")
+                and not n.startswith("metadata/")
+            }
+        )
+        self.target_infos = target_infos or {}
+
+    def __len__(self) -> int:
+        return self._len
+
+    @property
+    def atom_counts(self) -> np.ndarray:
+        return self._atom_counts
+
+    @property
+    def systems(self):
+        return [self[i].system for i in range(len(self))]
+
+    @property
+    def targets(self) -> Dict[str, List]:
+        # materializes lazily; used by fitting paths that iterate targets
+        return {
+            name: [self[i].targets[name] for i in range(len(self))]
+            for name in self.target_names
+        }
+
+    def _load_npz(self, member: str) -> Dict[str, np.ndarray]:
+        with self.zipf.open(member) as f:
+            with np.load(io.BytesIO(f.read())) as data:
+                return {k: data[k] for k in data.files}
+
+    def __getitem__(self, index: int) -> Sample:
+        raw = self._load_npz(f"{index}/system.npz")
+        system = System(raw["positions"], raw["types"], raw["cell"], raw["pbc"])
+        targets: Dict[str, TensorMap] = {}
+        for name in self.target_names:
+            fields = self._load_npz(f"{index}/{name}.npz")
+            targets[name] = _fields_to_tensormap(fields, index, len(system))
+        return Sample(system, targets)
+
+    def infer_target_infos(self) -> Dict[str, TargetInfo]:
+        if not len(self):
+            return {}
+        sample = self[0]
+        infos = {}
+        for name, tmap in sample.targets.items():
+            block = tmap.block(0)
+            infos[name] = get_energy_target_info(
+                "eV",
+                add_position_gradients=block.has_gradient("positions"),
+                add_strain_gradients=block.has_gradient("strain"),
+            )
+        return infos
+
+
+def _fields_to_tensormap(
+    fields: Dict[str, np.ndarray], index: int, n_atoms: int
+) -> TensorMap:
+    values = np.asarray(fields["values"], dtype=np.float64).reshape(1, -1)
+    block = TensorBlock(
+        values=values,
+        samples=Labels(["system"], np.array([[index]], dtype=np.int32)),
+        components=[],
+        properties=Labels.range("energy", values.shape[-1]),
+    )
+    if "positions_gradient" in fields:
+        grad = np.asarray(fields["positions_gradient"], dtype=np.float64)
+        block.add_gradient(
+            "positions",
+            TensorBlock(
+                grad.reshape(n_atoms, 3, -1),
+                Labels.range("atom", n_atoms),
+                [_XYZ],
+                _E_PROPS,
+            ),
+        )
+    if "strain_gradient" in fields:
+        grad = np.asarray(fields["strain_gradient"], dtype=np.float64)
+        block.add_gradient(
+            "strain",
+            TensorBlock(
+                grad.reshape(1, 3, 3, -1),
+                Labels(["sample"], np.array([[0]], dtype=np.int32)),
+                _STRAIN,
+                _E_PROPS,
+            ),
+        )
+    return TensorMap(Labels.single(), [block])
+
+
+class MemmapDataset:
+    """Binary memmap dataset (reference layout, ``dataset.py:1273-1725``)."""
+
+    def __init__(self, directory: str, target_names: Sequence[str] = ("energy",)):
+        self.dir = Path(directory)
+        self.n_structures = int(np.load(self.dir / "ns.npy"))
+        self.na = np.load(self.dir / "na.npy")
+        self._offsets = np.concatenate([[0], np.cumsum(self.na)])
+        total = int(self._offsets[-1])
+        self.x = np.memmap(
+            self.dir / "x.bin", dtype=np.float64, mode="r", shape=(total, 3)
+        )
+        self.a = np.memmap(
+            self.dir / "a.bin", dtype=np.int32, mode="r", shape=(total,)
+        )
+        self.c = np.memmap(
+            self.dir / "c.bin", dtype=np.float64, mode="r",
+            shape=(self.n_structures, 3, 3),
+        )
+        pbc_path = self.dir / "p.bin"
+        self.p = (
+            np.memmap(pbc_path, dtype=bool, mode="r", shape=(self.n_structures, 3))
+            if pbc_path.exists()
+            else None
+        )
+        self.target_names = list(target_names)
+        self._targets = {}
+        for name in self.target_names:
+            path = self.dir / f"{name}.bin"
+            if path.exists():
+                self._targets[name] = np.memmap(
+                    path, dtype=np.float64, mode="r", shape=(self.n_structures,)
+                )
+        forces_path = self.dir / "forces.bin"
+        self.forces = (
+            np.memmap(forces_path, dtype=np.float64, mode="r", shape=(total, 3))
+            if forces_path.exists()
+            else None
+        )
+        self.momenta = (
+            np.memmap(
+                self.dir / "momenta.bin", dtype=np.float64, mode="r",
+                shape=(total, 3),
+            )
+            if (self.dir / "momenta.bin").exists()
+            else None
+        )
+        self.masses = (
+            np.memmap(
+                self.dir / "masses.bin", dtype=np.float64, mode="r",
+                shape=(total,),
+            )
+            if (self.dir / "masses.bin").exists()
+            else None
+        )
+
+    def __len__(self) -> int:
+        return self.n_structures
+
+    @property
+    def atom_counts(self) -> np.ndarray:
+        return self.na
+
+    @property
+    def systems(self):
+        return [self[i].system for i in range(len(self))]
+
+    @property
+    def targets(self):
+        return {
+            name: [self[i].targets[name] for i in range(len(self))]
+            for name in self._targets
+        }
+
+    def __getitem__(self, index: int) -> Sample:
+        a, b = int(self._offsets[index]), int(self._offsets[index + 1])
+        cell = np.asarray(self.c[index])
+        pbc = (
+            np.asarray(self.p[index])
+            if self.p is not None
+            else np.array([np.linalg.norm(cell[k]) > 0 for k in range(3)])
+        )
+        system = System(
+            np.asarray(self.x[a:b]), np.asarray(self.a[a:b]), cell, pbc
+        )
+        if self.momenta is not None:
+            system.extra["momenta"] = np.asarray(self.momenta[a:b])
+        if self.masses is not None:
+            system.extra["masses"] = np.asarray(self.masses[a:b])
+        targets = {}
+        for name, values in self._targets.items():
+            fields = {"values": np.asarray([values[index]])}
+            if self.forces is not None and name == "energy":
+                fields["positions_gradient"] = -np.asarray(self.forces[a:b])
+            targets[name] = _fields_to_tensormap(fields, index, b - a)
+        return Sample(system, targets)
+
+
+def write_memmap_dataset(
+    directory: str,
+    systems: Sequence[System],
+    energies: Optional[np.ndarray] = None,
+    forces: Optional[Sequence[np.ndarray]] = None,
+) -> None:
+    """Create a memmap dataset directory from in-memory systems."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    na = np.asarray([len(s) for s in systems], dtype=np.int64)
+    np.save(directory / "ns.npy", np.asarray(len(systems), dtype=np.int64))
+    np.save(directory / "na.npy", na)
+    np.concatenate([s.positions for s in systems]).astype(np.float64).tofile(
+        directory / "x.bin"
+    )
+    np.concatenate([s.types for s in systems]).astype(np.int32).tofile(
+        directory / "a.bin"
+    )
+    np.stack([s.cell for s in systems]).astype(np.float64).tofile(
+        directory / "c.bin"
+    )
+    np.stack([s.pbc for s in systems]).tofile(directory / "p.bin")
+    if energies is not None:
+        np.asarray(energies, dtype=np.float64).tofile(directory / "energy.bin")
+    if forces is not None:
+        np.concatenate(forces).astype(np.float64).tofile(
+            directory / "forces.bin"
+        )

@@ -1,0 +1,55 @@
+"""Shared architecture suites instantiated per architecture
+(reference pattern: ``pet/tests/test_basic.py:18-35``)."""
+
+from metatrain_tpu.testing import ArchitectureTests
+
+
+class TestPET(ArchitectureTests):
+    architecture = "pet"
+    minimal_model_hypers = {
+        "cutoff": 4.5,
+        "d_pet": 16,
+        "d_head": 16,
+        "d_node": 24,
+        "d_feedforward": 16,
+        "num_heads": 2,
+        "num_attention_layers": 1,
+        "num_gnn_layers": 1,
+    }
+    supports_forces = True
+
+
+class TestPETResidual(ArchitectureTests):
+    architecture = "pet"
+    minimal_model_hypers = dict(
+        TestPET.minimal_model_hypers, featurizer_type="residual", num_gnn_layers=2
+    )
+    supports_forces = True
+
+
+class TestSoapBpnn(ArchitectureTests):
+    architecture = "soap_bpnn"
+    minimal_model_hypers = {
+        "soap": {"max_angular": 2, "max_radial": 2, "cutoff": {"radius": 4.5}},
+        "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 8},
+    }
+    supports_forces = True
+
+
+class TestSoapBpnnAlchemical(ArchitectureTests):
+    architecture = "soap_bpnn"
+    minimal_model_hypers = dict(TestSoapBpnn.minimal_model_hypers, legacy=False)
+    supports_forces = True
+
+
+class TestMACE(ArchitectureTests):
+    architecture = "experimental.mace"
+    minimal_model_hypers = {
+        "cutoff": 4.5,
+        "num_radial": 3,
+        "max_ell": 1,
+        "num_channels": 8,
+        "num_interactions": 1,
+        "mlp_width": 8,
+    }
+    supports_forces = True
