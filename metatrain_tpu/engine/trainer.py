@@ -79,6 +79,9 @@ DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
     # more than one device is present (reference auto-enables DDP when
     # SLURM_NTASKS > 1, utils/distributed/slurm.py:28-41)
     "data_parallel": "auto",
+    # finetuning: {"read_from": ckpt|None, "method": full|heads|lora,
+    # "config": {"rank": r, "alpha": a}} (reference pet/modules/finetuning.py)
+    "finetune": {"read_from": None, "method": "full", "config": {}},
 }
 
 
@@ -248,8 +251,34 @@ class NNTrainer(TrainerInterface):
         optimizer = optax.chain(
             optax.clip_by_global_norm(hp["grad_clip_norm"]), opt
         )
+
+        # ---- finetuning strategy: what trains, and through what forward --
+        finetune = hp.get("finetune") or {}
+        method = finetune.get("method", "full")
+        lora_state: Optional[dict] = None
+        forward_fn = model.forward
+        train_params = model.params
+        if method == "heads":
+            from .finetuning import masked_optimizer
+
+            optimizer = masked_optimizer(optimizer, model.params, "heads")
+        elif method == "lora":
+            from .finetuning import apply_lora, init_lora_params, make_lora_forward
+
+            cfg = finetune.get("config") or {}
+            rank = int(cfg.get("rank", 4))
+            alpha = float(cfg.get("alpha", 2 * rank))
+            adapters = init_lora_params(
+                model.params, rank, jax.random.PRNGKey(hp["seed"] + 1)
+            )
+            forward_fn = make_lora_forward(model, adapters, alpha, rank)
+            train_params = adapters
+            lora_state = {"alpha": alpha, "rank": rank}
+        elif method != "full":
+            raise ValueError(f"unknown finetuning method {method!r}")
+
         if self.opt_state is None:
-            self.opt_state = optimizer.init(model.params)
+            self.opt_state = optimizer.init(train_params)
 
         loss_agg = LossAggregator(target_infos, hp["loss"])
         per_structure = list(hp["per_structure_targets"])
@@ -263,16 +292,16 @@ class NNTrainer(TrainerInterface):
 
             def _loss_and_errors(p, batch):
                 return _compute_loss_and_errors(
-                    model, loss_agg, target_infos, per_structure, scales, p, batch
+                    forward_fn, loss_agg, target_infos, per_structure, scales, p, batch
                 )
 
             train_step = make_dp_train_step(_loss_and_errors, optimizer, mesh)
         else:
             train_step = _make_train_step(
-                model, loss_agg, target_infos, optimizer, per_structure, scales
+                forward_fn, loss_agg, target_infos, optimizer, per_structure, scales
             )
         val_step = _make_val_step(
-            model, loss_agg, target_infos, per_structure, scales
+            forward_fn, loss_agg, target_infos, per_structure, scales
         )
 
         metric_logger = MetricLogger(
@@ -289,8 +318,8 @@ class NNTrainer(TrainerInterface):
             train_errors = ErrorAccumulator(hp["log_separate_blocks"])
             train_loss_sum, n_batches = 0.0, 0
             for batch in train_loader:
-                model.params, self.opt_state, loss, errors = train_step(
-                    model.params, self.opt_state, batch
+                train_params, self.opt_state, loss, errors = train_step(
+                    train_params, self.opt_state, batch
                 )
                 train_loss_sum += float(loss)
                 n_batches += 1
@@ -299,7 +328,7 @@ class NNTrainer(TrainerInterface):
             val_errors = ErrorAccumulator(hp["log_separate_blocks"])
             val_loss_sum, n_val = 0.0, 0
             for batch in val_loader:
-                loss, errors = val_step(model.params, batch)
+                loss, errors = val_step(train_params, batch)
                 val_loss_sum += float(loss)
                 n_val += 1
                 val_errors.update_from_errors(jax.device_get(errors))
@@ -334,8 +363,23 @@ class NNTrainer(TrainerInterface):
             )
             if selected < self.best_metric:
                 self.best_metric = selected
-                self.best_params = jax.device_get(model.params)
+                if lora_state is not None:
+                    from .finetuning import apply_lora
+
+                    merged = apply_lora(
+                        model.params,
+                        train_params,
+                        lora_state["alpha"],
+                        lora_state["rank"],
+                    )
+                    self.best_params = jax.device_get(merged)
+                else:
+                    self.best_params = jax.device_get(train_params)
                 self.best_epoch = epoch
+
+            # keep the model's weights current for checkpointing/eval
+            if lora_state is None:
+                model.params = train_params
 
             if (
                 hp["checkpoint_interval"]
@@ -345,6 +389,14 @@ class NNTrainer(TrainerInterface):
                     model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
                 )
 
+        if lora_state is not None:
+            from .finetuning import apply_lora
+
+            model.params = apply_lora(
+                model.params, train_params, lora_state["alpha"], lora_state["rank"]
+            )
+        else:
+            model.params = train_params
         self.epoch = hp["num_epochs"]
 
     # -- checkpointing ---------------------------------------------------------
@@ -436,12 +488,12 @@ def _build_loader(
 
 
 def _compute_loss_and_errors(
-    model, loss_agg, target_infos, per_structure, scales, params, batch: Batch
+    forward_fn, loss_agg, target_infos, per_structure, scales, params, batch: Batch
 ):
     batch_target_names = list(batch.targets.keys())
     infos = {n: target_infos[n] for n in batch_target_names}
     predictions = evaluate_model(
-        model.forward, params, batch.systems, infos, is_training=True
+        forward_fn, params, batch.systems, infos, is_training=True
     )
     predictions = average_by_num_atoms(predictions, batch.systems, per_structure)
     targets = average_by_num_atoms(batch.targets, batch.systems, per_structure)
@@ -461,12 +513,12 @@ def _compute_loss_and_errors(
 
 
 def _make_train_step(
-    model, loss_agg, target_infos, optimizer, per_structure, scales
+    forward_fn, loss_agg, target_infos, optimizer, per_structure, scales
 ):
     def step(params, opt_state, batch: Batch):
         def loss_fn(p):
             return _compute_loss_and_errors(
-                model, loss_agg, target_infos, per_structure, scales, p, batch
+                forward_fn, loss_agg, target_infos, per_structure, scales, p, batch
             )
 
         (loss, errors), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -477,10 +529,10 @@ def _make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def _make_val_step(model, loss_agg, target_infos, per_structure, scales):
+def _make_val_step(forward_fn, loss_agg, target_infos, per_structure, scales):
     def step(params, batch: Batch):
         return _compute_loss_and_errors(
-            model, loss_agg, target_infos, per_structure, scales, params, batch
+            forward_fn, loss_agg, target_infos, per_structure, scales, params, batch
         )
 
     return jax.jit(step)

@@ -76,9 +76,6 @@ class PET(AtomisticNNModel):
         super().__init__(full_hypers, dataset_info, compute_dtype)
         hp = self.hypers
 
-        if hp["long_range"].get("enable"):
-            raise NotImplementedError("PET long-range features: pending")
-
         self.cutoff = float(hp["cutoff"])
         self.cutoff_width = float(hp["cutoff_width"])
         self.cutoff_function = hp["cutoff_function"].lower()
@@ -111,6 +108,7 @@ class PET(AtomisticNNModel):
             num_species=len(self.atomic_types),
             output_shapes=self.output_shapes,
             dtype=compute_dtype,
+            long_range=dict(hp["long_range"]),
         )
 
     def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
@@ -161,9 +159,16 @@ class PET(AtomisticNNModel):
             "edge_vectors": vectors,
             "edge_distances": distances,
             "nbr_mask": batch.nbr_mask,
+            "nbr_indices": batch.nbr_indices,
             "nbr_reverse": batch.nbr_reverse,
             "cutoff_factors": cutoff_factors,
             "atomic_cutoffs": atomic_cutoffs,
+            # long-range featurizer inputs
+            "positions": batch.positions,
+            "cells": batch.cells,
+            "pbc": batch.pbc,
+            "system_index": batch.system_index,
+            "atom_mask": batch.atom_mask,
         }
 
     def requested_neighbor_cutoff(self) -> float:

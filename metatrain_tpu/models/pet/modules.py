@@ -418,6 +418,7 @@ class PETModule(nn.Module):
     num_species: int
     output_shapes: Dict[str, Dict[str, int]]
     dtype: Any = jnp.float32
+    long_range: Optional[Dict[str, Any]] = None
 
     @nn.compact
     def __call__(
@@ -428,6 +429,21 @@ class PETModule(nn.Module):
         node_features, edge_features = PETBackbone(
             self.hypers, self.num_species, dtype=self.dtype, name="backbone"
         )(batch_data)
+
+        if self.long_range and self.long_range.get("enable"):
+            from ...engine.long_range import LongRangeFeaturizer
+
+            lr_features = LongRangeFeaturizer(
+                d_out=self.hypers["d_node"],
+                smearing=float(self.long_range.get("smearing", 1.4)),
+                n_kmax=int(self.long_range.get("n_kmax", 4)),
+                dtype=self.dtype,
+                name="long_range",
+            )(node_features[-1], batch_data)
+            # reference: (node + lr) / sqrt(2), pet/model.py:508-518
+            node_features = [
+                (nf + lr_features) * (0.5**0.5) for nf in node_features
+            ]
 
         cutoff_factors = jnp.where(
             batch_data["nbr_mask"], batch_data["cutoff_factors"], 0.0

@@ -1,0 +1,134 @@
+"""Finetuning strategies: full / heads / LoRA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatrain_tpu.data.dataset import Dataset
+from metatrain_tpu.data.readers import read_targets
+from metatrain_tpu.data.target_info import DatasetInfo
+from metatrain_tpu.engine.finetuning import (
+    apply_lora,
+    init_lora_params,
+    trainable_mask,
+)
+from metatrain_tpu.models.soap_bpnn import SoapBpnn, SoapBpnnTrainer
+
+from conftest import make_molecule
+
+
+HYPERS = {
+    "soap": {"max_angular": 1, "max_radial": 1, "cutoff": {"radius": 4.0}},
+    "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 8},
+}
+
+
+def _dataset(n=8):
+    rng = np.random.default_rng(0)
+    systems = []
+    for i in range(n):
+        s = make_molecule(5, seed=i)
+        s.extra["energy"] = np.asarray(rng.normal())
+        systems.append(s)
+    targets, infos = read_targets(
+        systems, {"energy": {"quantity": "energy", "key": "energy", "unit": "eV"}}
+    )
+    types = sorted({int(t) for s in systems for t in s.types})
+    return Dataset(systems, targets), DatasetInfo("angstrom", types, infos)
+
+
+def test_heads_mask_selects_head_params():
+    dataset, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mask = trainable_mask(params, "heads")
+    leaves_mask = jax.tree_util.tree_leaves(mask)
+    assert any(leaves_mask) and not all(leaves_mask)
+
+
+def test_heads_finetune_freezes_backbone(tmp_path):
+    dataset, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    model.init_params(jax.random.PRNGKey(0))
+    before = jax.device_get(model.params)
+
+    trainer = SoapBpnnTrainer(
+        {
+            "num_epochs": 2,
+            "batch_size": 4,
+            "learning_rate": 1e-2,
+            "finetune": {"read_from": None, "method": "heads", "config": {}},
+            "o3_augmentation": False,
+        }
+    )
+    trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
+
+    after = model.params
+    flat_before = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_after = jax.tree_util.tree_flatten_with_path(after)[0]
+    changed_backbone, changed_head = False, False
+    for (path_b, leaf_b), (path_a, leaf_a) in zip(flat_before, flat_after):
+        path_str = "/".join(
+            str(getattr(p, "key", p)) for p in path_b
+        ).lower()
+        moved = not np.allclose(np.asarray(leaf_b), np.asarray(leaf_a))
+        if any(m in path_str for m in ("head", "last", "logits", "readout")):
+            changed_head |= moved
+        else:
+            changed_backbone |= moved
+    assert changed_head
+    assert not changed_backbone
+
+
+def test_lora_adapters_shape_and_merge():
+    dataset, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+    adapters = init_lora_params(params, rank=2, rng=jax.random.PRNGKey(1))
+    assert adapters  # at least one 2-D kernel found
+    for ab in adapters.values():
+        assert ab["A"].shape[1] == 2 and ab["B"].shape[0] == 2
+        np.testing.assert_allclose(np.asarray(ab["B"]), 0.0)
+
+    # B zero-init -> merge is identity
+    merged = apply_lora(params, adapters, alpha=4.0, rank=2)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lora_training_runs(tmp_path):
+    dataset, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    model.init_params(jax.random.PRNGKey(0))
+    base = jax.device_get(model.params)
+
+    trainer = SoapBpnnTrainer(
+        {
+            "num_epochs": 2,
+            "batch_size": 4,
+            "learning_rate": 1e-2,
+            "finetune": {
+                "read_from": None,
+                "method": "lora",
+                "config": {"rank": 2, "alpha": 4},
+            },
+            "o3_augmentation": False,
+        }
+    )
+    trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
+
+    # merged weights differ from base only on 2-D kernels (low-rank update)
+    changed = 0
+    for (path, before), after in zip(
+        jax.tree_util.tree_flatten_with_path(base)[0],
+        jax.tree_util.tree_leaves(model.params),
+    ):
+        if not np.allclose(np.asarray(before), np.asarray(after), atol=1e-8):
+            changed += 1
+            diff = np.asarray(after) - np.asarray(before)
+            if diff.ndim == 2:
+                rank = np.linalg.matrix_rank(diff, tol=1e-5)
+                assert rank <= 2
+    assert changed > 0
