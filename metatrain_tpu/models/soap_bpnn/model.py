@@ -64,12 +64,44 @@ class SoapBpnn(AtomisticNNModel):
 
         if hp["long_range"].get("enable"):
             raise NotImplementedError("SOAP-BPNN long-range features: pending")
+
+        # per-target block specs: scalar MLP heads vs CG tensor bases
+        target_specs: Dict[str, Any] = {}
         for name, info in self.target_infos.items():
-            if not info.is_scalar:
+            specs = []
+            if info.is_scalar:
+                for _ in info.layout.blocks():
+                    specs.append({"type": "scalar"})
+            elif info.is_spherical:
+                for key_tuple, block in info.layout.items():
+                    names = info.layout.keys.names
+                    specs.append(
+                        {
+                            "type": "spherical",
+                            "o3_lambda": int(
+                                key_tuple[names.index("o3_lambda")]
+                            ),
+                            "o3_sigma": int(key_tuple[names.index("o3_sigma")]),
+                            "num_properties": len(block.properties),
+                        }
+                    )
+            elif info.is_cartesian and info.rank == 1:
+                for _, block in info.layout.items():
+                    specs.append(
+                        {
+                            "type": "cartesian_rank1",
+                            "o3_lambda": 1,
+                            "o3_sigma": 1,
+                            "num_properties": len(block.properties),
+                        }
+                    )
+            else:
                 raise NotImplementedError(
-                    f"SOAP-BPNN tensorial target '{name}': "
-                    "spherical/Cartesian targets pending (CG tensor basis)"
+                    f"SOAP-BPNN target '{name}': Cartesian rank >= 2 targets "
+                    "are not supported (use a spherical decomposition)"
                 )
+            target_specs[name] = specs
+        self._target_specs = target_specs
 
         self.cutoff = float(hp["soap"]["cutoff"]["radius"])
         if hp["zbl"]:
@@ -83,6 +115,7 @@ class SoapBpnn(AtomisticNNModel):
             num_species=len(self.atomic_types),
             output_shapes=self.output_shapes,
             head_types=dict(hp["heads"] or {}),
+            target_specs=target_specs,
             dtype=compute_dtype,
         )
 

@@ -187,6 +187,76 @@ class SpeciesLayerNorm(nn.Module):
         return normalized * scale[species_index] + offset[species_index]
 
 
+class TensorBasis(nn.Module):
+    """Equivariant basis for (lambda, sigma) spherical targets.
+
+    Counterpart of the reference ``soap_bpnn/modules/tensor_basis.py``
+    (``TensorBasis``/``ClebschGordanReal`` on sphericart + wigners): basis
+    covariants are CG couplings of pairs of spherical-expansion vectors,
+    ``b^{p}_{mu} = sum_{m1 m2} CG^{l1 l2 lam}_{m1 m2 mu} c^{l1}_{m1}
+    c^{l2}_{m2}``, restricted to parity-matching paths
+    ``sigma = (-1)^{l1+l2+lam}``; predictions are invariant-feature
+    coefficients contracted against the basis.
+    """
+
+    o3_lambda: int
+    o3_sigma: int
+    max_angular: int
+    num_properties: int
+    add_lambda_basis: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coeffs: jnp.ndarray, invariants: jnp.ndarray):
+        """:param coeffs: spherical expansion (A, C, (l_max+1)^2).
+        :param invariants: per-atom scalar features (A, F).
+        :return: (A, 2*lambda+1, num_properties)."""
+        from ...ops.cg import real_clebsch_gordan
+
+        lam = self.o3_lambda
+        A, C, _ = coeffs.shape
+        acc = jnp.promote_types(jnp.float32, self.dtype)
+
+        offsets = np.cumsum([0] + [2 * l + 1 for l in range(self.max_angular + 1)])
+        basis_vectors = []
+        for l1 in range(self.max_angular + 1):
+            for l2 in range(l1, self.max_angular + 1):
+                if not (abs(l1 - l2) <= lam <= l1 + l2):
+                    continue
+                if (-1) ** (l1 + l2 + lam) != self.o3_sigma:
+                    continue
+                cg = jnp.asarray(real_clebsch_gordan(l1, l2, lam), dtype=acc)
+                c1 = coeffs[:, :, offsets[l1] : offsets[l1 + 1]]
+                c2 = coeffs[:, :, offsets[l2] : offsets[l2 + 1]]
+                # couple, contracting channels diagonally (keeps the basis
+                # compact: C vectors per path instead of C^2)
+                vec = jnp.einsum(
+                    "acm,acn,mnk->ack", c1, c2, cg, preferred_element_type=acc
+                )
+                basis_vectors.append(vec)
+        if self.add_lambda_basis and lam <= self.max_angular and self.o3_sigma == 1:
+            # direct l = lambda expansion term (reference add_lambda_basis)
+            basis_vectors.append(
+                coeffs[:, :, offsets[lam] : offsets[lam + 1]].astype(acc)
+            )
+        if not basis_vectors:
+            return jnp.zeros(
+                (A, 2 * lam + 1, self.num_properties), dtype=jnp.float32
+            )
+        basis = jnp.concatenate(basis_vectors, axis=1)  # (A, P_basis, 2lam+1)
+        n_basis = basis.shape[1]
+
+        weights = nn.Dense(
+            n_basis * self.num_properties,
+            dtype=self.dtype,
+            name="coefficients",
+        )(invariants)
+        weights = weights.reshape(A, n_basis, self.num_properties).astype(acc)
+        return jnp.einsum(
+            "abk,abp->akp", basis, weights, preferred_element_type=acc
+        )
+
+
 class SoapBpnnModule(nn.Module):
     """Full SOAP-BPNN: expansion -> power spectrum -> per-species MLP ->
     per-target heads (linear or MLP) -> per-block last layers."""
@@ -195,6 +265,7 @@ class SoapBpnnModule(nn.Module):
     num_species: int
     output_shapes: Dict[str, Dict[str, int]]
     head_types: Dict[str, str]
+    target_specs: Dict[str, Any] = None  # name -> list of per-block specs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -256,16 +327,34 @@ class SoapBpnnModule(nn.Module):
                 )(hidden)
                 head_features = jax.nn.silu(head_features)
             results[f"_ll_features::{target_name}"] = head_features
+            specs = (self.target_specs or {}).get(target_name)
             per_block: Dict[str, jnp.ndarray] = {}
-            for block_key, size in shapes.items():
-                per_block[block_key] = SpeciesMLP(
-                    num_species=self.num_species,
-                    d_in=head_features.shape[-1],
-                    d_hidden=1,
-                    num_hidden_layers=0,
-                    d_out=size,
-                    dtype=self.dtype,
-                    name=f"last_layer_{safe}_{block_key}",
-                )(head_features, species_index)
+            for b_idx, (block_key, size) in enumerate(shapes.items()):
+                spec = specs[b_idx] if specs else {"type": "scalar"}
+                if spec["type"] == "scalar":
+                    per_block[block_key] = SpeciesMLP(
+                        num_species=self.num_species,
+                        d_in=head_features.shape[-1],
+                        d_hidden=1,
+                        num_hidden_layers=0,
+                        d_out=size,
+                        dtype=self.dtype,
+                        name=f"last_layer_{safe}_{block_key}",
+                    )(head_features, species_index)
+                else:  # equivariant block via the CG tensor basis
+                    lam = spec["o3_lambda"]
+                    out = TensorBasis(
+                        o3_lambda=lam,
+                        o3_sigma=spec["o3_sigma"],
+                        max_angular=max_angular,
+                        num_properties=spec["num_properties"],
+                        add_lambda_basis=hp["add_lambda_basis"],
+                        dtype=self.dtype,
+                        name=f"tensor_basis_{safe}_{block_key}",
+                    )(coeffs, head_features)
+                    if spec["type"] == "cartesian_rank1":
+                        # real-SH order m=(-1,0,1) ~ (y,z,x) -> xyz
+                        out = out[:, jnp.array([2, 0, 1]), :]
+                    per_block[block_key] = out.reshape(out.shape[0], -1)
             results[target_name] = per_block
         return results
