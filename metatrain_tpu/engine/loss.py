@@ -65,6 +65,46 @@ def block_loss_terms(
     if extra_mask is not None:
         valid = jnp.logical_and(valid, extra_mask.values.astype(bool))
 
+    if kind == "shift_agnostic_mse":
+        # remove the per-sample mean difference before the MSE: for targets
+        # defined up to a constant shift, e.g. DOS (reference loss.py:447)
+        diff = jnp.where(valid, pred - jnp.nan_to_num(tgt), 0.0)
+        counts = jnp.maximum(
+            valid.reshape(valid.shape[0], -1).sum(axis=1), 1
+        ).astype(diff.dtype)
+        mean_shift = diff.reshape(diff.shape[0], -1).sum(axis=1) / counts
+        shifted = diff - mean_shift.reshape((-1,) + (1,) * (diff.ndim - 1))
+        shifted = jnp.where(valid, shifted, 0.0)
+        return jnp.sum(shifted * shifted), jnp.sum(valid.astype(diff.dtype))
+
+    if kind == "gaussian_nll":
+        # ensemble Gaussian negative log-likelihood: predictions carry an
+        # ensemble over the property axis (reference loss.py:776-1037)
+        mean = jnp.mean(pred, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.var(pred, axis=-1, keepdims=True), 1e-10)
+        sample_valid = valid.reshape(valid.shape[0], -1).any(axis=1)
+        nll = 0.5 * (
+            jnp.log(2.0 * jnp.pi * var)
+            + (jnp.nan_to_num(tgt)[..., :1] - mean) ** 2 / var
+        )
+        nll = jnp.where(valid[..., :1], nll, 0.0)
+        return jnp.sum(nll), jnp.sum(sample_valid.astype(nll.dtype))
+
+    if kind == "crps":
+        # empirical CRPS of an ensemble against a scalar target:
+        # CRPS = E|X - y| - 0.5 E|X - X'|
+        y = jnp.nan_to_num(tgt)[..., :1]
+        n_members = pred.shape[-1]
+        term1 = jnp.mean(jnp.abs(pred - y), axis=-1, keepdims=True)
+        pairwise = jnp.abs(pred[..., :, None] - pred[..., None, :])
+        term2 = 0.5 * jnp.sum(pairwise, axis=(-2, -1), keepdims=False) / (
+            n_members * n_members
+        )
+        crps = term1[..., 0] - term2
+        sample_valid = valid.reshape(valid.shape[0], -1).any(axis=1)
+        crps = jnp.where(valid[..., 0], crps, 0.0)
+        return jnp.sum(crps), jnp.sum(sample_valid.astype(crps.dtype))
+
     if kind == "cross_entropy":
         # softmax cross entropy over the property axis; targets are class
         # probabilities (soft or one-hot), reference classifier/model.py

@@ -77,7 +77,7 @@ class FlashMDModule(nn.Module):
             batch_data["nbr_mask"], batch_data["cutoff_factors"], 0.0
         )
         d_head = self.hypers["d_head"]
-        results: Dict[str, Any] = {}
+        results: Dict[str, Any] = {"_features": node_features[-1]}
         for target_name, shapes in self.output_shapes.items():
             if target_name not in requested:
                 continue

@@ -181,7 +181,7 @@ class MACEModule(nn.Module):
         )
         hidden = jax.nn.silu(hidden)
 
-        results: Dict[str, Any] = {}
+        results: Dict[str, Any] = {"_features": invariants}
         for target_name, shapes in self.output_shapes.items():
             if target_name not in requested:
                 continue

@@ -128,14 +128,68 @@ class AtomisticNNModel(ModelInterface):
     def forward(
         self, params: Any, batch: SystemBatch, outputs: Sequence[str]
     ) -> Dict[str, TensorMap]:
-        """Training-space predictions (no scaler/additive baselines)."""
+        """Training-space predictions (no scaler/additive baselines).
+
+        Besides targets, two auxiliary output families are supported
+        (reference pet/model.py additional outputs): ``"features"`` (the
+        internal per-atom representation) and
+        ``"mtt::aux::{target}_last_layer_features"``.
+        """
         requested = tuple(n for n in outputs if n in self.output_shapes)
+        aux_requested = [n for n in outputs if n not in self.output_shapes]
+        ll_requests = {
+            n: n.removeprefix("mtt::aux::").removesuffix("_last_layer_features")
+            for n in aux_requested
+            if n.startswith("mtt::aux::") and n.endswith("_last_layer_features")
+        }
+        module_targets = tuple(
+            dict.fromkeys(list(requested) + list(ll_requests.values()))
+        )
         batch_data = self.preprocess(batch)
-        raw = self.module.apply(params, batch_data, requested)
-        return {
+        raw = self.module.apply(params, batch_data, module_targets)
+        results = {
             name: self._assemble_target(name, raw[name], batch)
             for name in requested
         }
+        if "features" in aux_requested:
+            results["features"] = self._per_atom_feature_map(
+                _flatten_features(raw, batch_data), batch
+            )
+        for output_name, target_name in ll_requests.items():
+            features = raw[f"_ll_features::{target_name}"]
+            if isinstance(features, tuple):  # PET: (node_list, edge_list)
+                node_list, edge_list = features
+                cf = batch_data["cutoff_factors"]
+                parts = []
+                for node_ll, edge_ll in zip(node_list, edge_list):
+                    parts.append(node_ll)
+                    parts.append(jnp.sum(edge_ll * cf[:, :, None], axis=1))
+                features = jnp.concatenate(parts, axis=-1)
+            results[output_name] = self._per_atom_feature_map(features, batch)
+        return results
+
+    def _per_atom_feature_map(self, features, batch: SystemBatch) -> TensorMap:
+        features = features.astype(
+            jnp.promote_types(jnp.float32, features.dtype)
+        )
+        features = jnp.where(batch.atom_mask[:, None], features, 0.0)
+        block = TensorBlock(
+            values=features,
+            samples=Labels(
+                ["system", "atom"],
+                jnp.stack(
+                    [
+                        batch.system_index,
+                        jnp.arange(batch.n_atoms_padded, dtype=jnp.int32),
+                    ],
+                    axis=1,
+                ),
+            ),
+            components=(),
+            properties=Labels.range("property", int(features.shape[-1])),
+            mask=batch.atom_mask,
+        )
+        return TensorMap(Labels.single(), [block])
 
     def forward_eval(
         self, params: Any, batch: SystemBatch, outputs: Sequence[str]
@@ -291,6 +345,23 @@ class AtomisticNNModel(ModelInterface):
         new.composition = self.composition.restart(merged)
         new.scaler = self.scaler.restart(merged)
         return new
+
+
+def _flatten_features(raw: Dict[str, Any], batch_data: Dict[str, Any]):
+    """Per-atom internal features from module results: SOAP-BPNN exposes
+    ``_features`` (A, F); PET exposes node/edge feature lists that are
+    concatenated with cutoff-weighted edge sums (reference
+    ``pet/model.py`` 'feature' output)."""
+    if "_features" in raw:
+        return raw["_features"]
+    node_list = raw["_node_features"]
+    edge_list = raw["_edge_features"]
+    cf = batch_data["cutoff_factors"]
+    parts = []
+    for node_f, edge_f in zip(node_list, edge_list):
+        parts.append(node_f)
+        parts.append(jnp.sum(edge_f * cf[:, :, None], axis=1))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def process_stress_like(

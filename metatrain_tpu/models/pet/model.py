@@ -103,6 +103,9 @@ class PET(AtomisticNNModel):
                     "attention_temperature",
                     "transformer_type",
                     "featurizer_type",
+                    "system_conditioning",
+                    "max_charge",
+                    "max_spin_multiplicity",
                 )
             },
             num_species=len(self.atomic_types),
@@ -169,6 +172,14 @@ class PET(AtomisticNNModel):
             "pbc": batch.pbc,
             "system_index": batch.system_index,
             "atom_mask": batch.atom_mask,
+            # conditioning inputs (defaults: neutral singlet, reference
+            # pet/documentation.py:80-84)
+            "charge": batch.extra.get(
+                "charge", jnp.zeros((batch.n_systems_padded,))
+            ),
+            "spin_multiplicity": batch.extra.get(
+                "spin_multiplicity", jnp.ones((batch.n_systems_padded,))
+            ),
         }
 
     def requested_neighbor_cutoff(self) -> float:

@@ -286,6 +286,50 @@ def reverse_edges(edge_array, nbr_reverse):
     return flat[nbr_reverse.reshape(-1)].reshape(edge_array.shape)
 
 
+class SystemConditioningEmbedding(nn.Module):
+    """Charge / spin-multiplicity conditioning, broadcast to atoms.
+
+    Reference ``pet/modules/conditioning.py:8-52``: per-system embeddings
+    of integer charge (in [-max_charge, max_charge]) and spin multiplicity
+    (in [1, max_spin]), combined and passed through a zero-initialized
+    output gate so an unconditioned model is unchanged at init.
+    """
+
+    d_out: int
+    max_charge: int = 10
+    max_spin_multiplicity: int = 10
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, charge, spin_multiplicity, system_index):
+        charge_idx = jnp.clip(
+            charge.astype(jnp.int32) + self.max_charge,
+            0,
+            2 * self.max_charge,
+        )
+        spin_idx = jnp.clip(
+            spin_multiplicity.astype(jnp.int32) - 1,
+            0,
+            self.max_spin_multiplicity - 1,
+        )
+        charge_emb = nn.Embed(
+            2 * self.max_charge + 1, self.d_out, dtype=self.dtype,
+            name="charge_embedding",
+        )(charge_idx)
+        spin_emb = nn.Embed(
+            self.max_spin_multiplicity, self.d_out, dtype=self.dtype,
+            name="spin_embedding",
+        )(spin_idx)
+        combined = jax.nn.silu(charge_emb + spin_emb)
+        gated = nn.Dense(
+            self.d_out,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="gate",
+        )(combined)
+        return gated[system_index]  # (A, d_out)
+
+
 class PETBackbone(nn.Module):
     """Featurizer: species embeddings -> stacked CartesianTransformers.
 
@@ -426,6 +470,22 @@ class PETModule(nn.Module):
         batch_data: Dict[str, Any],
         requested: Sequence[str],
     ) -> Dict[str, Any]:
+        if self.hypers.get("system_conditioning"):
+            conditioning = SystemConditioningEmbedding(
+                d_out=self.hypers["d_node"],
+                max_charge=self.hypers.get("max_charge", 10),
+                max_spin_multiplicity=self.hypers.get(
+                    "max_spin_multiplicity", 10
+                ),
+                dtype=self.dtype,
+                name="system_conditioning",
+            )(
+                batch_data["charge"],
+                batch_data["spin_multiplicity"],
+                batch_data["system_index"],
+            )
+            batch_data = dict(batch_data, conditioning=conditioning)
+
         node_features, edge_features = PETBackbone(
             self.hypers, self.num_species, dtype=self.dtype, name="backbone"
         )(batch_data)

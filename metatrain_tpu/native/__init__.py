@@ -1,0 +1,111 @@
+"""Native (C++) runtime components, loaded through ctypes.
+
+Build happens lazily on first use (g++ available in the deployment
+image); every native entry point has a pure-Python fallback so the
+framework functions without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+logger = logging.getLogger("metatrain_tpu.native")
+
+_HERE = Path(__file__).parent
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+
+def _build_library() -> Optional[Path]:
+    source = _HERE / "neighbors.cpp"
+    lib_path = _HERE / "libneighbors.so"
+    if lib_path.exists() and lib_path.stat().st_mtime >= source.stat().st_mtime:
+        return lib_path
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(source),
+                "-o",
+                str(lib_path),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return lib_path
+    except (subprocess.SubprocessError, FileNotFoundError) as err:
+        logger.warning("native neighbor library build failed: %s", err)
+        return None
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    lib_path = _build_library()
+    if lib_path is None:
+        _LIB_FAILED = True
+        return None
+    lib = ctypes.CDLL(str(lib_path))
+    lib.neighbor_pairs_cell_list.restype = ctypes.c_longlong
+    lib.neighbor_pairs_cell_list.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_double,
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_neighbor_pairs(
+    positions: np.ndarray,
+    cell: np.ndarray,
+    pbc: np.ndarray,
+    cutoff: float,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Full pair list from the C++ cell-list builder, or None if the
+    native library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    cell = np.ascontiguousarray(cell, dtype=np.float64)
+    pbc = np.ascontiguousarray(np.asarray(pbc), dtype=np.uint8)
+    n = len(positions)
+    capacity = max(256, n * 128)
+    for _ in range(6):  # grow on overflow
+        centers = np.empty(capacity, dtype=np.int32)
+        neighbors = np.empty(capacity, dtype=np.int32)
+        shifts = np.empty(3 * capacity, dtype=np.int32)
+        count = lib.neighbor_pairs_cell_list(
+            positions, n, cell, pbc, float(cutoff), capacity,
+            centers, neighbors, shifts,
+        )
+        if count == -2:
+            raise ValueError("degenerate cell for periodic neighbor search")
+        if count >= 0:
+            return (
+                centers[:count].astype(np.int64),
+                neighbors[:count].astype(np.int64),
+                shifts[: 3 * count].reshape(-1, 3).astype(np.int64),
+            )
+        capacity *= 4
+    raise RuntimeError("neighbor pair capacity growth failed")

@@ -1,0 +1,235 @@
+// Native cell-list neighbor builder (the vesin replacement).
+//
+// The reference relies on the vesin C++/CUDA library for O(N) neighbor
+// lists (reference src/metatrain/utils/neighbor_lists.py:131-135). This is
+// the TPU build's host-side equivalent: a triclinic-capable linked-cell
+// pair finder exposed through a C ABI (loaded via ctypes, no pybind11).
+//
+// Output is the full (i -> j and j -> i) pair list with integer cell
+// shifts, matching metatomic's convention: r_ij = pos[j] - pos[i] + S @ cell.
+//
+// Build: g++ -O3 -march=native -shared -fPIC neighbors.cpp -o libneighbors.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Mat3 {
+    double m[3][3];
+};
+
+// invert a 3x3 matrix; returns false if singular
+bool invert3(const double a[3][3], double inv[3][3]) {
+    double det = a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1]) -
+                 a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0]) +
+                 a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0]);
+    if (std::fabs(det) < 1e-300) return false;
+    double id = 1.0 / det;
+    inv[0][0] = (a[1][1] * a[2][2] - a[1][2] * a[2][1]) * id;
+    inv[0][1] = (a[0][2] * a[2][1] - a[0][1] * a[2][2]) * id;
+    inv[0][2] = (a[0][1] * a[1][2] - a[0][2] * a[1][1]) * id;
+    inv[1][0] = (a[1][2] * a[2][0] - a[1][0] * a[2][2]) * id;
+    inv[1][1] = (a[0][0] * a[2][2] - a[0][2] * a[2][0]) * id;
+    inv[1][2] = (a[0][2] * a[1][0] - a[0][0] * a[1][2]) * id;
+    inv[2][0] = (a[1][0] * a[2][1] - a[1][1] * a[2][0]) * id;
+    inv[2][1] = (a[0][1] * a[2][0] - a[0][0] * a[2][1]) * id;
+    inv[2][2] = (a[0][0] * a[1][1] - a[0][1] * a[1][0]) * id;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of (ordered) pairs found, or -1 on overflow of
+// `capacity`, -2 on a degenerate cell.
+//
+// positions: (n_atoms, 3) row-major; cell: (3, 3) row-major (rows are the
+// cell vectors); pbc: 3 bytes. Output arrays must hold `capacity` entries
+// (shifts: 3 * capacity ints).
+long long neighbor_pairs_cell_list(
+    const double* positions, long long n_atoms, const double* cell_in,
+    const uint8_t* pbc, double cutoff, long long capacity,
+    int32_t* out_centers, int32_t* out_neighbors, int32_t* out_shifts) {
+    if (n_atoms == 0) return 0;
+
+    double cell[3][3];
+    std::memcpy(cell, cell_in, sizeof(cell));
+
+    // bounding box for non-periodic axes with zero cell vectors
+    double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+    for (long long i = 0; i < n_atoms; ++i) {
+        for (int k = 0; k < 3; ++k) {
+            double x = positions[3 * i + k];
+            if (x < lo[k]) lo[k] = x;
+            if (x > hi[k]) hi[k] = x;
+        }
+    }
+    bool have_axis[3];
+    for (int k = 0; k < 3; ++k) {
+        double norm2 = cell[k][0] * cell[k][0] + cell[k][1] * cell[k][1] +
+                       cell[k][2] * cell[k][2];
+        have_axis[k] = norm2 > 1e-20;
+    }
+    // replace missing (non-periodic) axes by padded box spans on the
+    // Cartesian axes so the fractional transform is well defined
+    for (int k = 0; k < 3; ++k) {
+        if (!have_axis[k]) {
+            if (pbc[k]) return -2;  // periodic axis needs a cell vector
+            for (int c = 0; c < 3; ++c) cell[k][c] = 0.0;
+            double span = hi[k] - lo[k] + 2.0 * cutoff + 1e-6;
+            cell[k][k] = span;
+        }
+    }
+
+    double inv[3][3];
+    if (!invert3(cell, inv)) return -2;
+
+    // origin shift so fractional coords of non-periodic axes start at ~0
+    double origin[3] = {0.0, 0.0, 0.0};
+    for (int k = 0; k < 3; ++k) {
+        if (!pbc[k]) origin[k] = lo[k] - cutoff - 0.5e-6;
+    }
+
+    // perpendicular widths: w_k = 1 / |column k of inv|
+    double width[3];
+    for (int k = 0; k < 3; ++k) {
+        double norm = std::sqrt(inv[0][k] * inv[0][k] + inv[1][k] * inv[1][k] +
+                                inv[2][k] * inv[2][k]);
+        width[k] = 1.0 / norm;
+    }
+
+    // grid: bins at least `cutoff` wide along each perpendicular direction
+    int nbins[3];
+    int reach[3];
+    for (int k = 0; k < 3; ++k) {
+        nbins[k] = (int)std::floor(width[k] / cutoff);
+        if (nbins[k] < 1) nbins[k] = 1;
+        if (nbins[k] > 64) nbins[k] = 64;  // cap memory for huge boxes
+        // bins to scan: pairs within cutoff can sit up to
+        // floor(cutoff/bin_width) + 1 bins apart (edge-of-bin atoms)
+        double bin_width = width[k] / nbins[k];
+        reach[k] = (int)std::floor(cutoff / bin_width) + 1;
+    }
+
+    const long long total_bins =
+        (long long)nbins[0] * nbins[1] * nbins[2];
+
+    // fractional coordinates; wrap periodic axes into [0, 1)
+    std::vector<double> frac(3 * n_atoms);
+    std::vector<int> wrap_shift(3 * n_atoms, 0);
+    for (long long i = 0; i < n_atoms; ++i) {
+        double r[3] = {positions[3 * i] - origin[0],
+                       positions[3 * i + 1] - origin[1],
+                       positions[3 * i + 2] - origin[2]};
+        for (int k = 0; k < 3; ++k) {
+            double f = r[0] * inv[0][k] + r[1] * inv[1][k] + r[2] * inv[2][k];
+            if (pbc[k]) {
+                double wrapped = f - std::floor(f);
+                wrap_shift[3 * i + k] = (int)std::floor(f);
+                f = wrapped;
+            } else {
+                if (f < 0.0) f = 0.0;
+                if (f >= 1.0) f = 1.0 - 1e-12;
+            }
+            frac[3 * i + k] = f;
+        }
+    }
+
+    // bin atoms (linked list)
+    std::vector<long long> head(total_bins, -1), next(n_atoms, -1);
+    std::vector<int> bin_of(3 * n_atoms);
+    for (long long i = 0; i < n_atoms; ++i) {
+        int b[3];
+        for (int k = 0; k < 3; ++k) {
+            b[k] = (int)(frac[3 * i + k] * nbins[k]);
+            if (b[k] >= nbins[k]) b[k] = nbins[k] - 1;
+            if (b[k] < 0) b[k] = 0;
+            bin_of[3 * i + k] = b[k];
+        }
+        long long bin = ((long long)b[0] * nbins[1] + b[1]) * nbins[2] + b[2];
+        next[i] = head[bin];
+        head[bin] = i;
+    }
+
+    const double cutoff2 = cutoff * cutoff;
+    long long count = 0;
+
+    for (long long i = 0; i < n_atoms; ++i) {
+        const double xi = positions[3 * i], yi = positions[3 * i + 1],
+                     zi = positions[3 * i + 2];
+        const int bi0 = bin_of[3 * i], bi1 = bin_of[3 * i + 1],
+                  bi2 = bin_of[3 * i + 2];
+        for (int d0 = -reach[0]; d0 <= reach[0]; ++d0) {
+            int c0 = bi0 + d0, s0 = 0;
+            if (pbc[0]) {
+                while (c0 < 0) { c0 += nbins[0]; --s0; }
+                while (c0 >= nbins[0]) { c0 -= nbins[0]; ++s0; }
+            } else if (c0 < 0 || c0 >= nbins[0]) {
+                continue;
+            }
+            for (int d1 = -reach[1]; d1 <= reach[1]; ++d1) {
+                int c1 = bi1 + d1, s1 = 0;
+                if (pbc[1]) {
+                    while (c1 < 0) { c1 += nbins[1]; --s1; }
+                    while (c1 >= nbins[1]) { c1 -= nbins[1]; ++s1; }
+                } else if (c1 < 0 || c1 >= nbins[1]) {
+                    continue;
+                }
+                for (int d2 = -reach[2]; d2 <= reach[2]; ++d2) {
+                    int c2 = bi2 + d2, s2 = 0;
+                    if (pbc[2]) {
+                        while (c2 < 0) { c2 += nbins[2]; --s2; }
+                        while (c2 >= nbins[2]) { c2 -= nbins[2]; ++s2; }
+                    } else if (c2 < 0 || c2 >= nbins[2]) {
+                        continue;
+                    }
+                    long long bin =
+                        ((long long)c0 * nbins[1] + c1) * nbins[2] + c2;
+                    for (long long j = head[bin]; j >= 0; j = next[j]) {
+                        // output shift in the original (unwrapped) frame:
+                        // pos_k = wrapped_k + wrap_k @ cell, and the scan
+                        // shift s acts on wrapped coords, so
+                        // S = s + wrap_i - wrap_j
+                        int sj0 = 0, sj1 = 0, sj2 = 0;
+                        if (pbc[0])
+                            sj0 = s0 + wrap_shift[3 * i] - wrap_shift[3 * j];
+                        if (pbc[1])
+                            sj1 = s1 + wrap_shift[3 * i + 1] -
+                                  wrap_shift[3 * j + 1];
+                        if (pbc[2])
+                            sj2 = s2 + wrap_shift[3 * i + 2] -
+                                  wrap_shift[3 * j + 2];
+                        if (j == i && sj0 == 0 && sj1 == 0 && sj2 == 0)
+                            continue;
+                        const double dx = positions[3 * j] +
+                                          sj0 * cell[0][0] + sj1 * cell[1][0] +
+                                          sj2 * cell[2][0] - xi;
+                        const double dy = positions[3 * j + 1] +
+                                          sj0 * cell[0][1] + sj1 * cell[1][1] +
+                                          sj2 * cell[2][1] - yi;
+                        const double dz = positions[3 * j + 2] +
+                                          sj0 * cell[0][2] + sj1 * cell[1][2] +
+                                          sj2 * cell[2][2] - zi;
+                        const double d2_val = dx * dx + dy * dy + dz * dz;
+                        if (d2_val <= cutoff2) {
+                            if (count >= capacity) return -1;
+                            out_centers[count] = (int32_t)i;
+                            out_neighbors[count] = (int32_t)j;
+                            out_shifts[3 * count] = sj0;
+                            out_shifts[3 * count + 1] = sj1;
+                            out_shifts[3 * count + 2] = sj2;
+                            ++count;
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return count;
+}
+
+}  // extern "C"

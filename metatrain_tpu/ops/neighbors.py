@@ -58,8 +58,13 @@ def neighbor_pairs(
     pbc: np.ndarray,
     cutoff: float,
     full_list: bool = True,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All pairs within ``cutoff``: ``(centers, neighbors, shifts)``.
+
+    Dispatches to the C++ linked-cell builder (``native/neighbors.cpp``,
+    the vesin replacement) when available -- O(N), much faster than the
+    scipy image-enumeration fallback at MD sizes.
 
     Self-pairs with zero shift are excluded. With ``full_list`` both ``i->j``
     and ``j->i`` (with opposite shifts) are present; otherwise each pair
@@ -68,6 +73,42 @@ def neighbor_pairs(
     ``i == j`` (periodic self-images) keep shifts in the positive
     half-space.
     """
+    if use_native and len(positions):
+        from ..native import native_neighbor_pairs
+
+        result = native_neighbor_pairs(positions, cell, pbc, cutoff)
+        if result is not None:
+            centers, neighbors, shifts = result
+            if not full_list:
+                keep = (centers < neighbors) | (
+                    (centers == neighbors)
+                    & (
+                        (shifts[:, 0] > 0)
+                        | ((shifts[:, 0] == 0) & (shifts[:, 1] > 0))
+                        | (
+                            (shifts[:, 0] == 0)
+                            & (shifts[:, 1] == 0)
+                            & (shifts[:, 2] > 0)
+                        )
+                    )
+                )
+                centers, neighbors, shifts = (
+                    centers[keep],
+                    neighbors[keep],
+                    shifts[keep],
+                )
+            return centers, neighbors, shifts
+    return _neighbor_pairs_kdtree(positions, cell, pbc, cutoff, full_list)
+
+
+def _neighbor_pairs_kdtree(
+    positions: np.ndarray,
+    cell: np.ndarray,
+    pbc: np.ndarray,
+    cutoff: float,
+    full_list: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """scipy cKDTree fallback (periodic image enumeration)."""
     positions = np.asarray(positions, dtype=np.float64)
     n = len(positions)
     if n == 0:
