@@ -107,6 +107,13 @@ def eval_model(
     accumulator = ErrorAccumulator()
     all_predictions = []
     batch_list = list(loader)
+    if check_consistency:
+        from ..utils.consistency import check_batch_consistency
+
+        for batch in batch_list:
+            check_batch_consistency(
+                batch.systems, model.requested_neighbor_cutoff() or 5.0
+            )
     if batch_list:
         jax.block_until_ready(
             eval_step(model.params, batch_list[0])[1]

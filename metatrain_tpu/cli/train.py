@@ -129,6 +129,10 @@ def train_model(
         trainer = architecture.__trainer__(hypers["training"])
 
     # ---- train ------------------------------------------------------------
+    if options.get("wandb"):
+        from ..utils.wandb_logging import WandbLogger
+
+        trainer.wandb_logger = WandbLogger(options["wandb"], options)
     trainer.train(
         model=model,
         dtype=dtype,

@@ -191,6 +191,51 @@ class DataLoader:
         return len(self.sampler)
 
 
+class PrefetchingLoader:
+    """Background-thread prefetch: overlaps host-side collation with
+    device execution (the role DataLoader worker processes play in the
+    reference, ``utils/data/dataset.py:1145-1205``, without fork)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error_holder = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as err:  # propagate to the consumer
+                error_holder.append(err)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error_holder:
+            raise error_holder[0]
+
+
 class CombinedDataLoader:
     """Interleave batches from several loaders in shuffled order
     (reference ``utils/data/combine_dataloaders.py``)."""

@@ -56,13 +56,59 @@ def write_predictions(
     batches_and_predictions: List[Tuple[object, Dict[str, TensorMap]]],
     target_infos: Dict[str, TargetInfo],
 ) -> None:
+    """Suffix-dispatched writers (reference ``writers/__init__.py:41-50``):
+    ``.xyz`` / ``.extxyz``, ``.npz``, ``.zip`` (DiskDataset), trailing
+    ``/`` (memmap directory)."""
     path = str(path)
     if path.endswith((".xyz", ".extxyz")):
         _write_xyz_predictions(path, batches_and_predictions)
     elif path.endswith(".npz"):
         _write_npz_predictions(path, batches_and_predictions)
+    elif path.endswith(".zip"):
+        _write_zip_predictions(path, batches_and_predictions)
+    elif path.endswith("/"):
+        _write_memmap_predictions(path, batches_and_predictions)
     else:
         raise ValueError(f"no writer for output suffix of {path!r}")
+
+
+def _write_zip_predictions(path, batches_and_predictions):
+    from .disk import DiskDatasetWriter
+
+    with DiskDatasetWriter(path) as writer:
+        for batch, predictions in batches_and_predictions:
+            systems, per_system = _split_batch_predictions(batch, predictions)
+            for system, preds in zip(systems, per_system):
+                fields = {}
+                for name, entry in preds.items():
+                    record = {"values": np.asarray(entry["values"]).reshape(-1)}
+                    if "positions_grad" in entry:
+                        record["positions_gradient"] = entry["positions_grad"]
+                    if "strain_grad" in entry:
+                        record["strain_gradient"] = entry["strain_grad"]
+                    fields[name] = record
+                writer.write(system, fields)
+
+
+def _write_memmap_predictions(path, batches_and_predictions):
+    from .disk import write_memmap_dataset
+
+    systems, energies, forces = [], [], []
+    for batch, predictions in batches_and_predictions:
+        batch_systems, per_system = _split_batch_predictions(
+            batch, predictions
+        )
+        for system, preds in zip(batch_systems, per_system):
+            systems.append(system)
+            first = next(iter(preds.values()))
+            energies.append(float(np.asarray(first["values"]).reshape(-1)[0]))
+            if "positions_grad" in first:
+                forces.append(
+                    -np.asarray(first["positions_grad"]).reshape(len(system), 3)
+                )
+    write_memmap_dataset(
+        path, systems, np.asarray(energies), forces if forces else None
+    )
 
 
 def _write_xyz_predictions(path, batches_and_predictions):

@@ -305,7 +305,9 @@ class NNTrainer(TrainerInterface):
         )
 
         metric_logger = MetricLogger(
-            logger, CSVMetricsWriter(checkpoint_dir / "train.csv")
+            logger,
+            CSVMetricsWriter(checkpoint_dir / "train.csv"),
+            wandb_logger=getattr(self, "wandb_logger", None),
         )
         not_per_atom = ["positions_gradients"] + per_structure
 

@@ -101,9 +101,13 @@ class AtomisticNNModel(ModelInterface):
     def init_params(self, rng: jax.Array) -> Any:
         dummy = self._dummy_batch()
         batch_data = self.preprocess(dummy)
-        self.params = self.module.init(
-            rng, batch_data, tuple(self.output_shapes.keys())
-        )
+        # eager init: flax would otherwise jit-compile the whole forward
+        # graph just to create parameters (tens of seconds for the larger
+        # architectures)
+        with jax.disable_jit():
+            self.params = self.module.init(
+                rng, batch_data, tuple(self.output_shapes.keys())
+            )
         return self.params
 
     def _dummy_batch(self) -> SystemBatch:

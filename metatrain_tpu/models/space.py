@@ -1,0 +1,275 @@
+"""SPACE: SO(3)-equivariant message passing with per-L channel budgets.
+
+TPU-native re-design of the reference ``src/metatrain/experimental/space/``
+(~5,500 LoC torch + a JAX/Equinox inference port, ``space/eqx.py``). The
+reference's padded coupled-basis tensor products with per-L channel
+budgets ``k_max_l`` (``space/modules/tensor_product.py:7-36``) are exactly
+the "padded per-L dense einsum" scheme: every irrep order L carries its
+own (decreasing) channel count, so high-L features stay cheap. Built on
+the same exact real-CG tables as our MACE family, plus:
+
+- adaptive per-atom cutoffs (shared solver with PET,
+  ``models/pet/adaptive.py``);
+- invariant-gated equivariant updates (the nonlinearity acts on L=0 and
+  gates the L>0 channels, preserving equivariance);
+- smooth physically-scaled radial features (Willatt-2018-style scaling of
+  the reference's density hypers).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import SystemBatch
+from ..data.target_info import DatasetInfo
+from ..engine.trainer import DEFAULT_TRAINER_HYPERS, NNTrainer
+from ..ops.cg import real_clebsch_gordan
+from ..ops.radial import cosine_cutoff, radial_basis
+from ..ops.spherical import real_spherical_harmonics
+from .nn_base import AtomisticNNModel
+from .pet.model import PET
+from .pet.modules import cutoff_func_bump
+
+
+DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    "cutoff": 5.0,
+    "cutoff_width": 0.5,
+    "num_neighbors_adaptive": None,
+    "cutoff_width_adaptive": 1.0,
+    "num_radial": 8,
+    "k_max_l": [64, 32, 16],  # per-L channel budgets (defines max_ell)
+    "num_message_passing": 2,
+    "radial_scaling": {"rate": 1.0, "scale": 2.0, "exponent": 7.0},
+    "mlp_width": 64,
+}
+
+
+def _radial_scaling(r, rate, scale, exponent):
+    """Willatt-2018 long-range algebraic decay (reference
+    ``space``/``gap`` SOAPDensityScalingHypers)."""
+    return rate / (rate + (r / scale) ** exponent)
+
+
+class SpaceInteraction(nn.Module):
+    """One SPACE message-passing step with per-L channel budgets."""
+
+    k_max_l: Sequence[int]
+    num_radial: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray], edge_data):
+        radial, sph, nbr_idx, nbr_mask = edge_data
+        lmax = len(self.k_max_l) - 1
+        acc = jnp.promote_types(jnp.float32, self.dtype)
+
+        messages: List[jnp.ndarray] = [
+            jnp.zeros(
+                (features[0].shape[0], self.k_max_l[L], 2 * L + 1),
+                dtype=self.dtype,
+            )
+            for L in range(lmax + 1)
+        ]
+        for l1 in range(lmax + 1):
+            h_nbr = features[l1][nbr_idx]  # (A, M, C_l1, 2l1+1)
+            for l2 in range(lmax + 1):
+                for L in range(abs(l1 - l2), min(l1 + l2, lmax) + 1):
+                    cg = jnp.asarray(real_clebsch_gordan(l1, l2, L), dtype=acc)
+                    # per-path radial weights mapped into the *output*
+                    # budget C_L: first project the l1 channels to C_L so
+                    # mismatched budgets couple cleanly
+                    w = nn.Dense(
+                        self.k_max_l[L],
+                        use_bias=False,
+                        dtype=self.dtype,
+                        name=f"radial_{l1}_{l2}_{L}",
+                    )(radial)  # (A, M, C_L)
+                    h_proj = nn.Dense(
+                        self.k_max_l[L],
+                        use_bias=False,
+                        dtype=self.dtype,
+                        name=f"channel_{l1}_{l2}_{L}",
+                    )(h_nbr.transpose(0, 1, 3, 2)).transpose(0, 1, 3, 2)
+                    weighted = h_proj * w[:, :, :, None]
+                    outer = jnp.einsum(
+                        "amcp,amq->acpq",
+                        weighted,
+                        sph[l2],
+                        preferred_element_type=acc,
+                    )
+                    messages[L] = messages[L] + jnp.einsum(
+                        "acpq,pqk->ack", outer, cg, preferred_element_type=acc
+                    ).astype(self.dtype)
+
+        # invariant-gated update: MLP on L=0, sigmoid gates for L>0
+        inv = messages[0][:, :, 0]
+        inv_update = nn.Dense(
+            self.k_max_l[0], dtype=self.dtype, name="invariant_mlp_0"
+        )(inv)
+        inv_update = jax.nn.silu(inv_update)
+        inv_update = nn.Dense(
+            self.k_max_l[0], dtype=self.dtype, name="invariant_mlp_1"
+        )(inv_update)
+
+        out: List[jnp.ndarray] = [
+            features[0] + inv_update[:, :, None]
+        ]
+        for L in range(1, lmax + 1):
+            gate = jax.nn.sigmoid(
+                nn.Dense(
+                    self.k_max_l[L], dtype=self.dtype, name=f"gate_{L}"
+                )(inv)
+            )
+            mixed = nn.Dense(
+                self.k_max_l[L],
+                use_bias=False,
+                dtype=self.dtype,
+                name=f"mix_{L}",
+            )(messages[L].transpose(0, 2, 1)).transpose(0, 2, 1)
+            out.append(features[L] + mixed * gate[:, :, None])
+        return out
+
+
+class SpaceModule(nn.Module):
+    hypers: Dict[str, Any]
+    num_species: int
+    output_shapes: Dict[str, Dict[str, int]]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_data: Dict[str, Any], requested: Sequence[str]):
+        hp = self.hypers
+        k_max_l = list(hp["k_max_l"])
+        lmax = len(k_max_l) - 1
+        A, M = batch_data["nbr_mask"].shape
+
+        distances = batch_data["edge_distances"]
+        scaling = _radial_scaling(
+            distances,
+            hp["radial_scaling"]["rate"],
+            hp["radial_scaling"]["scale"],
+            hp["radial_scaling"]["exponent"],
+        )
+        radial = radial_basis(
+            distances, hp["cutoff"], hp["num_radial"], "bessel", hp["cutoff_width"]
+        ) * (scaling * batch_data["cutoff_factors"])[:, :, None]
+        radial = jnp.where(
+            batch_data["nbr_mask"][:, :, None], radial, 0.0
+        ).astype(self.dtype)
+        unit = batch_data["edge_vectors"] / jnp.maximum(
+            distances, 1e-10
+        )[:, :, None]
+        sph = [
+            jnp.where(batch_data["nbr_mask"][:, :, None], y, 0.0).astype(
+                self.dtype
+            )
+            for y in real_spherical_harmonics(unit, lmax)
+        ]
+
+        h0 = nn.Embed(
+            self.num_species, k_max_l[0], dtype=self.dtype,
+            name="species_embedding",
+        )(batch_data["species_index"])
+        features: List[jnp.ndarray] = [h0[:, :, None]] + [
+            jnp.zeros((A, k_max_l[L], 2 * L + 1), dtype=self.dtype)
+            for L in range(1, lmax + 1)
+        ]
+
+        edge_data = (
+            radial, sph, batch_data["nbr_indices"], batch_data["nbr_mask"]
+        )
+        for t in range(hp["num_message_passing"]):
+            features = SpaceInteraction(
+                k_max_l=k_max_l,
+                num_radial=hp["num_radial"],
+                dtype=self.dtype,
+                name=f"interaction_{t}",
+            )(features, edge_data)
+
+        invariants = features[0][:, :, 0]
+        hidden = nn.Dense(hp["mlp_width"], dtype=self.dtype, name="readout_0")(
+            invariants
+        )
+        hidden = jax.nn.silu(hidden)
+
+        results: Dict[str, Any] = {"_features": invariants}
+        for target_name, shapes in self.output_shapes.items():
+            if target_name not in requested:
+                continue
+            safe = target_name.replace(":", "_")
+            head = nn.Dense(
+                hp["mlp_width"], dtype=self.dtype, name=f"head_{safe}"
+            )(hidden)
+            head = jax.nn.silu(head)
+            results[f"_ll_features::{target_name}"] = head
+            per_block = {}
+            for block_key, size in shapes.items():
+                per_block[block_key] = nn.Dense(
+                    size, dtype=self.dtype, name=f"last_{safe}_{block_key}"
+                )(head)
+            results[target_name] = per_block
+        return results
+
+
+class SPACE(AtomisticNNModel):
+    ARCHITECTURE_NAME = "experimental.space"
+    __checkpoint_version__ = 1
+    __supported_dtypes__ = [jnp.float64, jnp.float32]
+
+    def __init__(self, hypers, dataset_info: DatasetInfo, compute_dtype=jnp.float32):
+        full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
+        for key, value in (hypers or {}).items():
+            if isinstance(value, dict) and isinstance(full.get(key), dict):
+                merged = copy.deepcopy(full[key])
+                merged.update(value)
+                full[key] = merged
+            else:
+                full[key] = value
+        super().__init__(full, dataset_info, compute_dtype)
+        for name, info in self.target_infos.items():
+            if not info.is_scalar:
+                raise NotImplementedError(
+                    f"SPACE tensorial target '{name}': equivariant readout "
+                    "for non-scalar targets pending"
+                )
+        self.cutoff = float(full["cutoff"])
+        self.cutoff_width = float(full["cutoff_width"])
+        self.cutoff_function = "bump"
+        self.num_neighbors_adaptive = full["num_neighbors_adaptive"]
+        self.cutoff_width_adaptive = float(full["cutoff_width_adaptive"])
+        self.module = SpaceModule(
+            hypers=dict(full),
+            num_species=len(self.atomic_types),
+            output_shapes=self.output_shapes,
+            dtype=compute_dtype,
+        )
+
+    def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
+        # reuse PET's preprocessing: edge geometry, adaptive cutoffs and
+        # smooth cutoff factors behave identically
+        data = PET.preprocess(self, batch)
+        data["nbr_indices"] = batch.nbr_indices
+        return data
+
+    def requested_neighbor_cutoff(self) -> float:
+        return self.cutoff
+
+
+class SPACETrainer(NNTrainer):
+    DEFAULT_HYPERS = copy.deepcopy(DEFAULT_TRAINER_HYPERS)
+    DEFAULT_HYPERS.update({"learning_rate": 3e-3, "o3_augmentation": False})
+
+
+__model__ = SPACE
+__trainer__ = SPACETrainer
+
+DEFAULT_HYPERS = {
+    "model": copy.deepcopy(DEFAULT_MODEL_HYPERS),
+    "training": copy.deepcopy(SPACETrainer.DEFAULT_HYPERS),
+}

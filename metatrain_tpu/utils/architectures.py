@@ -23,8 +23,10 @@ ARCHITECTURES: Dict[str, str] = {
     "gap": "metatrain_tpu.models.gap",
     "llpr": "metatrain_tpu.models.llpr",
     "experimental.flashmd": "metatrain_tpu.models.flashmd",
+    "experimental.flashmd_symplectic": "metatrain_tpu.models.flashmd_symplectic",
     "experimental.classifier": "metatrain_tpu.models.classifier",
     "experimental.mace": "metatrain_tpu.models.mace",
+    "experimental.space": "metatrain_tpu.models.space",
 }
 
 

@@ -187,6 +187,12 @@ def save_expanded_options(options: Dict[str, Any], path: Union[str, Path]) -> No
         yaml.safe_dump(copy.deepcopy(options), f, sort_keys=False)
 
 
+def options_json_schema() -> Dict[str, Any]:
+    """JSON schema of the base options file (reference
+    ``utils/pydantic.py:478``) -- for editor integration and docs."""
+    return _BaseOptions.model_json_schema()
+
+
 def merge_architecture_hypers(
     name: str, user: Dict[str, Any]
 ) -> Dict[str, Any]:

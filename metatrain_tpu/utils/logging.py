@@ -77,9 +77,11 @@ class MetricLogger:
         self,
         logger: logging.Logger,
         csv_writer: Optional[CSVMetricsWriter] = None,
+        wandb_logger=None,
     ):
         self.logger = logger
         self.csv_writer = csv_writer
+        self.wandb_logger = wandb_logger
 
     def log(
         self,
@@ -104,3 +106,7 @@ class MetricLogger:
             if learning_rate is not None:
                 row["learning_rate"] = learning_rate
             self.csv_writer.write(row)
+        if self.wandb_logger is not None and getattr(
+            self.wandb_logger, "active", False
+        ):
+            self.wandb_logger.log(dict(metrics), step=epoch)

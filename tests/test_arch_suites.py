@@ -53,3 +53,15 @@ class TestMACE(ArchitectureTests):
         "mlp_width": 8,
     }
     supports_forces = True
+
+
+class TestSPACE(ArchitectureTests):
+    architecture = "experimental.space"
+    minimal_model_hypers = {
+        "cutoff": 4.5,
+        "num_radial": 3,
+        "k_max_l": [8, 4],
+        "num_message_passing": 1,
+        "mlp_width": 8,
+    }
+    supports_forces = True
