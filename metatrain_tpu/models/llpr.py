@@ -139,10 +139,14 @@ class LLPRUncertaintyModel(ModelInterface):
             else:
                 raise RuntimeError(f"covariance for '{name}' cannot be inverted")
 
-    def calibrate(self, val_dataset: Dataset) -> None:
-        """Ratio calibration on a validation set
-        (reference ``llpr/calibration.py:10``): alpha^2 = mean(residual^2 /
-        raw variance)."""
+    def calibrate(self, val_dataset: Dataset, method: str = "ratio") -> None:
+        """Uncertainty calibration on a validation set.
+
+        :param method: ``"ratio"`` (reference ``llpr/calibration.py:10``,
+            alpha^2 = mean(residual^2 / raw variance)) or ``"crps"``
+            (minimize the Gaussian CRPS of N(pred, alpha^2 sigma^2),
+            reference ``llpr/calibration.py:84``).
+        """
         collate = CollateFn(
             cutoff=self.model.requested_neighbor_cutoff() or 5.0,
             target_infos={
@@ -156,7 +160,8 @@ class LLPRUncertaintyModel(ModelInterface):
             BatchSampler(len(val_dataset), self.hypers["batch_size"], shuffle=False),
             collate,
         )
-        ratios: Dict[str, List[float]] = {n: [] for n in self.target_names}
+        residuals_sq: Dict[str, List[float]] = {n: [] for n in self.target_names}
+        variances: Dict[str, List[float]] = {n: [] for n in self.target_names}
         for batch in loader:
             predictions = self.model.forward_eval(
                 self.model.params, batch.systems, list(batch.targets)
@@ -174,12 +179,21 @@ class LLPRUncertaintyModel(ModelInterface):
                 tgt = np.asarray(jax.device_get(tgt_block.values))
                 mask = np.asarray(jax.device_get(tgt_block.mask))
                 residual_sq = ((pred - tgt) ** 2).reshape(len(mask), -1).sum(1)
-                ratios[name].extend(
-                    (residual_sq[mask] / np.maximum(variance[mask], 1e-30)).tolist()
+                residuals_sq[name].extend(residual_sq[mask].tolist())
+                variances[name].extend(
+                    np.maximum(variance[mask], 1e-30).tolist()
                 )
-        for name, values in ratios.items():
-            if values:
-                self.calibration[name] = float(np.mean(values))
+        for name in self.target_names:
+            r2 = np.asarray(residuals_sq[name])
+            var = np.asarray(variances[name])
+            if not len(r2):
+                continue
+            if method == "ratio":
+                self.calibration[name] = float(np.mean(r2 / var))
+            elif method == "crps":
+                self.calibration[name] = _crps_calibrate(r2, var)
+            else:
+                raise ValueError(f"unknown calibration method {method!r}")
 
     def _raw_variance(self, batch: SystemBatch, name: str) -> jnp.ndarray:
         feats = self.model.last_layer_features(self.model.params, batch, name)
@@ -287,6 +301,41 @@ class LLPRUncertaintyModel(ModelInterface):
         model.ensemble_weights = checkpoint["ensemble_weights"]
         model.init_params()
         return model
+
+
+def _crps_calibrate(residual_sq: np.ndarray, variance: np.ndarray) -> float:
+    """alpha^2 minimizing the mean Gaussian CRPS of N(pred, a^2 var):
+    CRPS(N(0, s^2), r) = s * [z(2 Phi(z) - 1) + 2 phi(z) - 1/sqrt(pi)]
+    with z = r / s. Golden-section search over log alpha^2."""
+    from scipy.stats import norm
+
+    abs_r = np.sqrt(residual_sq)
+    sigma = np.sqrt(variance)
+
+    def mean_crps(log_a2):
+        s = sigma * np.exp(0.5 * log_a2)
+        z = abs_r / s
+        return float(
+            np.mean(
+                s
+                * (
+                    z * (2 * norm.cdf(z) - 1)
+                    + 2 * norm.pdf(z)
+                    - 1.0 / np.sqrt(np.pi)
+                )
+            )
+        )
+
+    lo, hi = -20.0, 20.0
+    golden_ratio = (np.sqrt(5.0) - 1) / 2
+    for _ in range(60):
+        m1 = hi - golden_ratio * (hi - lo)
+        m2 = lo + golden_ratio * (hi - lo)
+        if mean_crps(m1) < mean_crps(m2):
+            hi = m2
+        else:
+            lo = m1
+    return float(np.exp(0.5 * (lo + hi)))
 
 
 def _scalar_map(values, batch, per_atom: bool) -> TensorMap:
