@@ -47,6 +47,10 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "system_conditioning": False,
     "max_charge": 10,
     "max_spin_multiplicity": 10,
+    # TPU memory knob: rematerialize GNN layers in the backward pass
+    "remat": False,
+    # fused Pallas transformer layers (PreLN/RMSNorm/SwiGLU configs only)
+    "fused_layers": True,
 }
 
 
@@ -103,6 +107,8 @@ class PET(AtomisticNNModel):
                     "attention_temperature",
                     "transformer_type",
                     "featurizer_type",
+                    "remat",
+                    "fused_layers",
                     "system_conditioning",
                     "max_charge",
                     "max_spin_multiplicity",

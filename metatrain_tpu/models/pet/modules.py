@@ -200,6 +200,95 @@ class TransformerLayer(nn.Module):
         return out_node, out_edges
 
 
+class FusedTransformerLayer(nn.Module):
+    """PreLN/RMSNorm/SwiGLU transformer layer backed by the fused Pallas
+    mega-kernel (``ops/pallas/fused_layer.py``): one HBM read + write per
+    layer instead of ~10 activation round-trips. The node-stream pieces
+    (center contraction/expansion, center MLP) are tiny O(A x d) XLA ops.
+    """
+
+    d_model: int
+    num_heads: int
+    d_node: int
+    d_feedforward: int
+    temperature: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_emb, edge_emb, attn_bias):
+        from ...ops.pallas.attention import reference_window_attention  # noqa
+        from ...ops.pallas.fused_layer import (
+            LayerWeights,
+            fused_transformer_layer,
+        )
+
+        D = self.d_model
+        expanded = self.d_node != D
+        head_dim = D // self.num_heads
+        scale = 1.0 / (head_dim**0.5 * self.temperature)
+
+        def param(name, shape, init=nn.initializers.lecun_normal()):
+            if len(shape) == 1 and name.startswith("b_"):
+                init = nn.initializers.zeros
+            if name.startswith("norm_"):
+                init = nn.initializers.ones
+            return self.param(name, init, shape)
+
+        weights = LayerWeights(
+            norm_attn=param("norm_attn", (D,)),
+            w_qkv=param("w_qkv", (D, 3 * D)),
+            b_qkv=param("b_qkv", (3 * D,)),
+            w_out=param("w_out", (D, D)),
+            b_out=param("b_out", (D,)),
+            norm_mlp=param("norm_mlp", (D,)),
+            w_in=param("w_in", (D, 2 * self.d_feedforward)),
+            b_in=param("b_in", (2 * self.d_feedforward,)),
+            w_ffn_out=param("w_ffn_out", (self.d_feedforward, D)),
+            b_ffn_out=param("b_ffn_out", (D,)),
+        )
+        weights = LayerWeights(*(w.astype(self.dtype) for w in weights))
+
+        if expanded:
+            center_token = nn.Dense(
+                D, dtype=self.dtype, name="center_contraction"
+            )(node_emb)
+        else:
+            center_token = node_emb
+        tokens = jnp.concatenate(
+            [center_token[:, None, :], edge_emb], axis=1
+        ).astype(self.dtype)
+
+        use_kernel = jax.default_backend() == "tpu" and self.dtype in (
+            jnp.float32,
+            jnp.bfloat16,
+        )
+        if use_kernel:
+            edge_out, center_attn = fused_transformer_layer(
+                tokens, attn_bias, weights, self.num_heads, scale
+            )
+        else:
+            from ...ops.pallas.fused_layer import _layer_math
+
+            edge_out, center_attn = _layer_math(
+                tokens, attn_bias, weights, self.num_heads, scale
+            )
+
+        if expanded:
+            out_node = node_emb + nn.Dense(
+                self.d_node, dtype=self.dtype, name="center_expansion"
+            )(center_attn)
+            out_node = out_node + FeedForward(
+                self.d_node,
+                2 * self.d_node,
+                "SwiGLU",
+                self.dtype,
+                name="center_mlp",
+            )(nn.RMSNorm(dtype=self.dtype, name="norm_center_features")(out_node))
+        else:
+            out_node = node_emb + center_attn
+        return out_node, edge_out
+
+
 class CartesianTransformer(nn.Module):
     """One GNN layer: geometric edge tokens -> windowed attention.
 
@@ -222,6 +311,7 @@ class CartesianTransformer(nn.Module):
     num_species: int
     is_first: bool
     dtype: Any = jnp.float32
+    fused_layers: bool = True
 
     @nn.compact
     def __call__(
@@ -261,20 +351,37 @@ class CartesianTransformer(nn.Module):
         )
         attn_bias = jnp.log(jnp.clip(cf_tokens, EPSILON_ATTN, None))
 
+        use_fused_layer = (
+            self.fused_layers
+            and self.normalization == "RMSNorm"
+            and self.activation == "SwiGLU"
+            and self.transformer_type == "PreLN"
+        )
         out_node, out_edges = node_emb, edge_tokens
         for i in range(self.num_attention_layers):
-            out_node, out_edges = TransformerLayer(
-                d_model=self.d_pet,
-                num_heads=self.num_heads,
-                d_node=self.d_node,
-                d_feedforward=self.d_feedforward,
-                normalization=self.normalization,
-                activation=self.activation,
-                transformer_type=self.transformer_type,
-                temperature=self.temperature,
-                dtype=self.dtype,
-                name=f"layer_{i}",
-            )(out_node, out_edges, attn_bias)
+            if use_fused_layer:
+                out_node, out_edges = FusedTransformerLayer(
+                    d_model=self.d_pet,
+                    num_heads=self.num_heads,
+                    d_node=self.d_node,
+                    d_feedforward=self.d_feedforward,
+                    temperature=self.temperature,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(out_node, out_edges, attn_bias)
+            else:
+                out_node, out_edges = TransformerLayer(
+                    d_model=self.d_pet,
+                    num_heads=self.num_heads,
+                    d_node=self.d_node,
+                    d_feedforward=self.d_feedforward,
+                    normalization=self.normalization,
+                    activation=self.activation,
+                    transformer_type=self.transformer_type,
+                    temperature=self.temperature,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(out_node, out_edges, attn_bias)
         return out_node, out_edges
 
 
@@ -349,6 +456,15 @@ class PETBackbone(nn.Module):
         num_gnn = hp["num_gnn_layers"]
         feedforward = hp["featurizer_type"] == "feedforward"
         num_readout = 1 if feedforward else num_gnn
+        # rematerialize each GNN layer in the backward pass: activations
+        # are recomputed instead of stored, the standard TPU memory/FLOP
+        # trade for training with forces (double backward doubles the
+        # stored-activation footprint otherwise)
+        layer_cls = (
+            nn.remat(CartesianTransformer)
+            if hp.get("remat", False)
+            else CartesianTransformer
+        )
 
         species_idx = batch_data["species_index"]  # (A,)
         nbr_species_idx = batch_data["neighbor_species_index"]  # (A, M)
@@ -365,7 +481,7 @@ class PETBackbone(nn.Module):
         )
 
         gnn_layers = [
-            CartesianTransformer(
+            layer_cls(
                 d_pet=d_pet,
                 d_node=d_node,
                 d_head_dim_total=d_pet,
@@ -378,6 +494,7 @@ class PETBackbone(nn.Module):
                 temperature=hp["attention_temperature"],
                 num_species=self.num_species,
                 is_first=(i == 0),
+                fused_layers=hp.get("fused_layers", True),
                 dtype=self.dtype,
                 name=f"gnn_layer_{i}",
             )

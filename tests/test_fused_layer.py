@@ -1,0 +1,85 @@
+"""Fused transformer layer kernel vs its XLA math (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metatrain_tpu.ops.pallas.fused_layer import (
+    LayerWeights,
+    _forward_impl,
+    _layer_math,
+    fused_transformer_layer,
+)
+
+
+def _random_weights(rng, D, F):
+    def w(*shape):
+        return jnp.asarray(rng.normal(size=shape) * 0.1, dtype=jnp.float32)
+
+    return LayerWeights(
+        norm_attn=jnp.ones((D,)),
+        w_qkv=w(D, 3 * D),
+        b_qkv=w(3 * D),
+        w_out=w(D, D),
+        b_out=w(D),
+        norm_mlp=jnp.ones((D,)),
+        w_in=w(D, 2 * F),
+        b_in=w(2 * F),
+        w_ffn_out=w(F, D),
+        b_ffn_out=w(D),
+    )
+
+
+def test_fused_kernel_matches_math():
+    rng = np.random.default_rng(0)
+    A, T, D, F, H = 21, 9, 32, 16, 4
+    tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
+    weights = _random_weights(rng, D, F)
+
+    edge_k, center_k = _forward_impl(tokens, bias, weights, H, 0.3)
+    edge_m, center_m = _layer_math(tokens, bias, weights, H, 0.3)
+    np.testing.assert_allclose(
+        np.asarray(edge_k), np.asarray(edge_m), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(center_k), np.asarray(center_m), atol=2e-5
+    )
+
+
+def test_fused_layer_gradients_and_double_backward():
+    rng = np.random.default_rng(1)
+    A, T, D, F, H = 10, 7, 16, 8, 2
+    tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
+    weights = _random_weights(rng, D, F)
+
+    def loss_fused(tokens, bias, weights):
+        e, c = fused_transformer_layer(tokens, bias, weights, H, 0.5)
+        return jnp.sum(e**2) + jnp.sum(c**2)
+
+    def loss_math(tokens, bias, weights):
+        e, c = _layer_math(tokens, bias, weights, H, 0.5)
+        return jnp.sum(e**2) + jnp.sum(c**2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(tokens, bias, weights)
+    g_math = jax.grad(loss_math, argnums=(0, 1))(tokens, bias, weights)
+    for a, b in zip(g_fused, g_math):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+    # grad-of-grad (training with forces through the fused layer)
+    def outer(tokens):
+        g = jax.grad(loss_fused)(tokens, bias, weights)
+        return jnp.sum(g**2)
+
+    gg = jax.grad(outer)(tokens)
+    def outer_math(tokens):
+        g = jax.grad(loss_math)(tokens, bias, weights)
+        return jnp.sum(g**2)
+
+    gg_ref = jax.grad(outer_math)(tokens)
+    np.testing.assert_allclose(
+        np.asarray(gg), np.asarray(gg_ref), rtol=1e-3, atol=1e-3
+    )
