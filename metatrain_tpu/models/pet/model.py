@@ -49,8 +49,12 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "max_spin_multiplicity": 10,
     # TPU memory knob: rematerialize GNN layers in the backward pass
     "remat": False,
-    # fused Pallas transformer layers (PreLN/RMSNorm/SwiGLU configs only)
-    "fused_layers": True,
+    # fully-fused Pallas transformer layers (PreLN/RMSNorm/SwiGLU only).
+    # Off by default: measured slower than the fused-attention path on
+    # v5e (Mosaic executes the per-head batched small matmuls at ~1 TF/s
+    # either way, and the mega-kernel serializes more VPU work between
+    # them); kept for further kernel iteration.
+    "fused_layers": False,
 }
 
 
