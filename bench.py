@@ -22,6 +22,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: first run pays the (remote) XLA compile,
+    # subsequent bench invocations load it in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mtt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
     from metatrain_tpu.containers import System, batch_from_systems, bucket_size
