@@ -1,0 +1,197 @@
+"""DPA3-family: line-graph (triplet) message passing, native.
+
+The reference wraps deepmd-kit's DPA3 (``experimental/dpa3/model.py:11``
+-- a dependency this build replaces rather than imports). This is a
+native re-derivation of the line-graph GNN idea on the NEF layout: edges
+are the nodes of the line graph, and messages flow between edges sharing
+a center atom, weighted by angular features of the triplet
+``cos(theta_jik) = u_ij . u_ik``:
+
+    a_ij^(t+1) = MLP_e( a_ij^(t),
+                        sum_k fc_ik * P(cos theta_jik) W a_ik^(t) )
+    h_i = sum_j fc_ij * a_ij  -> per-atom MLP -> targets
+
+The triplet contraction is one dense (A, M, M) einsum per layer --
+exactly the windowed-attention compute shape the rest of the stack is
+built around.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import SystemBatch
+from ..data.target_info import DatasetInfo
+from ..engine.trainer import DEFAULT_TRAINER_HYPERS, NNTrainer
+from ..ops.radial import radial_basis
+from .nn_base import AtomisticNNModel
+
+
+DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    "cutoff": 5.0,
+    "cutoff_width": 0.5,
+    "num_radial": 8,
+    "d_edge": 32,
+    "num_layers": 2,
+    "num_angular": 4,  # Legendre order of the angular expansion
+    "mlp_width": 64,
+}
+
+
+def _legendre(x, n_max: int):
+    """Legendre polynomials P_0..P_n of cos(theta), stacked on axis -1."""
+    polys = [jnp.ones_like(x), x]
+    for n in range(1, n_max):
+        polys.append(((2 * n + 1) * x * polys[-1] - n * polys[-2]) / (n + 1))
+    return jnp.stack(polys[: n_max + 1], axis=-1)
+
+
+class DPA3Module(nn.Module):
+    hypers: Dict[str, Any]
+    num_species: int
+    output_shapes: Dict[str, Dict[str, int]]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_data: Dict[str, Any], requested: Sequence[str]):
+        hp = self.hypers
+        d_edge = hp["d_edge"]
+        n_ang = hp["num_angular"]
+        A, M = batch_data["nbr_mask"].shape
+        acc = jnp.promote_types(jnp.float32, self.dtype)
+
+        distances = batch_data["edge_distances"]
+        vectors = batch_data["edge_vectors"]
+        nbr_mask = batch_data["nbr_mask"]
+        unit = vectors / jnp.maximum(distances, 1e-10)[:, :, None]
+
+        fc = batch_data["cutoff_factors"]
+        fc = jnp.where(nbr_mask, fc, 0.0).astype(self.dtype)
+
+        radial = radial_basis(
+            distances, hp["cutoff"], hp["num_radial"], "bessel", hp["cutoff_width"]
+        ).astype(self.dtype)
+        radial = jnp.where(nbr_mask[:, :, None], radial, 0.0)
+
+        species_emb = nn.Embed(
+            self.num_species, d_edge, dtype=self.dtype, name="species_embedding"
+        )(batch_data["neighbor_species_index"])
+        edge = nn.Dense(d_edge, dtype=self.dtype, name="edge_init")(
+            jnp.concatenate([radial, species_emb], axis=-1)
+        )
+        edge = jax.nn.silu(edge)
+
+        # angular features of every (j, k) pair around each center:
+        # cos(theta)[a, j, k] = u_aj . u_ak -> Legendre expansion
+        cos_t = jnp.einsum(
+            "amc,anc->amn", unit, unit, preferred_element_type=acc
+        ).astype(self.dtype)
+        angular = _legendre(jnp.clip(cos_t, -1.0, 1.0), n_ang)  # (A,M,M,n+1)
+
+        for layer in range(hp["num_layers"]):
+            # project incoming edges per angular channel, contract triplets
+            w_k = nn.Dense(
+                d_edge * (n_ang + 1),
+                use_bias=False,
+                dtype=self.dtype,
+                name=f"triplet_proj_{layer}",
+            )(edge).reshape(A, M, n_ang + 1, d_edge)
+            w_k = w_k * fc[:, :, None, None]
+            # m[a, j, d] = sum_k sum_p angular[a,j,k,p] * w_k[a,k,p,d]
+            message = jnp.einsum(
+                "amnp,anpd->amd", angular, w_k, preferred_element_type=acc
+            ).astype(self.dtype)
+            update = nn.Dense(
+                d_edge, dtype=self.dtype, name=f"edge_update_{layer}_0"
+            )(jnp.concatenate([edge, message], axis=-1))
+            update = jax.nn.silu(update)
+            update = nn.Dense(
+                d_edge, dtype=self.dtype, name=f"edge_update_{layer}_1"
+            )(update)
+            edge = edge + update
+
+        node = jnp.einsum(
+            "amd,am->ad", edge.astype(acc), fc.astype(acc)
+        ).astype(self.dtype)
+        hidden = nn.Dense(hp["mlp_width"], dtype=self.dtype, name="readout_0")(node)
+        hidden = jax.nn.silu(hidden)
+
+        results: Dict[str, Any] = {"_features": node}
+        for target_name, shapes in self.output_shapes.items():
+            if target_name not in requested:
+                continue
+            safe = target_name.replace(":", "_")
+            head = nn.Dense(
+                hp["mlp_width"], dtype=self.dtype, name=f"head_{safe}"
+            )(hidden)
+            head = jax.nn.silu(head)
+            results[f"_ll_features::{target_name}"] = head
+            per_block = {}
+            for block_key, size in shapes.items():
+                per_block[block_key] = nn.Dense(
+                    size, dtype=self.dtype, name=f"last_{safe}_{block_key}"
+                )(head)
+            results[target_name] = per_block
+        return results
+
+
+class DPA3(AtomisticNNModel):
+    ARCHITECTURE_NAME = "experimental.dpa3"
+    __checkpoint_version__ = 1
+    __supported_dtypes__ = [jnp.float64, jnp.float32]
+
+    def __init__(self, hypers, dataset_info: DatasetInfo, compute_dtype=jnp.float32):
+        full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
+        full.update(hypers or {})
+        super().__init__(full, dataset_info, compute_dtype)
+        for name, info in self.target_infos.items():
+            if not info.is_scalar:
+                raise NotImplementedError(
+                    f"DPA3 tensorial target '{name}' is not supported"
+                )
+        self.cutoff = float(full["cutoff"])
+        self.cutoff_width = float(full["cutoff_width"])
+        self.module = DPA3Module(
+            hypers=dict(full),
+            num_species=len(self.atomic_types),
+            output_shapes=self.output_shapes,
+            dtype=compute_dtype,
+        )
+
+    def preprocess(self, batch: SystemBatch) -> Dict[str, Any]:
+        from ..ops.radial import cosine_cutoff
+
+        vectors, distances = batch.edge_vectors()
+        species_index = self.species_index(batch)
+        fc = cosine_cutoff(distances, self.cutoff, self.cutoff_width)
+        return {
+            "species_index": species_index,
+            "neighbor_species_index": species_index[batch.nbr_indices],
+            "edge_vectors": vectors,
+            "edge_distances": distances,
+            "nbr_mask": batch.nbr_mask,
+            "cutoff_factors": jnp.where(batch.nbr_mask, fc, 0.0),
+        }
+
+    def requested_neighbor_cutoff(self) -> float:
+        return self.cutoff
+
+
+class DPA3Trainer(NNTrainer):
+    DEFAULT_HYPERS = copy.deepcopy(DEFAULT_TRAINER_HYPERS)
+    DEFAULT_HYPERS.update({"learning_rate": 1e-3, "o3_augmentation": False})
+
+
+__model__ = DPA3
+__trainer__ = DPA3Trainer
+
+DEFAULT_HYPERS = {
+    "model": copy.deepcopy(DEFAULT_MODEL_HYPERS),
+    "training": copy.deepcopy(DPA3Trainer.DEFAULT_HYPERS),
+}

@@ -27,6 +27,7 @@ ARCHITECTURES: Dict[str, str] = {
     "experimental.classifier": "metatrain_tpu.models.classifier",
     "experimental.mace": "metatrain_tpu.models.mace",
     "experimental.space": "metatrain_tpu.models.space",
+    "experimental.dpa3": "metatrain_tpu.models.dpa3",
 }
 
 

@@ -65,3 +65,16 @@ class TestSPACE(ArchitectureTests):
         "mlp_width": 8,
     }
     supports_forces = True
+
+
+class TestDPA3(ArchitectureTests):
+    architecture = "experimental.dpa3"
+    minimal_model_hypers = {
+        "cutoff": 4.5,
+        "num_radial": 3,
+        "d_edge": 8,
+        "num_layers": 1,
+        "num_angular": 2,
+        "mlp_width": 8,
+    }
+    supports_forces = True
