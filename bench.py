@@ -29,7 +29,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
-    from metatrain_tpu.containers import System, batch_from_systems, bucket_size
+    from metatrain_tpu.containers import System, batch_from_systems, bucket_atoms, bucket_neighbors
     from metatrain_tpu.data.target_info import DatasetInfo, get_energy_target_info
     from metatrain_tpu.engine.evaluate import evaluate_model
     from metatrain_tpu.models.pet import PET
@@ -66,7 +66,15 @@ def main():
             "energy": get_energy_target_info("eV", add_position_gradients=True)
         },
     )
-    model = PET({}, dataset_info)  # default hypers: cutoff 4.5, d_pet 128, ...
+    # compute dtype: bf16 is the production TPU configuration (force parity
+    # vs f32 is asserted in tests/test_bf16_parity.py); MTT_BENCH_DTYPE=f32
+    # benches the full-precision path
+    compute_dtype = (
+        jnp.float32
+        if os.environ.get("MTT_BENCH_DTYPE", "bf16") == "f32"
+        else jnp.bfloat16
+    )
+    model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 
     # ---- neighbor list (host, once — MD-style Verlet reuse) ------------------
@@ -74,9 +82,9 @@ def main():
     batch = batch_from_systems(
         [system],
         [nbr],
-        n_atoms_padded=bucket_size(n_atoms, 1.05),
+        n_atoms_padded=bucket_atoms(n_atoms, 1.05),
         n_systems_padded=2,
-        max_neighbors=nbr.max_neighbors,
+        max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
         dtype=jnp.float32,
     )
 
@@ -94,28 +102,32 @@ def main():
         return block.values, block.gradient("positions").values
 
     # Chained timing: each step's positions depend on the previous step's
-    # forces, so the device must execute the calls strictly in sequence --
-    # host timing then measures real device throughput even through an
-    # async RPC tunnel (single per-call host timestamps are unreliable
-    # there). One jitted single-step program keeps compile time low.
+    # ENERGY AND FORCES (non-zero coefficients, so XLA can neither fold the
+    # dependency nor dead-code-eliminate the force vjp), forcing strictly
+    # sequential device execution. Through the axon RPC tunnel
+    # block_until_ready is not a reliable fence and each fetch costs ~28 ms
+    # fixed, so the loop is timed at two lengths and differenced
+    # (methodology calibrated in benchmarks/timing_check.py).
     @jax.jit
     def md_step(params, positions):
-        energy, forces = one_force_call(
-            params, positions
-        )
-        return positions + 0.0 * forces[:, :, 0], energy
+        energy, forces = one_force_call(params, positions)
+        dep = (jnp.sum(energy.astype(jnp.float32))
+               + jnp.sum(forces.astype(jnp.float32))) * 1e-30
+        return positions + dep.astype(positions.dtype)
 
-    pos, energy = md_step(params, batch.positions)  # compile
-    jax.block_until_ready(pos)
+    def run(n):
+        pos = md_step(params, batch.positions)  # compile/warm
+        float(jnp.sum(pos))  # fetch = reliable fence
+        start = time.perf_counter()
+        for _ in range(n):
+            pos = md_step(params, pos)
+        float(jnp.sum(pos))
+        return time.perf_counter() - start
 
-    n_timed = 30
-    start = time.perf_counter()
-    for _ in range(n_timed):
-        pos, energy = md_step(params, pos)
-    jax.block_until_ready(pos)
-    elapsed = time.perf_counter() - start
-
-    throughput = n_atoms * n_timed / elapsed  # atom-steps/sec/chip
+    n1, n2 = 10, 40
+    t1, t2 = run(n1), run(n2)
+    per_call = (t2 - t1) / (n2 - n1)
+    throughput = n_atoms / per_call  # atom-steps/sec/chip
 
     # Baseline floor: torch PET on A100 at 10k atoms runs at roughly
     # ~6e4 atom-steps/s (O(150 ms)/force-call); the driver target is >=5x

@@ -38,9 +38,14 @@ def chain_time(fn, args, n1=10, n2=50):
     @jax.jit
     def step(x, rest):
         out = fn(x, *rest)
-        leaf = jax.tree_util.tree_leaves(out)[0]
+        # depend on EVERY output leaf, or XLA dead-code-eliminates the
+        # computation of unconsumed ones (e.g. the whole force vjp)
+        total = sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(out)
+        )
         # tiny non-zero scale: not foldable, numerically a no-op
-        dep = (jnp.sum(leaf.astype(jnp.float32)) * 1e-30).astype(x.dtype)
+        dep = (total * 1e-30).astype(x.dtype)
         return x + dep
 
     def run(n):

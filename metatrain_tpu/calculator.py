@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .containers import System, batch_from_systems, bucket_size
+from .containers import System, batch_from_systems, bucket_atoms, bucket_neighbors, bucket_size
 from .data.target_info import get_energy_target_info
 from .engine.evaluate import evaluate_model
 from .ops.neighbors import VerletNeighborList
@@ -104,8 +104,8 @@ class Calculator:
         """
         n = len(system)
         nbr = self._vnl.update(system)
-        A = bucket_size(n, self.bucket_ratio)
-        M = bucket_size(nbr.max_neighbors, self.bucket_ratio, minimum=4)
+        A = bucket_atoms(n, self.bucket_ratio)
+        M = bucket_neighbors(nbr.max_neighbors, self.bucket_ratio)
         batch = batch_from_systems(
             [system],
             [nbr],

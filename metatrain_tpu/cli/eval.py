@@ -20,6 +20,7 @@ from ..data.dataset import Dataset, get_dataset
 from ..data.samplers import BatchSampler, DataLoader
 from ..data.target_info import DatasetInfo
 from ..engine.evaluate import evaluate_model
+from ..ops.segment import average_by_num_atoms
 from ..engine.metrics import ErrorAccumulator, batch_errors
 from ..utils.config import expand_dataset_config
 from ..utils.io import load_model
@@ -59,7 +60,14 @@ def evaluate_datasets(
         predictions = evaluate_model(
             forward, params, batch.systems, target_infos, is_training=False
         )
-        return predictions, batch_errors(predictions, batch.targets)
+        # per-atom averaging before the error accumulation, exactly as in
+        # training (the finalize() keys say "per atom"; without this the
+        # reported numbers would silently be per STRUCTURE)
+        averaged_preds = average_by_num_atoms(predictions, batch.systems, [])
+        averaged_targets = average_by_num_atoms(
+            batch.targets, batch.systems, []
+        )
+        return predictions, batch_errors(averaged_preds, averaged_targets)
 
     accumulator = ErrorAccumulator()
     for batch in loader:
@@ -101,7 +109,14 @@ def eval_model(
         predictions = evaluate_model(
             forward, params, batch.systems, target_infos, is_training=False
         )
-        return predictions, batch_errors(predictions, batch.targets)
+        # per-atom averaging before the error accumulation, exactly as in
+        # training (the finalize() keys say "per atom"; without this the
+        # reported numbers would silently be per STRUCTURE)
+        averaged_preds = average_by_num_atoms(predictions, batch.systems, [])
+        averaged_targets = average_by_num_atoms(
+            batch.targets, batch.systems, []
+        )
+        return predictions, batch_errors(averaged_preds, averaged_targets)
 
     # warm-up before timing (reference cli/eval.py:219-234)
     accumulator = ErrorAccumulator()

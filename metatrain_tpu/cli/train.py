@@ -49,6 +49,14 @@ def train_model(
     checkpoint_dir: str = ".",
     restart_from: Optional[str] = None,
 ) -> None:
+    # multi-host: bootstrap jax.distributed from the SLURM environment
+    # BEFORE any backend use (reference auto-enables DDP when
+    # SLURM_NTASKS > 1, utils/distributed/slurm.py:28-41); no-op for
+    # single-process runs
+    from ..parallel.slurm import initialize_distributed, is_main_process
+
+    initialize_distributed()
+
     options = validate_base_options(options)
     arch_name = options["architecture"]["name"]
     architecture = import_architecture(arch_name)
@@ -101,8 +109,9 @@ def train_model(
         )
 
     checkpoint_dir = Path(checkpoint_dir)
-    checkpoint_dir.mkdir(parents=True, exist_ok=True)
-    save_expanded_options(options, checkpoint_dir / "options_restart.yaml")
+    if is_main_process():
+        checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        save_expanded_options(options, checkpoint_dir / "options_restart.yaml")
 
     # ---- model + trainer (fresh / restart / finetune) --------------------
     finetune_from = hypers["training"].get("finetune", {}) or {}
@@ -141,7 +150,10 @@ def train_model(
         checkpoint_dir=str(checkpoint_dir),
     )
 
-    # ---- save + export -----------------------------------------------------
+    # ---- save + export (process 0 only; reference rank-0 gating at
+    # pet/trainer.py:677-687) ------------------------------------------------
+    if not is_main_process():
+        return
     final_ckpt = checkpoint_dir / "model.ckpt"
     trainer.save_checkpoint(model, str(final_ckpt))
     logger.info("Saved checkpoint to %s", final_ckpt)

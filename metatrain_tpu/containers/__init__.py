@@ -5,6 +5,8 @@ from .system import (
     System,
     SystemBatch,
     batch_from_systems,
+    bucket_atoms,
+    bucket_neighbors,
     bucket_size,
     systems_to_lists,
 )
@@ -17,6 +19,8 @@ __all__ = [
     "SystemBatch",
     "NeighborData",
     "batch_from_systems",
+    "bucket_atoms",
+    "bucket_neighbors",
     "bucket_size",
     "systems_to_lists",
 ]

@@ -94,6 +94,22 @@ def bucket_size(value: int, ratio: float = 1.25, minimum: int = 8) -> int:
     return int(np.ceil(size))
 
 
+def bucket_atoms(value: int, ratio: float = 1.25) -> int:
+    """Geometric bucket for the padded atom count, rounded to a multiple
+    of 128 so Pallas kernels never re-pad (their atom blocks are <= 128;
+    an unaligned A costs two full-array copies per kernel launch)."""
+    return _round_up(bucket_size(value, ratio, minimum=128), 128)
+
+
+def bucket_neighbors(value: int, ratio: float = 1.25) -> int:
+    """Geometric bucket for the NEF neighbor width M, aligned so the token
+    count T = M + 1 (center + neighbors) is a multiple of 8: PET attention
+    then maps onto full TPU sublanes with no sub-tile slicing (the fused
+    kernel requires it, and masked padding edges cost nothing extra)."""
+    m = bucket_size(max(value, 1), ratio, minimum=7)
+    return _round_up(m + 1, 8) - 1
+
+
 @jax.tree_util.register_pytree_node_class
 class SystemBatch:
     """A fixed-shape padded batch of systems, resident on device.
@@ -241,10 +257,35 @@ class SystemBatch:
             atom_cells,
             precision=jax.lax.Precision.HIGHEST,
         )
-        vectors = pos[self.nbr_indices] - pos[:, None, :] + shift_contrib
+        vectors = (
+            _gather_neighbor_positions(pos, self.nbr_indices, self.nbr_reverse)
+            - pos[:, None, :]
+            + shift_contrib
+        )
         vectors = jnp.where(self.nbr_mask[:, :, None], vectors, 0.0)
         distances = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1) + 1e-15)
         return vectors, distances
+
+
+def _gather_neighbor_positions(pos, nbr_indices, nbr_reverse):
+    """``pos[nbr_indices]`` with a scatter-free transpose.
+
+    The generic transpose of this gather is a duplicate-index scatter-add
+    (slow on TPU). Because ``nbr_reverse`` is an involutive edge
+    permutation whose reversed slot's CENTER equals ``nbr_indices[i, m]``,
+    the gather factors EXACTLY as broadcast-to-own-edges followed by the
+    edge reversal: ``pos[idx][i, m] = broadcast(pos)[reverse(i, m)]``.
+    Both factors have natural gather/sum transposes, so every autodiff
+    mode (grad, jacfwd, vmap) works without a scatter.
+    """
+    from ..ops.involution import permute_rows
+
+    A, M = nbr_indices.shape
+    own = jnp.broadcast_to(pos[:, None, :], (A, M) + pos.shape[1:])
+    flat = own.reshape((A * M,) + pos.shape[1:])
+    return permute_rows(flat, nbr_reverse.reshape(-1)).reshape(
+        (A, M) + pos.shape[1:]
+    )
 
 
 def batch_from_systems(
@@ -274,10 +315,10 @@ def batch_from_systems(
     total_atoms = sum(len(s) for s in systems)
     m_required = max((n.max_neighbors for n in neighbors), default=1)
 
-    A = n_atoms_padded or bucket_size(total_atoms, bucket_ratio)
+    A = n_atoms_padded or bucket_atoms(total_atoms, bucket_ratio)
     # reserve one always-padded system slot as the padding-atom target
     S = n_systems_padded or bucket_size(n_systems + 1, bucket_ratio, minimum=2)
-    M = max_neighbors or bucket_size(max(m_required, 1), bucket_ratio, minimum=4)
+    M = max_neighbors or bucket_neighbors(m_required, bucket_ratio)
     if A < total_atoms:
         raise ValueError(f"n_atoms_padded={A} < total atoms {total_atoms}")
     if S < n_systems + 1:

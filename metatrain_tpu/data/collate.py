@@ -24,6 +24,8 @@ from ..containers import (
     TensorBlock,
     TensorMap,
     batch_from_systems,
+    bucket_atoms,
+    bucket_neighbors,
     bucket_size,
 )
 from ..ops.neighbors import compute_neighbor_data
@@ -121,12 +123,12 @@ class CollateFn:
         systems = [s.system for s in samples]
 
         total_atoms = sum(len(s) for s in systems)
-        A = self.n_atoms_padded or bucket_size(total_atoms, self.bucket_ratio)
+        A = self.n_atoms_padded or bucket_atoms(total_atoms, self.bucket_ratio)
         S = self.n_systems_padded or bucket_size(
             len(systems) + 1, self.bucket_ratio, minimum=2
         )
         m_req = max((n.max_neighbors for n in neighbor_data), default=1)
-        M = self.max_neighbors or bucket_size(m_req, self.bucket_ratio, minimum=4)
+        M = self.max_neighbors or bucket_neighbors(m_req, self.bucket_ratio)
 
         system_batch = batch_from_systems(
             systems,

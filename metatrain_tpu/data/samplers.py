@@ -187,6 +187,15 @@ class DataLoader:
             samples = [self.dataset[int(i)] for i in indices]
             yield self.collate_fn(samples)
 
+    def iter_lazy(self):
+        """Yield zero-arg thunks; collation only happens when called
+        (lets multi-process DP skip other ranks' host-side work)."""
+        for indices in self.sampler:
+            def thunk(indices=indices):
+                samples = [self.dataset[int(i)] for i in indices]
+                return self.collate_fn(samples)
+            yield thunk
+
     def __len__(self) -> int:
         return len(self.sampler)
 
@@ -261,6 +270,21 @@ class CombinedDataLoader:
         iterators = [iter(loader) for loader in self.loaders]
         for li in sources:
             yield next(iterators[li])
+
+    def iter_lazy(self):
+        sources = []
+        for li, loader in enumerate(self.loaders):
+            sources.extend([li] * len(loader))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            sources = [sources[i] for i in rng.permutation(len(sources))]
+        iterators = [
+            loader.iter_lazy() if hasattr(loader, "iter_lazy") else iter(loader)
+            for loader in self.loaders
+        ]
+        for li in sources:
+            item = next(iterators[li])
+            yield item if callable(item) else (lambda b=item: b)
 
     def __len__(self) -> int:
         return sum(len(loader) for loader in self.loaders)

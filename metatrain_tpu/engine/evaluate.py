@@ -67,15 +67,18 @@ def evaluate_model(
     needs_strain = [n for n in names if "strain" in target_infos[n].gradients]
     grad_targets = sorted(set(needs_pos) | set(needs_strain))
 
-    if not grad_targets:
-        return forward_fn(params, batch, names)
+    import contextlib
 
-    for name in grad_targets:
-        layout_block = target_infos[name].layout.block(0)
-        if len(layout_block.properties) != 1:
-            raise NotImplementedError(
-                f"gradients of multi-property target '{name}' are not supported"
-            )
+    from ..ops.inference import no_param_grads
+
+    # inference (is_training=False): no parameter gradients will ever be
+    # pulled through this trace -- let custom kernels skip building them
+    grad_ctx = no_param_grads if not is_training else contextlib.nullcontext
+
+    if not grad_targets:
+        with grad_ctx():
+            return forward_fn(params, batch, names)
+
 
     S = batch.n_systems_padded
     dtype = batch.positions.dtype
@@ -100,25 +103,52 @@ def evaluate_model(
         primary = {n: predictions[n].block(0).values for n in grad_targets}
         return primary, predictions
 
-    primary, vjp_fn, predictions = jax.vjp(
-        strained_forward, batch.positions, strain, has_aux=True
-    )
+    with grad_ctx():
+        primary, vjp_fn, predictions = jax.vjp(
+            strained_forward, batch.positions, strain, has_aux=True
+        )
 
     for name in grad_targets:
         block = predictions[name].block(0)
-        cotangent = {n: jnp.zeros_like(v) for n, v in primary.items()}
-        seed = jnp.ones_like(primary[name])
-        if block.mask is not None:
-            mask = block.mask.reshape(
-                block.mask.shape + (1,) * (seed.ndim - 1)
-            )
-            seed = jnp.where(mask, seed, 0.0)
-        cotangent[name] = seed
-        d_pos, d_strain = vjp_fn(cotangent)
+        n_props = primary[name].shape[-1]
+        if n_props == 1:
+            cotangent = {n: jnp.zeros_like(v) for n, v in primary.items()}
+            seed = jnp.ones_like(primary[name])
+            if block.mask is not None:
+                mask = block.mask.reshape(
+                    block.mask.shape + (1,) * (seed.ndim - 1)
+                )
+                seed = jnp.where(mask, seed, 0.0)
+            cotangent[name] = seed
+            with grad_ctx():
+                d_pos, d_strain = vjp_fn(cotangent)
+        else:
+            # multi-property target (e.g. LLPR ensemble members, reference
+            # llpr/model.py:719): one vmapped backward over the property
+            # cotangent basis gives every member's gradient at once
+            def pull(seed_p, name=name, block=block):
+                cotangent = {
+                    n: jnp.zeros_like(v) for n, v in primary.items()
+                }
+                seed = jnp.zeros_like(primary[name]) + seed_p
+                if block.mask is not None:
+                    mask = block.mask.reshape(
+                        block.mask.shape + (1,) * (seed.ndim - 1)
+                    )
+                    seed = jnp.where(mask, seed, 0.0)
+                cotangent[name] = seed
+                return vjp_fn(cotangent)
+
+            basis = jnp.eye(n_props, dtype=primary[name].dtype)
+            with grad_ctx():
+                d_pos_all, d_strain_all = jax.vmap(pull)(basis)
+            # (P, A, 3) -> (A, 3, P); (P, S, 3, 3) -> (S, 3, 3, P)
+            d_pos = jnp.moveaxis(d_pos_all, 0, -1)
+            d_strain = jnp.moveaxis(d_strain_all, 0, -1)
 
         if name in needs_pos:
             grad = TensorBlock(
-                values=d_pos[:, :, None],
+                values=d_pos[:, :, None] if n_props == 1 else d_pos,
                 samples=Labels(
                     ["system", "atom"],
                     jnp.stack(
@@ -136,7 +166,7 @@ def evaluate_model(
             block.add_gradient("positions", grad)
         if name in needs_strain:
             grad = TensorBlock(
-                values=d_strain[:, :, :, None],
+                values=d_strain[:, :, :, None] if n_props == 1 else d_strain,
                 samples=Labels.range("sample", S),
                 components=_STRAIN_COMPONENTS,
                 properties=block.properties,

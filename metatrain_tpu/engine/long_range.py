@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ewald import direct_potential_nonperiodic, ewald_potential_periodic
+from ..ops.ewald import (
+    direct_potential_nonperiodic,
+    ewald_potential_periodic,
+    pme_potential_periodic,
+)
 
 
 def _static_half_space_triples(n_max: int) -> np.ndarray:
@@ -32,11 +36,19 @@ def _static_half_space_triples(n_max: int) -> np.ndarray:
 
 
 class LongRangeFeaturizer(nn.Module):
-    """Charges -> Ewald potential -> feature projection."""
+    """Charges -> Ewald/PME potential -> feature projection.
+
+    ``method="ewald"`` uses the dense k-space matmuls (small periodic
+    systems / training, reference default); ``method="pme"`` uses the
+    O(N + mesh^3 log) FFT-mesh solver (large systems / inference,
+    reference ``utils/long_range.py:148-192`` uses torch-pme P3M there).
+    """
 
     d_out: int
     smearing: float = 1.4
     n_kmax: int = 4
+    method: str = "ewald"
+    mesh: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,6 +73,15 @@ class LongRangeFeaturizer(nn.Module):
             safe_cell = jnp.where(
                 jnp.abs(jnp.linalg.det(cell)) > 1e-10, cell, jnp.eye(3, dtype=cell.dtype)
             )
+            if self.method == "pme":
+                return pme_potential_periodic(
+                    positions,
+                    charges,
+                    safe_cell,
+                    in_system,
+                    self.smearing,
+                    mesh=self.mesh,
+                )
             return ewald_potential_periodic(
                 positions,
                 charges,

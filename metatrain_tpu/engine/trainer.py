@@ -178,10 +178,13 @@ class NNTrainer(TrainerInterface):
             extra_system_keys=model.requested_extra_system_keys(),
             transforms=removal_transforms,
         )
-        # ---- data parallelism over the device mesh ----------------------
+        # ---- data parallelism over the (global) device mesh --------------
+        # multi-host: jax.distributed was initialized by the CLI; the mesh
+        # spans all processes' devices and each process loads only its
+        # local shard (reference DDP semantics, SURVEY.md section 2.4)
         n_dp = 1
         if hp["data_parallel"] in ("auto", True):
-            n_dp = jax.local_device_count()
+            n_dp = jax.device_count()
         if n_dp > 1:
             if hp["max_atoms_per_batch"]:
                 approx_batches = sum(
@@ -230,7 +233,13 @@ class NNTrainer(TrainerInterface):
         )
         val_loader = _build_loader(val_datasets, val_collate, hp, shuffle=False)
         if n_dp > 1:
-            train_loader = DataParallelLoader(train_loader, n_dp, mesh)
+            train_loader = DataParallelLoader(
+                train_loader,
+                n_dp,
+                mesh,
+                num_processes=jax.process_count(),
+                process_id=jax.process_index(),
+            )
 
         # ---- parameters & optimizer ----------------------------------------
         if model.params is None:
@@ -306,7 +315,9 @@ class NNTrainer(TrainerInterface):
 
         metric_logger = MetricLogger(
             logger,
-            CSVMetricsWriter(checkpoint_dir / "train.csv"),
+            CSVMetricsWriter(checkpoint_dir / "train.csv")
+            if jax.process_index() == 0
+            else None,
             wandb_logger=getattr(self, "wandb_logger", None),
         )
         not_per_atom = ["positions_gradients"] + per_structure
@@ -317,23 +328,32 @@ class NNTrainer(TrainerInterface):
             train_loader.set_epoch(epoch)
             epoch_start = time.time()
 
+            # keep losses/errors on device during the epoch; one host
+            # fetch at the end (a per-step float()/device_get would
+            # serialize host<->device every batch and cap the step rate)
             train_errors = ErrorAccumulator(hp["log_separate_blocks"])
-            train_loss_sum, n_batches = 0.0, 0
+            device_losses, device_errors = [], []
             for batch in train_loader:
                 train_params, self.opt_state, loss, errors = train_step(
                     train_params, self.opt_state, batch
                 )
-                train_loss_sum += float(loss)
-                n_batches += 1
-                train_errors.update_from_errors(jax.device_get(errors))
+                device_losses.append(loss)
+                device_errors.append(errors)
+            n_batches = len(device_losses)
+            train_loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0
+            for errors in jax.device_get(device_errors):
+                train_errors.update_from_errors(errors)
 
             val_errors = ErrorAccumulator(hp["log_separate_blocks"])
-            val_loss_sum, n_val = 0.0, 0
+            device_losses, device_errors = [], []
             for batch in val_loader:
                 loss, errors = val_step(train_params, batch)
-                val_loss_sum += float(loss)
-                n_val += 1
-                val_errors.update_from_errors(jax.device_get(errors))
+                device_losses.append(loss)
+                device_errors.append(errors)
+            n_val = len(device_losses)
+            val_loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0
+            for errors in jax.device_get(device_errors):
+                val_errors.update_from_errors(errors)
 
             metrics: Dict[str, float] = {
                 "train loss": train_loss_sum / max(n_batches, 1),
@@ -351,7 +371,9 @@ class NNTrainer(TrainerInterface):
                 metrics[f"val {key}"] = value
             metrics["epoch time (s)"] = time.time() - epoch_start
 
-            if epoch == start_epoch or epoch % hp["log_interval"] == 0:
+            if (
+                epoch == start_epoch or epoch % hp["log_interval"] == 0
+            ) and jax.process_index() == 0:
                 lr = float(schedule(epoch * steps_per_epoch))
                 metric_logger.log(epoch, metrics, learning_rate=lr)
 
@@ -386,6 +408,8 @@ class NNTrainer(TrainerInterface):
             if (
                 hp["checkpoint_interval"]
                 and (epoch + 1) % hp["checkpoint_interval"] == 0
+                and jax.process_index() == 0  # rank-0 IO, reference
+                # pet/trainer.py:677-687
             ):
                 self.save_checkpoint(
                     model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
@@ -436,13 +460,13 @@ class NNTrainer(TrainerInterface):
 
 def _max_neighbors_over_datasets(datasets, collate: CollateFn) -> int:
     """Largest NEF width over all systems (also warms the NL cache)."""
-    from ..containers import bucket_size
+    from ..containers import bucket_neighbors
 
     max_m = 1
     for dataset in datasets:
         for system in dataset.systems:
             max_m = max(max_m, collate.nl_cache(system).max_neighbors)
-    return bucket_size(max_m, minimum=4)
+    return bucket_neighbors(max_m)
 
 
 def _apply_removals_to_dataset(dataset: Dataset, transforms) -> Dataset:

@@ -258,7 +258,13 @@ class GAPTrainer(TrainerInterface):
     """Closed-form Subset-of-Regressors fit (reference ``gap/trainer.py``)."""
 
     __checkpoint_version__ = 1
-    DEFAULT_HYPERS: Dict[str, Any] = {"regularizer": 1e-3, "seed": 0}
+    DEFAULT_HYPERS: Dict[str, Any] = {
+        "regularizer": 1e-3,
+        # separate noise level for force rows (reference fits energies AND
+        # gradients jointly, gap/model.py:324,648)
+        "regularizer_forces": 1e-2,
+        "seed": 0,
+    }
 
     def __init__(self, hypers=None):
         full = dict(self.DEFAULT_HYPERS)
@@ -309,6 +315,53 @@ class GAPTrainer(TrainerInterface):
         for s, (a, b) in enumerate(structure_slices):
             k_nm[s] = atom_kernel[a:b].sum(axis=0)
 
+        # force rows: the Jacobian d K[s, :] / d positions, from forward-mode
+        # autodiff of the kernel row (reference fits energy AND gradient
+        # rows, gap/model.py:324,648). Targets use the stored gradient
+        # convention (dE/dr = -F), so rows and labels align sign-free.
+        target_info = model.dataset_info.targets[model.target_name]
+        use_forces = "positions" in target_info.gradients
+        jac_rows: List[np.ndarray] = []
+        grad_targets: List[np.ndarray] = []
+        if use_forces:
+            sparse_dev = jnp.asarray(sparse)
+
+            @jax.jit
+            def kernel_row(positions, batch):
+                feats = model.batch_features(
+                    batch.replace(positions=positions)
+                )
+                k = (feats @ sparse_dev.T) ** degree
+                return jnp.sum(
+                    jnp.where(batch.atom_mask[:, None], k, 0.0), axis=0
+                )
+
+            for i in range(len(dataset)):
+                sample = dataset[i]
+                system = sample.system
+                grad_block = sample.targets[model.target_name].block(0)
+                try:
+                    grads = grad_block.gradient("positions")
+                except (KeyError, ValueError):
+                    continue
+                nbr = compute_neighbor_data(system, model.cutoff)
+                batch = batch_from_systems(
+                    [system], [nbr], n_systems_padded=2, dtype=jnp.float64
+                )
+                # jacrev: the edge-vector gather has a custom VJP (no JVP
+                # rule), and reverse mode also matches the fit's offline,
+                # one-shot character
+                jac = jax.jacrev(kernel_row)(batch.positions, batch)
+                n = len(system)
+                jac_rows.append(
+                    np.asarray(jac, dtype=np.float64)[:, :n, :]
+                    .reshape(len(sparse), n * 3)
+                    .T
+                )
+                grad_targets.append(
+                    np.asarray(grads.values, dtype=np.float64)[:n].reshape(-1)
+                )
+
         # residual energies after composition removal
         baselines = [
             model.composition.predict_host(dataset[i].system)[
@@ -328,7 +381,8 @@ class GAPTrainer(TrainerInterface):
             ]
         )
 
-        # SOR solve: (K_mm + K_mn S^-1 K_nm) alpha = K_mn S^-1 y
+        # SOR solve over energy + gradient rows:
+        # (K_mm + Phi^T Lambda^-1 Phi) alpha = Phi^T Lambda^-1 y
         k_mm = (sparse @ sparse.T) ** degree
         reg = float(
             self.hypers.get(
@@ -336,8 +390,14 @@ class GAPTrainer(TrainerInterface):
             )
         )
         lhs = k_mm + k_nm.T @ k_nm / reg**2
-        lhs += 1e-8 * np.trace(lhs) / len(lhs) * np.eye(len(lhs))
         rhs = k_nm.T @ y / reg**2
+        if jac_rows:
+            reg_f = float(self.hypers["regularizer_forces"])
+            phi_f = np.concatenate(jac_rows, axis=0)  # (sum 3n, M)
+            y_f = np.concatenate(grad_targets)
+            lhs += phi_f.T @ phi_f / reg_f**2
+            rhs += phi_f.T @ y_f / reg_f**2
+        lhs += 1e-8 * np.trace(lhs) / len(lhs) * np.eye(len(lhs))
         model.weights = np.linalg.solve(lhs, rhs)
         model.sparse_points = sparse
         model.init_params()

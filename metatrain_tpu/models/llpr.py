@@ -237,6 +237,13 @@ class LLPRUncertaintyModel(ModelInterface):
         self, params, batch: SystemBatch, outputs: Sequence[str]
     ) -> Dict[str, TensorMap]:
         base_outputs = [o for o in outputs if o in self.target_names]
+        # ensemble outputs need the base prediction as the ensemble mean
+        for name in self.target_names:
+            if (
+                f"mtt::aux::{name}_ensemble" in outputs
+                and name not in base_outputs
+            ):
+                base_outputs.append(name)
         results = self.model.forward_eval(params, batch, base_outputs)
         S = batch.n_systems_padded
         for name in self.target_names:
@@ -351,11 +358,21 @@ def _scalar_map(values, batch, per_atom: bool) -> TensorMap:
 
 
 class LLPRTrainer(TrainerInterface):
-    """Covariance + calibration 'training' (no SGD; the gradient-based
-    ensemble finetuning of the reference is pending)."""
+    """Covariance + calibration + optional gradient-based ensemble
+    finetuning (reference ``llpr/trainer.py:96-200``: the Laplace-sampled
+    last-layer ensembles are refined by SGD on a probabilistic loss of
+    the ensemble predictions against validation targets)."""
 
     __checkpoint_version__ = 1
-    DEFAULT_HYPERS = {"ensemble_size": 0, "seed": 0}
+    DEFAULT_HYPERS = {
+        "ensemble_size": 0,
+        "seed": 0,
+        "calibration_method": "ratio",  # or "crps"
+        # gradient-based ensemble finetuning (0 epochs = off)
+        "finetune_epochs": 0,
+        "finetune_learning_rate": 1e-3,
+        "finetune_loss": "crps",  # or "nll"
+    }
 
     def __init__(self, hypers=None):
         full = dict(self.DEFAULT_HYPERS)
@@ -367,13 +384,81 @@ class LLPRTrainer(TrainerInterface):
         model.compute_covariance(train_datasets)
         model.compute_inverse_covariance()
         if val_datasets and len(val_datasets[0]):
-            model.calibrate(val_datasets[0])
+            model.calibrate(
+                val_datasets[0], method=self.hypers["calibration_method"]
+            )
         if self.hypers["ensemble_size"]:
             model.generate_ensemble(
                 self.hypers["ensemble_size"], self.hypers["seed"]
             )
+            if self.hypers["finetune_epochs"]:
+                self._finetune_ensemble(
+                    model,
+                    (val_datasets or train_datasets)[0],
+                )
         model.init_params()
         self.epoch = 1
+
+    def _finetune_ensemble(self, model, dataset: Dataset) -> None:
+        """SGD on the ensemble weight matrices: minimize a Gaussian
+        NLL/CRPS of the ensemble spread against the dataset targets."""
+        import optax
+
+        from ..containers import batch_from_systems
+        from ..ops.neighbors import compute_neighbor_data
+
+        name = model.target_names[0]
+        info = model.supported_outputs()[name]
+
+        # precompute structure-level last-layer features + residual targets
+        feats_rows, target_rows = [], []
+        for i in range(len(dataset)):
+            sample = dataset[i]
+            nbr = compute_neighbor_data(
+                sample.system, model.requested_neighbor_cutoff() or 5.0
+            )
+            batch = batch_from_systems(
+                [sample.system], [nbr], n_systems_padded=2
+            )
+            feats = model._structure_features(batch, name)
+            preds = model.model.forward_eval(model.model.params, batch, [name])
+            mean = np.asarray(preds[name].block(0).values)[0, 0]
+            y = float(np.asarray(sample.targets[name].block(0).values)[0, 0])
+            feats_rows.append(np.asarray(feats)[0])
+            target_rows.append(y - mean)
+        features = jnp.asarray(np.stack(feats_rows))  # (N, F)
+        residuals = jnp.asarray(np.asarray(target_rows))  # (N,)
+
+        weights = jnp.asarray(model.ensemble_weights[name])  # (F, K)
+        loss_kind = self.hypers["finetune_loss"]
+
+        def loss_fn(w):
+            members = features @ w  # (N, K): ensemble deviations
+            mu = jnp.mean(members, axis=1)
+            sigma = jnp.std(members, axis=1) + 1e-10
+            z = (residuals - mu) / sigma
+            if loss_kind == "nll":
+                return jnp.mean(0.5 * z**2 + jnp.log(sigma))
+            # Gaussian CRPS (closed form)
+            phi = jnp.exp(-0.5 * z**2) / jnp.sqrt(2 * jnp.pi)
+            cdf = 0.5 * (1 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
+            crps = sigma * (
+                z * (2 * cdf - 1) + 2 * phi - 1 / jnp.sqrt(jnp.pi)
+            )
+            return jnp.mean(crps)
+
+        optimizer = optax.adam(self.hypers["finetune_learning_rate"])
+        opt_state = optimizer.init(weights)
+
+        @jax.jit
+        def step(w, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(w)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return optax.apply_updates(w, updates), opt_state, loss
+
+        for _ in range(int(self.hypers["finetune_epochs"])):
+            weights, opt_state, _ = step(weights, opt_state)
+        model.ensemble_weights[name] = np.asarray(weights)
 
     def save_checkpoint(self, model, path):
         checkpoint = model.get_checkpoint()

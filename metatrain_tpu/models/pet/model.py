@@ -43,18 +43,22 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "transformer_type": "PreLN",
     "featurizer_type": "feedforward",
     "zbl": False,
-    "long_range": {"enable": False},
+    "long_range": {
+        "enable": False,
+        "smearing": 1.4,
+        "n_kmax": 4,
+        "method": "ewald",
+        "mesh": 32,
+    },
     "system_conditioning": False,
     "max_charge": 10,
     "max_spin_multiplicity": 10,
     # TPU memory knob: rematerialize GNN layers in the backward pass
     "remat": False,
-    # fully-fused Pallas transformer layers (PreLN/RMSNorm/SwiGLU only).
-    # Off by default: measured slower than the fused-attention path on
-    # v5e (Mosaic executes the per-head batched small matmuls at ~1 TF/s
-    # either way, and the mega-kernel serializes more VPU work between
-    # them); kept for further kernel iteration.
-    "fused_layers": False,
+    # fully-fused Pallas transformer layers (PreLN/RMSNorm/SwiGLU only):
+    # one HBM read + write per layer, M-expanded attention inside, fused
+    # accumulating backward (ops/pallas/fused_layer.py)
+    "fused_layers": True,
 }
 
 
@@ -62,7 +66,7 @@ class PET(AtomisticNNModel):
     """Point Edge Transformer."""
 
     ARCHITECTURE_NAME = "pet"
-    __checkpoint_version__ = 1
+    __checkpoint_version__ = 2
     __supported_dtypes__ = [jnp.float32, jnp.bfloat16]
     __default_metadata__ = {
         "references": {
@@ -199,3 +203,15 @@ class PET(AtomisticNNModel):
         if self.hypers["system_conditioning"]:
             return ("charge", "spin_multiplicity")
         return ()
+
+    @classmethod
+    def upgrade_v1_v2(cls, checkpoint):
+        """v1 checkpoints predate the ``fused_layers`` default flip (their
+        parameters use the unfused TransformerLayer structure): pin the
+        hypers that select the parameter layout they were saved with."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault("fused_layers", False)
+        hypers.setdefault("remat", False)
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint

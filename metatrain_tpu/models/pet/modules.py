@@ -30,6 +30,52 @@ import numpy as np
 EPSILON_ATTN = 1e-15
 
 
+def _dense_params(mod, name, features, example, dtype):
+    """Create (at init) / fetch an ``nn.Dense``'s kernel+bias WITHOUT
+    running its compute: the parameter tree stays nn.Dense-compatible
+    (checkpoints unaffected) while the FLOPs route through fused
+    row-block kernels."""
+    dense = nn.Dense(features, dtype=dtype, name=name)
+    if mod.is_initializing():
+        dense(example[:1])
+    p = mod.scope.get_variable("params", name)
+    return p["kernel"], p["bias"]
+
+
+def _ln_params(mod, name, example, dtype):
+    ln = nn.LayerNorm(dtype=dtype, name=name)
+    if mod.is_initializing():
+        ln(example[:1])
+    p = mod.scope.get_variable("params", name)
+    return p["scale"], p["bias"]
+
+
+def _head_params(mod, name, d_head, example, dtype):
+    head = Head(d_head, dtype=dtype, name=name)
+    if mod.is_initializing():
+        head(example[:1])
+    p = mod.scope.get_variable("params", name)
+    return (
+        p["linear_0"]["kernel"],
+        p["linear_0"]["bias"],
+        p["linear_1"]["kernel"],
+        p["linear_1"]["bias"],
+    )
+
+
+def _run_stage(math_fn, inputs, weights):
+    """Fused Pallas row-block kernel on TPU (f32/bf16); identical-math
+    XLA fallback elsewhere."""
+    from ...ops.pallas.rowblock import fused_rowblock, reference_rowblock
+
+    if jax.default_backend() == "tpu" and inputs[0].dtype in (
+        jnp.float32,
+        jnp.bfloat16,
+    ):
+        return fused_rowblock(math_fn, inputs, weights)
+    return reference_rowblock(math_fn, inputs, weights)
+
+
 def cutoff_func_bump(values, cutoff, width):
     """C^inf bump switching function (reference ``pet/modules/utilities.py:4``)."""
     scaled = (values - (cutoff - width)) / width
@@ -246,7 +292,8 @@ class FusedTransformerLayer(nn.Module):
             w_ffn_out=param("w_ffn_out", (self.d_feedforward, D)),
             b_ffn_out=param("b_ffn_out", (D,)),
         )
-        weights = LayerWeights(*(w.astype(self.dtype) for w in weights))
+        # weights stay f32: the kernel casts to the compute dtype internally
+        # and returns f32 weight gradients from its accumulating backward
 
         if expanded:
             center_token = nn.Dense(
@@ -324,13 +371,15 @@ class CartesianTransformer(nn.Module):
         nbr_mask,  # (A, M) bool
         cutoff_factors,  # (A, M)
     ):
+        from .fused_stages import compress_math
+
         geom = jnp.concatenate(
             [edge_vectors, edge_distances[:, :, None]], axis=-1
         ).astype(self.dtype)
         edge_emb = nn.Dense(self.d_pet, dtype=self.dtype, name="edge_embedder")(geom)
 
         if self.is_first:
-            tokens_in = jnp.concatenate([edge_emb, input_messages], axis=-1)
+            parts = (edge_emb, input_messages.astype(self.dtype))
         else:
             nbr_emb = nn.Embed(
                 self.num_species,
@@ -338,11 +387,17 @@ class CartesianTransformer(nn.Module):
                 dtype=self.dtype,
                 name="neighbor_embedder",
             )(neighbor_species_index)
-            tokens_in = jnp.concatenate([edge_emb, nbr_emb, input_messages], axis=-1)
+            parts = (edge_emb, nbr_emb, input_messages.astype(self.dtype))
 
-        h = nn.Dense(self.d_pet, dtype=self.dtype, name="compress_0")(tokens_in)
-        h = jax.nn.silu(h)
-        edge_tokens = nn.Dense(self.d_pet, dtype=self.dtype, name="compress_1")(h)
+        cat_example = jnp.concatenate([p[:1] for p in parts], axis=-1)
+        w0 = _dense_params(self, "compress_0", self.d_pet, cat_example, self.dtype)
+        w1 = _dense_params(
+            self, "compress_1", self.d_pet, parts[0][:1], self.dtype
+        )
+        A, M, D = parts[0].shape
+        flat = tuple(p.reshape(A * M, D) for p in parts)
+        (tok_flat,) = _run_stage(compress_math, flat, (*w0, *w1))
+        edge_tokens = tok_flat.reshape(A, M, D)
 
         # cutoff factor of the central token is 1; padded edges are 0
         cf = jnp.where(nbr_mask, cutoff_factors, 0.0)
@@ -387,7 +442,25 @@ class CartesianTransformer(nn.Module):
 
 def reverse_edges(edge_array, nbr_reverse):
     """Gather each edge's reversed (j -> i) partner: the message-passing
-    primitive (reference ``nef.py:221-251`` + ``backend.py:556-566``)."""
+    primitive (reference ``nef.py:221-251`` + ``backend.py:556-566``).
+
+    ``nbr_reverse`` is an involutive permutation of flat edge indices (the
+    reverse of the reverse is the edge itself; padded slots self-map), so
+    this lowers to the :mod:`ops.involution` primitive whose autodiff
+    transpose is the SAME gather -- the generic scatter-add transpose
+    costs ~3x more on TPU (benchmarks/micro_edges.py) -- and whose JVP /
+    batching rules keep forward-mode autodiff working.
+    """
+    from ...ops.involution import permute_rows
+
+    A, M = edge_array.shape[:2]
+    flat = edge_array.reshape((A * M,) + edge_array.shape[2:])
+    return permute_rows(flat, nbr_reverse.reshape(-1)).reshape(
+        edge_array.shape
+    )
+
+
+def _reverse_edges_impl(edge_array, nbr_reverse):
     A, M = edge_array.shape[:2]
     flat = edge_array.reshape((A * M,) + edge_array.shape[2:])
     return flat[nbr_reverse.reshape(-1)].reshape(edge_array.shape)
@@ -523,18 +596,38 @@ class PETBackbone(nn.Module):
                 reversed_edges = reverse_edges(
                     out_edges, batch_data["nbr_reverse"]
                 )
-                cat = jnp.concatenate([out_edges, reversed_edges], axis=-1)
-                combined = nn.LayerNorm(
-                    dtype=self.dtype, name=f"combination_norm_{i}"
-                )(cat)
-                combined = nn.Dense(
-                    2 * d_pet, dtype=self.dtype, name=f"combination_mlp_{i}_0"
-                )(combined)
-                combined = jax.nn.silu(combined)
-                combined = nn.Dense(
-                    d_pet, dtype=self.dtype, name=f"combination_mlp_{i}_1"
-                )(combined)
-                input_messages = input_messages + out_edges + combined
+                from .fused_stages import combination_math
+
+                cat_example = jnp.concatenate(
+                    [out_edges[:1], reversed_edges[:1]], axis=-1
+                )
+                ln = _ln_params(
+                    self, f"combination_norm_{i}", cat_example, self.dtype
+                )
+                w0 = _dense_params(
+                    self,
+                    f"combination_mlp_{i}_0",
+                    2 * d_pet,
+                    cat_example,
+                    self.dtype,
+                )
+                w1 = _dense_params(
+                    self,
+                    f"combination_mlp_{i}_1",
+                    d_pet,
+                    cat_example,
+                    self.dtype,
+                )
+                A, M, D = out_edges.shape
+                flat = (
+                    out_edges.reshape(A * M, D),
+                    reversed_edges.reshape(A * M, D),
+                    input_messages.astype(out_edges.dtype).reshape(A * M, D),
+                )
+                (msg_flat,) = _run_stage(
+                    combination_math, flat, (*ln, *w0, *w1)
+                )
+                input_messages = msg_flat.reshape(A, M, D)
             node_features.append(node_state)
             edge_features.append(input_messages)
         else:  # residual
@@ -614,6 +707,8 @@ class PETModule(nn.Module):
                 d_out=self.hypers["d_node"],
                 smearing=float(self.long_range.get("smearing", 1.4)),
                 n_kmax=int(self.long_range.get("n_kmax", 4)),
+                method=str(self.long_range.get("method", "ewald")),
+                mesh=int(self.long_range.get("mesh", 32)),
                 dtype=self.dtype,
                 name="long_range",
             )(node_features[-1], batch_data)
@@ -638,12 +733,25 @@ class PETModule(nn.Module):
             for layer_i, (nf, ef) in enumerate(
                 zip(node_features, edge_features)
             ):
+                from .fused_stages import head_math
+
                 node_ll = Head(
                     d_head, dtype=self.dtype, name=f"node_head_{safe}_{layer_i}"
                 )(nf)
-                edge_ll = Head(
-                    d_head, dtype=self.dtype, name=f"edge_head_{safe}_{layer_i}"
-                )(ef)
+                hw = _head_params(
+                    self,
+                    f"edge_head_{safe}_{layer_i}",
+                    d_head,
+                    ef,
+                    self.dtype,
+                )
+                A_, M_, D_ = ef.shape
+                (edge_ll_flat,) = _run_stage(
+                    head_math,
+                    (ef.astype(self.dtype).reshape(A_ * M_, D_),),
+                    hw,
+                )
+                edge_ll = edge_ll_flat.reshape(A_, M_, -1)
                 node_ll_list.append(node_ll)
                 edge_ll_list.append(edge_ll)
                 for block_key, size in shapes.items():

@@ -36,7 +36,13 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "add_lambda_basis": True,
     "heads": {},
     "zbl": False,
-    "long_range": {"enable": False},
+    "long_range": {
+        "enable": False,
+        "smearing": 1.4,
+        "n_kmax": 4,
+        "method": "ewald",
+        "mesh": 32,
+    },
 }
 
 
@@ -61,9 +67,6 @@ class SoapBpnn(AtomisticNNModel):
                 full[key] = value
         super().__init__(full, dataset_info, compute_dtype)
         hp = self.hypers
-
-        if hp["long_range"].get("enable"):
-            raise NotImplementedError("SOAP-BPNN long-range features: pending")
 
         # per-target block specs: scalar MLP heads vs CG tensor bases
         target_specs: Dict[str, Any] = {}
@@ -128,6 +131,13 @@ class SoapBpnn(AtomisticNNModel):
             "edge_vectors": vectors,
             "edge_distances": distances,
             "nbr_mask": batch.nbr_mask,
+            # long-range featurizer inputs
+            "nbr_indices": batch.nbr_indices,
+            "positions": batch.positions,
+            "cells": batch.cells,
+            "pbc": batch.pbc,
+            "system_index": batch.system_index,
+            "atom_mask": batch.atom_mask,
         }
 
     def requested_neighbor_cutoff(self) -> float:

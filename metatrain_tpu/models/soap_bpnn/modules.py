@@ -311,6 +311,22 @@ class SoapBpnnModule(nn.Module):
         )(features, species_index)
         hidden = jax.nn.silu(hidden)
 
+        lr = hp.get("long_range") or {}
+        if lr.get("enable"):
+            from ...engine.long_range import LongRangeFeaturizer
+
+            lr_features = LongRangeFeaturizer(
+                d_out=hidden.shape[-1],
+                smearing=float(lr.get("smearing", 1.4)),
+                n_kmax=int(lr.get("n_kmax", 4)),
+                method=str(lr.get("method", "ewald")),
+                mesh=int(lr.get("mesh", 32)),
+                dtype=self.dtype,
+                name="long_range",
+            )(hidden, batch_data)
+            # reference combination: (short + long) / sqrt(2)
+            hidden = (hidden + lr_features) * (0.5**0.5)
+
         results: Dict[str, Any] = {"_features": hidden}
         for target_name, shapes in self.output_shapes.items():
             if target_name not in requested:

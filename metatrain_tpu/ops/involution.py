@@ -1,0 +1,73 @@
+"""Involutive row-permutation primitive with a gather-only transpose.
+
+PET's reversed-edge lookup and the edge-vector position gather both
+transpose to duplicate-index scatter-adds under generic autodiff -- ~3x
+slower than a gather on TPU (benchmarks/micro_edges.py). Because the
+reversal index is an involutive permutation, the true adjoint is the SAME
+gather. This module defines ``permute_rows`` as a first-class JAX
+primitive with impl / abstract_eval / JVP / transpose / batching rules,
+so every transform (grad, jacfwd, jacrev, vmap, jit) works and reverse
+mode never materializes a scatter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.extend import core as jex_core
+from jax.interpreters import ad, batching, mlir
+
+
+permute_rows_p = jex_core.Primitive("involutive_permute_rows")
+
+
+def permute_rows(x, rev):
+    """``x[rev]`` for an INVOLUTIVE permutation ``rev`` of axis-0 rows
+    (rev[rev] == arange). The transpose under autodiff is the same
+    permutation -- a gather, never a scatter."""
+    return permute_rows_p.bind(x, rev)
+
+
+def _impl(x, rev):
+    return jnp.take(x, rev, axis=0)
+
+
+def _abstract_eval(x, rev):
+    return x.update(shape=x.shape, dtype=x.dtype)
+
+
+def _jvp(primals, tangents):
+    x, rev = primals
+    dx, _ = tangents
+    out = permute_rows(x, rev)
+    if type(dx) is ad.Zero:
+        return out, ad.Zero.from_primal_value(out)
+    return out, permute_rows(dx, rev)
+
+
+def _transpose(ct, x, rev):
+    if type(ct) is ad.Zero:
+        return ad.Zero.from_primal_value(x), None
+    return permute_rows(ct, rev), None
+
+
+def _batching(args, dims):
+    x, rev = args
+    xdim, rdim = dims
+    if rdim is not None:
+        raise NotImplementedError("batched permutation indices")
+    # move the batch axis off axis 0, permute, move it back
+    x_moved = jnp.moveaxis(x, xdim, -1)
+    out = permute_rows(x_moved, rev)
+    return jnp.moveaxis(out, -1, xdim), xdim
+
+
+permute_rows_p.def_impl(_impl)
+permute_rows_p.def_abstract_eval(_abstract_eval)
+ad.primitive_jvps[permute_rows_p] = _jvp
+ad.primitive_transposes[permute_rows_p] = _transpose
+batching.primitive_batchers[permute_rows_p] = _batching
+mlir.register_lowering(
+    permute_rows_p, mlir.lower_fun(_impl, multiple_results=False)
+)

@@ -1,11 +1,9 @@
-"""Fused PET transformer layer (Pallas TPU mega-kernel).
+"""Fused PET transformer layer (Pallas TPU mega-kernels, fwd + bwd).
 
 Why: PET's tensors are narrow -- (tokens, 128) -- so an XLA lowering of a
 transformer layer is HBM-bound: every Dense/norm/attention op round-trips
-~250 MB of activations, and the chip that sustains ~120 TF/s on large
-matmuls only reaches ~10-20 TF/s on this graph. This kernel performs the
-ENTIRE PreLN transformer layer per block of atoms with activations
-resident in VMEM:
+~130-500 MB of activations. These kernels perform the ENTIRE PreLN layer
+per block of atoms with activations resident in VMEM:
 
     tokens = [center | edges]
     -> RMSNorm -> QKV -> window attention (+log-cutoff bias) -> out-proj
@@ -14,18 +12,20 @@ resident in VMEM:
 HBM traffic per layer drops from ~10 activation round-trips to one read
 and one write of the token block (weights are small and resident).
 
-The center token's attention output is returned separately: with
-``d_node != d_pet`` (PET default) the node stream leaves the d_pet space
-through ``center_expansion`` and is handled outside the kernel (it is
-O(A x d) -- negligible).
+The attention core uses the M-expanded formulation from
+``ops/pallas/attention.py`` (one (H*T, D) x (D, T) matmul for all heads)
+when T % 8 == 0, which is guaranteed by ``containers.bucket_neighbors``.
 
-Backward: custom VJP that recomputes the layer in pure jnp under XLA --
-the forward stays fused, the backward pays the XLA cost once (a fully
-fused backward kernel is the next stage). Grad-of-grad works because the
-recompute path is ordinary differentiable jnp.
+The backward is a second mega-kernel: it recomputes the layer in VMEM and
+back-propagates through it via ``jax.vjp`` of the same block math (traced
+inside the kernel -- everything stays matmuls + elementwise, which Mosaic
+lowers directly). Weight gradients are accumulated across the sequential
+grid into revisited f32 output blocks. Grad-of-grad (training with
+forces) differentiates a pure-XLA replay of the backward math, mirroring
+``attention.py``.
 
 Scope: PreLN + RMSNorm + SwiGLU (PET defaults); other configurations use
-the unfused module path.
+the unfused module path. Reference behavior: ``pet/modules/transformer.py``.
 """
 
 from __future__ import annotations
@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _expand_heads, _fold_heads, _pair_mask, _use_mexp
 
 
 def _use_interpret() -> bool:
@@ -78,25 +80,52 @@ def _matmul_bias(x2d, w, b):
     )
 
 
-def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
-    """PreLN layer on one block: returns (edge_out, center_attn_out).
-
-    :param tokens: (BA, T, D) with token 0 the center.
-    :param bias: (BA, T) log-cutoff pre-softmax bias (keys axis).
-    """
-    BA, T, D = tokens.shape
+def _window_attention_block(q, k, v, bias, num_heads, scale):
+    """Per-block window MHA; M-expanded when T is sublane-aligned."""
+    BA, T, D = q.shape
     head_dim = D // num_heads
+    # f32 softmax statistics for f32/bf16 compute; full f64 when the
+    # caller runs the f64 fallback path (gradcheck-grade)
+    acc = jnp.promote_types(jnp.float32, q.dtype)
+    bias_acc = bias.astype(acc)
+    if _use_mexp(T, D, num_heads):
+        # window pairing disabled: neutral on v5e (VPU-bound softmax, see
+        # attention._window_packing) and the in-kernel (BA, T) bias
+        # reshape fails to lower in Mosaic
+        wpr = 1
+        Tk = wpr * T
+        if wpr > 1:
+            q = q.reshape(BA // wpr, Tk, D)
+            k = k.reshape(BA // wpr, Tk, D)
+            v = v.reshape(BA // wpr, Tk, D)
+            bias_acc = bias_acc.reshape(BA // wpr, Tk)
+        q_exp = _expand_heads(q, num_heads, head_dim)  # (rows, H*Tk, D)
+        scores = jax.lax.dot_general(
+            q_exp,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )
+        scores = scores * scale + bias_acc[:, None, :]
+        pmask = _pair_mask(num_heads * Tk, Tk, wpr)
+        if pmask is not None:
+            scores = scores + pmask[None].astype(acc)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        # exp in the compute dtype: dominant VPU stream (no-op for f32/f64)
+        e = jnp.exp(scores).astype(v.dtype)
+        denom = jnp.sum(e.astype(acc), axis=-1, keepdims=True)
+        weights = e / denom.astype(v.dtype)
+        out_exp = jax.lax.dot_general(
+            weights,
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )
+        out = _fold_heads(out_exp, num_heads, Tk, head_dim).astype(q.dtype)
+        if wpr > 1:
+            out = out.reshape(BA, T, D)
+        return out
 
-    normed = _rms_norm(tokens, w.norm_attn)
-    qkv = _matmul_bias(normed.reshape(BA * T, D), w.w_qkv, w.b_qkv).astype(
-        tokens.dtype
-    ).reshape(BA, T, 3 * D)
-    q = qkv[:, :, :D]
-    k = qkv[:, :, D : 2 * D]
-    v = qkv[:, :, 2 * D :]
-
-    acc_dtype = jnp.promote_types(jnp.float32, tokens.dtype)
-    bias32 = bias.astype(acc_dtype)
     head_outs = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -104,8 +133,8 @@ def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
             q[:, :, sl],
             k[:, :, sl],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=acc_dtype,
-        ) * scale + bias32[:, None, :]
+            preferred_element_type=acc,
+        ) * scale + bias_acc[:, None, :]
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores)
         weights = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -114,26 +143,47 @@ def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
                 weights,
                 v[:, :, sl],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=acc_dtype,
+                preferred_element_type=acc,
             )
         )
-    attn = jnp.concatenate(head_outs, axis=-1).astype(tokens.dtype)
+    return jnp.concatenate(head_outs, axis=-1).astype(q.dtype)
+
+
+def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
+    """PreLN layer on one block: returns (edge_out, center_attn_out).
+
+    :param tokens: (BA, T, D) with token 0 the center.
+    :param bias: (BA, T) log-cutoff pre-softmax bias (keys axis).
+    """
+    BA, T, D = tokens.shape
+    compute_dtype = tokens.dtype
+
+    wc = LayerWeights(*(x.astype(compute_dtype) for x in w))
+    normed = _rms_norm(tokens, wc.norm_attn)
+    qkv = _matmul_bias(normed.reshape(BA * T, D), wc.w_qkv, wc.b_qkv).astype(
+        compute_dtype
+    ).reshape(BA, T, 3 * D)
+    q = qkv[:, :, :D]
+    k = qkv[:, :, D : 2 * D]
+    v = qkv[:, :, 2 * D :]
+
+    attn = _window_attention_block(q, k, v, bias, num_heads, scale)
     attn_out = _matmul_bias(
-        attn.reshape(BA * T, D), w.w_out, w.b_out
-    ).astype(tokens.dtype).reshape(BA, T, D)
+        attn.reshape(BA * T, D), wc.w_out, wc.b_out
+    ).astype(compute_dtype).reshape(BA, T, D)
 
     center_attn = attn_out[:, 0, :]  # (BA, D)
 
     edges = tokens[:, 1:, :] + attn_out[:, 1:, :]
-    h_norm = _rms_norm(edges, w.norm_mlp)
-    d_ff = w.w_ffn_out.shape[0]
+    h_norm = _rms_norm(edges, wc.norm_mlp)
+    d_ff = wc.w_ffn_out.shape[0]
     vg = _matmul_bias(
-        h_norm.reshape(BA * (T - 1), D), w.w_in, w.b_in
+        h_norm.reshape(BA * (T - 1), D), wc.w_in, wc.b_in
     )
     value, gate = vg[:, :d_ff], vg[:, d_ff:]
-    ffn_h = (value * jax.nn.sigmoid(gate)).astype(tokens.dtype)
-    ffn_out = _matmul_bias(ffn_h, w.w_ffn_out, w.b_ffn_out).astype(
-        tokens.dtype
+    ffn_h = (value * jax.nn.sigmoid(gate)).astype(compute_dtype)
+    ffn_out = _matmul_bias(ffn_h, wc.w_ffn_out, wc.b_ffn_out).astype(
+        compute_dtype
     ).reshape(BA, T - 1, D)
     edge_out = edges + ffn_out
     return edge_out, center_attn
@@ -149,9 +199,56 @@ def _fwd_kernel(tokens_ref, bias_ref, *rest, num_heads, scale):
     center_ref[:] = center_attn
 
 
-def _block_atoms(T: int) -> int:
+def _bwd_kernel(
+    tokens_ref,
+    bias_ref,
+    *rest,
+    num_heads,
+    scale,
+    n_weights,
+    weight_grads,
+):
+    weight_refs = rest[:n_weights]
+    g_edge_ref, g_center_ref = rest[n_weights : n_weights + 2]
+    d_tokens_ref, d_bias_ref = rest[n_weights + 2 : n_weights + 4]
+    dw_refs = rest[n_weights + 4 :]
+
+    w = LayerWeights(*(ref[:] for ref in weight_refs))
+
+    if weight_grads:
+        def f(tokens, bias, weights):
+            return _layer_math(tokens, bias, weights, num_heads, scale)
+
+        _, vjp = jax.vjp(f, tokens_ref[:], bias_ref[:], w)
+        d_tokens, d_bias, dw = vjp((g_edge_ref[:], g_center_ref[:]))
+    else:
+        def f(tokens, bias):
+            return _layer_math(tokens, bias, w, num_heads, scale)
+
+        _, vjp = jax.vjp(f, tokens_ref[:], bias_ref[:])
+        d_tokens, d_bias = vjp((g_edge_ref[:], g_center_ref[:]))
+        dw = ()
+    d_tokens_ref[:] = d_tokens.astype(d_tokens_ref.dtype)
+    d_bias_ref[:] = d_bias.astype(d_bias_ref.dtype)
+
+    # accumulate f32 weight grads across the sequential grid (output
+    # blocks are revisited: constant index_map + "arbitrary" semantics)
+    is_first = pl.program_id(0) == 0
+    for ref, val in zip(dw_refs, dw):
+        val32 = val.astype(jnp.float32)
+
+        @pl.when(is_first)
+        def _(ref=ref, val32=val32):
+            ref[:] = val32
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, val32=val32):
+            ref[:] = ref[:] + val32
+
+
+def _block_atoms(T: int, backward: bool = False) -> int:
     if T <= 48:
-        return 16
+        return 8 if backward else 16
     if T <= 96:
         return 8
     return 4
@@ -164,6 +261,15 @@ def _pad_atoms(x, BA):
     return x
 
 
+def _weight_spec(w):
+    ndim = w.ndim
+    return pl.BlockSpec(
+        w.shape,
+        (lambda i, _n=ndim: (0,) * _n),
+        memory_space=pltpu.VMEM,
+    )
+
+
 def _forward_impl(tokens, bias, weights: LayerWeights, num_heads, scale):
     A, T, D = tokens.shape
     BA = _block_atoms(T)
@@ -173,15 +279,6 @@ def _forward_impl(tokens, bias, weights: LayerWeights, num_heads, scale):
 
     spec3 = pl.BlockSpec((BA, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((BA, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def _weight_spec(w):
-        ndim = w.ndim
-        return pl.BlockSpec(
-            w.shape,
-            (lambda i, _n=ndim: (0,) * _n),
-            memory_space=pltpu.VMEM,
-        )
-
     weight_specs = [_weight_spec(w) for w in weights]
 
     edge_out, center = pl.pallas_call(
@@ -197,6 +294,10 @@ def _forward_impl(tokens, bias, weights: LayerWeights, num_heads, scale):
         out_shape=(
             jax.ShapeDtypeStruct((A_p, T - 1, D), tokens.dtype),
             jax.ShapeDtypeStruct((A_p, D), tokens.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_use_interpret(),
     )(tokens_p, bias_p, *weights)
@@ -215,15 +316,117 @@ def _fused_fwd(tokens, bias, weights, num_heads, scale):
     return out, (tokens, bias, weights)
 
 
-def _fused_bwd(num_heads, scale, residuals, g):
-    tokens, bias, weights = residuals
+def _bwd_math_reference(tokens, bias, weights, g_edge, g_center, num_heads, scale):
+    """Pure-XLA replay of the layer backward (for grad-of-grad)."""
 
-    def ref_layer(tokens, bias, weights):
+    def f(tokens, bias, weights):
         return _layer_math(tokens, bias, weights, num_heads, scale)
 
-    _, vjp = jax.vjp(ref_layer, tokens, bias, weights)
-    d_tokens, d_bias, d_weights = vjp(g)
-    return d_tokens, d_bias.astype(bias.dtype), d_weights
+    _, vjp = jax.vjp(f, tokens, bias, weights)
+    d_tokens, d_bias, dw = vjp((g_edge, g_center))
+    dw32 = LayerWeights(*(x.astype(jnp.float32) for x in dw))
+    return d_tokens, d_bias.astype(jnp.float32), dw32
+
+
+def _make_bwd_op(num_heads, scale, weight_grads=True):
+    @jax.custom_vjp
+    def bwd_op(tokens, bias, weights: LayerWeights, g_edge, g_center):
+        A, T, D = tokens.shape
+        BA = _block_atoms(T, backward=True)
+        tokens_p = _pad_atoms(tokens, BA)
+        bias_p = _pad_atoms(bias, BA)
+        g_edge_p = _pad_atoms(g_edge, BA)
+        g_center_p = _pad_atoms(g_center, BA)
+        A_p = tokens_p.shape[0]
+        n_weights = len(weights)
+
+        spec3 = pl.BlockSpec(
+            (BA, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec2 = pl.BlockSpec((BA, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_edge = pl.BlockSpec(
+            (BA, T - 1, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_center = pl.BlockSpec(
+            (BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        weight_specs = [_weight_spec(w) for w in weights]
+        # weight-grad outputs: every grid step maps to block 0 (revisited
+        # accumulator in VMEM, written back once at the end)
+        dw_specs = [_weight_spec(w) for w in weights] if weight_grads else []
+        dw_shapes = (
+            [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+            if weight_grads
+            else []
+        )
+
+        outs = pl.pallas_call(
+            functools.partial(
+                _bwd_kernel,
+                num_heads=num_heads,
+                scale=scale,
+                n_weights=n_weights,
+                weight_grads=weight_grads,
+            ),
+            grid=(A_p // BA,),
+            in_specs=[spec3, spec2] + weight_specs + [spec_edge, spec_center],
+            out_specs=(spec3, spec2, *dw_specs),
+            out_shape=(
+                jax.ShapeDtypeStruct((A_p, T, D), tokens.dtype),
+                jax.ShapeDtypeStruct((A_p, T), jnp.float32),
+                *dw_shapes,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    ("arbitrary",) if weight_grads else ("parallel",)
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_use_interpret(),
+        )(tokens_p, bias_p, *weights, g_edge_p, g_center_p)
+        d_tokens, d_bias, *dw = outs
+        if not weight_grads:
+            dw = [jnp.zeros(w.shape, jnp.float32) for w in weights]
+        return d_tokens[:A], d_bias[:A], LayerWeights(*dw)
+
+    def bwd_op_fwd(tokens, bias, weights, g_edge, g_center):
+        return (
+            bwd_op(tokens, bias, weights, g_edge, g_center),
+            (tokens, bias, weights, g_edge, g_center),
+        )
+
+    def bwd_op_bwd(residuals, cotangents):
+        _, vjp = jax.vjp(
+            lambda *args: _bwd_math_reference(*args, num_heads, scale),
+            *residuals,
+        )
+        return vjp(cotangents)
+
+    bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
+    return bwd_op
+
+
+_BWD_OPS = {}
+
+
+def _fused_bwd(num_heads, scale, residuals, g):
+    from ..inference import param_grads_needed
+
+    tokens, bias, weights = residuals
+    g_edge, g_center = g
+    # trace-time flag: under no_param_grads() (inference force calls) the
+    # weight-gradient matmuls and their accumulators are skipped entirely
+    weight_grads = param_grads_needed()
+    key = (num_heads, float(scale), weight_grads)
+    if key not in _BWD_OPS:
+        _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads)
+    d_tokens, d_bias, dw = _BWD_OPS[key](
+        tokens, bias, weights, g_edge, g_center
+    )
+    dw_cast = LayerWeights(
+        *(x.astype(w.dtype) for x, w in zip(dw, weights))
+    )
+    return d_tokens, d_bias.astype(bias.dtype), dw_cast
 
 
 fused_transformer_layer.defvjp(_fused_fwd, _fused_bwd)

@@ -99,25 +99,63 @@ def make_dp_train_step(
 
 class DataParallelLoader:
     """Groups consecutive batches from a loader into stacked per-device
-    super-batches (requires fixed collate shapes)."""
+    super-batches (requires fixed collate shapes).
 
-    def __init__(self, loader, n_devices: int, mesh: Optional[Mesh] = None):
+    Multi-process (multi-host): every process iterates the same sampler
+    order; super-batch position ``i`` belongs to global device ``i mod
+    n_devices``. Each process COLLATES only the positions of its local
+    devices (lazy iteration skips the others' host-side work -- collation
+    includes neighbor-list construction) and assembles the global sharded
+    array via ``jax.make_array_from_process_local_data``. This reproduces
+    the reference's per-rank ``DistributedSampler`` semantics
+    (``pet/trainer.py:227-250``) with deterministic, epoch-keyed order.
+    """
+
+    def __init__(
+        self,
+        loader,
+        n_devices: int,
+        mesh: Optional[Mesh] = None,
+        num_processes: int = 1,
+        process_id: int = 0,
+    ):
         self.loader = loader
         self.n_devices = n_devices
         self.mesh = mesh
+        self.num_processes = num_processes
+        self.process_id = process_id
+        if n_devices % num_processes:
+            raise ValueError(
+                f"{n_devices} devices not divisible by {num_processes} processes"
+            )
+        self.n_local = n_devices // num_processes
 
     def set_epoch(self, epoch: int) -> None:
         self.loader.set_epoch(epoch)
 
+    def _iter_thunks(self):
+        if hasattr(self.loader, "iter_lazy"):
+            yield from self.loader.iter_lazy()
+        else:
+            for batch in self.loader:
+                yield (lambda b=batch: b)
+
     def __iter__(self):
+        lo = self.process_id * self.n_local
+        hi = lo + self.n_local
         buffer = []
-        for batch in self.loader:
-            buffer.append(batch)
-            if len(buffer) == self.n_devices:
-                stacked = stack_batches(buffer)
-                if self.mesh is not None:
-                    stacked = shard_batch_to_mesh(stacked, self.mesh)
-                yield stacked
+        for i, thunk in enumerate(self._iter_thunks()):
+            pos = i % self.n_devices
+            if lo <= pos < hi:
+                buffer.append(thunk())
+            if pos == self.n_devices - 1:
+                if len(buffer) == self.n_local:
+                    stacked = stack_batches(buffer)
+                    if self.mesh is not None:
+                        stacked = shard_batch_to_mesh(
+                            stacked, self.mesh, self.num_processes
+                        )
+                    yield stacked
                 buffer = []
         # remainder dropped: every device must receive a shard
 
@@ -170,11 +208,22 @@ def make_sharded_train_step(
     return jax.jit(sharded), stacked
 
 
-def shard_batch_to_mesh(stacked, mesh: Mesh):
-    """Place a stacked batch with its leading axis sharded over the mesh."""
+def shard_batch_to_mesh(stacked, mesh: Mesh, num_processes: int = 1):
+    """Place a stacked batch with its leading axis sharded over the mesh.
+
+    Multi-process: ``stacked`` holds only this process's local shard
+    (leading axis = local device count); the global array is assembled
+    from per-process data without any cross-host transfer.
+    """
     sharding = NamedSharding(mesh, P(DP_AXIS))
 
-    def place(x):
-        return jax.device_put(x, sharding)
+    if num_processes > 1:
+        def place(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, stacked)

@@ -193,20 +193,40 @@ def options_json_schema() -> Dict[str, Any]:
     return _BaseOptions.model_json_schema()
 
 
+def _suggest(key: str, candidates) -> str:
+    import difflib
+
+    close = difflib.get_close_matches(key, list(candidates), n=1)
+    return f" (did you mean {close[0]!r}?)" if close else ""
+
+
 def merge_architecture_hypers(
     name: str, user: Dict[str, Any]
 ) -> Dict[str, Any]:
-    """Defaults <- user overrides, recursively."""
+    """Defaults <- user overrides, recursively, REJECTING unknown keys.
+
+    A typo'd hyperparameter (``d_pett: 256``) raises instead of silently
+    training the default model (reference validates every architecture's
+    hypers via TypedDict+pydantic, ``utils/pydantic.py:254-476``). Dicts
+    whose default is empty (e.g. per-target weight maps, finetune configs)
+    are open: user keys there are accepted verbatim.
+    """
     from .architectures import get_default_hypers
 
     defaults = get_default_hypers(name)
 
-    def deep_update(base, update):
+    def deep_update(base, update, path):
         for key, value in update.items():
+            if key not in base and base:
+                location = ".".join(path + [str(key)])
+                raise MetatrainConfigError(
+                    f"unknown hyperparameter '{location}' for architecture "
+                    f"'{name}'{_suggest(str(key), base)}"
+                )
             if isinstance(value, dict) and isinstance(base.get(key), dict):
-                deep_update(base[key], value)
+                deep_update(base[key], value, path + [str(key)])
             else:
                 base[key] = value
 
-    deep_update(defaults, user or {})
+    deep_update(defaults, user or {}, [])
     return defaults

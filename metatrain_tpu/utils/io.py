@@ -93,14 +93,69 @@ def trainer_from_checkpoint(
     return trainer_cls.load_checkpoint(checkpoint, hypers)
 
 
-def load_model(path: str, context: str = "export"):
-    """Load a model from an exported ``.mtt`` envelope or a checkpoint
-    (sniffing, reference ``utils/io.py:135-188``)."""
-    if str(path).startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "remote model download is not available in this build"
+def _cache_dir() -> Path:
+    import os
+
+    root = os.environ.get("MTT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "metatrain_tpu"
+    )
+    path = Path(root)
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def resolve_model_path(path: str) -> str:
+    """Resolve a local path, ``http(s)://`` / ``file://`` URL, or
+    HuggingFace Hub reference (``hf://<repo_id>/<filename>`` or a
+    huggingface.co URL) to a local file, downloading into the cache
+    (reference ``cli/export.py:203-211`` + ``utils/io.py:135-188``).
+
+    Authentication: a token from ``$HF_TOKEN`` is sent as a Bearer header
+    for huggingface.co downloads.
+    """
+    import hashlib
+    import os
+    import urllib.request
+
+    path = str(path)
+    if path.startswith("hf://"):
+        # hf://<org>/<repo>/<filename...>  (main revision)
+        parts = path[len("hf://") :].split("/")
+        if len(parts) < 3:
+            raise ValueError(
+                "hf:// reference must be hf://<org>/<repo>/<filename>"
+            )
+        repo_id = "/".join(parts[:2])
+        filename = "/".join(parts[2:])
+        path = (
+            f"https://huggingface.co/{repo_id}/resolve/main/{filename}"
         )
-    data = load_checkpoint_file(path)
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if not path.startswith(("http://", "https://")):
+        return path
+
+    digest = hashlib.sha256(path.encode()).hexdigest()[:16]
+    target = _cache_dir() / f"{digest}_{Path(path).name}"
+    if target.exists():
+        return str(target)
+    request = urllib.request.Request(path)
+    token = os.environ.get("HF_TOKEN")
+    if token and "huggingface.co" in path:
+        request.add_header("Authorization", f"Bearer {token}")
+    with urllib.request.urlopen(request) as response, open(
+        target, "wb"
+    ) as f:
+        f.write(response.read())
+    return str(target)
+
+
+def load_model(path: str, context: str = "export"):
+    """Load a model from an exported ``.mtt`` envelope or a checkpoint,
+    from a local path, URL, or HF-Hub reference (sniffing, reference
+    ``utils/io.py:135-188``)."""
+    local = resolve_model_path(path)
+    data = load_checkpoint_file(local)
     if isinstance(data, dict) and data.get("exported"):
         return model_from_checkpoint(data["checkpoint"], context=context)
     return model_from_checkpoint(data, context=context)

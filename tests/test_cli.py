@@ -198,3 +198,55 @@ def test_restart_continues_training(tmp_path, dataset_file, monkeypatch):
     )
     out_dirs = sorted((tmp_path / "outputs").glob("*/*"))
     assert len(out_dirs) == 2
+
+
+def test_eval_metrics_match_training_metrics(tmp_path):
+    """evaluate_datasets and the training loop must report the SAME
+    per-atom RMSE on the same data and model (regression: eval used to
+    skip per-atom averaging, silently reporting per-structure numbers)."""
+    import csv
+
+    import numpy as np
+
+    from metatrain_tpu.cli.eval import evaluate_datasets
+    from metatrain_tpu.data.dataset import Dataset
+    from metatrain_tpu.data.readers import read_targets
+    from metatrain_tpu.data.target_info import DatasetInfo
+    from metatrain_tpu.models.soap_bpnn import SoapBpnn, SoapBpnnTrainer
+
+    from conftest import make_molecule
+
+    rng = np.random.default_rng(0)
+    systems = []
+    for i in range(10):
+        s = make_molecule(5, seed=i)
+        s.extra["energy"] = np.asarray(rng.normal())
+        systems.append(s)
+    targets, infos = read_targets(
+        systems,
+        {"energy": {"quantity": "energy", "key": "energy", "unit": "eV"}},
+    )
+    types = sorted({int(t) for s in systems for t in s.types})
+    ds_info = DatasetInfo("angstrom", types, infos)
+    dataset = Dataset(systems, targets)
+    model = SoapBpnn(
+        {
+            "soap": {"max_angular": 1, "max_radial": 1, "cutoff": {"radius": 4.0}},
+            "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 8},
+        },
+        ds_info,
+    )
+    trainer = SoapBpnnTrainer(
+        {"num_epochs": 2, "batch_size": 5, "o3_augmentation": False,
+         "data_parallel": False}
+    )
+    import jax.numpy as jnp
+
+    trainer.train(model, jnp.float64, [dataset], [dataset], str(tmp_path))
+    with open(tmp_path / "train.csv") as f:
+        rows = list(csv.DictReader(f))
+    loop_rmse = float(rows[-1]["val energy RMSE (per atom)"])
+    eval_rmse = evaluate_datasets(model, dataset, ds_info)[
+        "energy RMSE (per atom)"
+    ]
+    np.testing.assert_allclose(eval_rmse, loop_rmse, rtol=1e-5)

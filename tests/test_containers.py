@@ -170,3 +170,44 @@ def test_batch_extra_data():
 
     with pytest.raises(KeyError):
         batch_from_systems(systems, nbrs, extra_keys=["missing"])
+
+
+def test_nbr_reverse_is_involution_and_vjp_matches():
+    """reverse_edges' custom VJP (gather instead of scatter-add) is only
+    valid because nbr_reverse is an involutive permutation: check both."""
+    import jax
+    import jax.numpy as jnp
+
+    from metatrain_tpu.containers import batch_from_systems
+    from metatrain_tpu.models.pet.modules import (
+        _reverse_edges_impl,
+        reverse_edges,
+    )
+    from metatrain_tpu.ops.neighbors import compute_neighbor_data
+
+    from conftest import make_crystal
+
+    system = make_crystal(n_cells=2, seed=5)
+    nbr = compute_neighbor_data(system, cutoff=4.0)
+    batch = batch_from_systems([system], [nbr])
+    rev = np.asarray(batch.nbr_reverse).reshape(-1)
+
+    # permutation + involution
+    assert np.array_equal(np.sort(rev), np.arange(rev.size))
+    np.testing.assert_array_equal(rev[rev], np.arange(rev.size))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=batch.nbr_indices.shape + (8,)))
+    g = jnp.asarray(rng.normal(size=x.shape))
+
+    def loss_custom(x):
+        return jnp.sum(reverse_edges(x, batch.nbr_reverse) * g)
+
+    def loss_generic(x):
+        return jnp.sum(_reverse_edges_impl(x, batch.nbr_reverse) * g)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_custom)(x)),
+        np.asarray(jax.grad(loss_generic)(x)),
+        rtol=1e-12,
+    )

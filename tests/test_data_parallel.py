@@ -56,32 +56,102 @@ def test_dp_training_runs_and_learns(tmp_path):
     assert float(rows[-1]["train loss"]) < float(rows[0]["train loss"])
 
 
-def test_dp_matches_single_device_when_loss_converges(tmp_path):
-    """DP and single-device runs start from the same init and both learn."""
-    dataset, ds_info = _dataset(32)
+def test_dp_step_exact_parity_with_serial_grad_accumulation():
+    """One DP(8) train step == serial mean-of-per-shard-gradients update.
 
-    def run(data_parallel, out):
-        model = SoapBpnn(HYPERS, ds_info)
-        trainer = SoapBpnnTrainer(
-            {
-                "num_epochs": 2,
-                "batch_size": 2,
-                "learning_rate": 1e-3,
-                "data_parallel": data_parallel,
-                "o3_augmentation": False,
-                "seed": 0,
-            }
+    The DP semantic is the reference's DDP one: gradients are averaged
+    over ranks with EQUAL weight, independent of each shard's real-atom
+    count. The serial equivalent is gradient accumulation over the same 8
+    sub-batches. Checked to numerical precision on parameters
+    (reference-grade rigor: ``composition/tests/test_distributed.py:19-33``).
+    Shards are deliberately built with UNEQUAL atom counts so per-shard
+    weighting bugs would show.
+    """
+    import optax
+
+    from metatrain_tpu.data.collate import CollateFn
+    from metatrain_tpu.engine.evaluate import evaluate_model
+    from metatrain_tpu.engine.loss import LossAggregator
+    from metatrain_tpu.ops.segment import average_by_num_atoms
+    from metatrain_tpu.parallel.mesh import (
+        DataParallelLoader,
+        make_data_mesh,
+        make_dp_train_step,
+    )
+
+    rng = np.random.default_rng(1)
+    systems = []
+    for i in range(16):
+        # unequal sizes: 3..7 atoms
+        s = make_molecule(3 + (i % 5), seed=100 + i)
+        s.extra["energy"] = np.asarray(rng.normal())
+        systems.append(s)
+    targets, infos = read_targets(
+        systems, {"energy": {"quantity": "energy", "key": "energy", "unit": "eV"}}
+    )
+    types = sorted({int(t) for s in systems for t in s.types})
+    ds_info = DatasetInfo("angstrom", types, infos)
+    dataset = Dataset(systems, targets)
+
+    model = SoapBpnn(HYPERS, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_agg = LossAggregator(infos, "mse")
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+
+    collate = CollateFn(
+        cutoff=4.0,
+        target_infos=infos,
+        n_atoms_padded=16,
+        n_systems_padded=3,
+        max_neighbors=15,
+    )
+    sub_batches = [
+        collate([dataset[2 * d], dataset[2 * d + 1]]) for d in range(8)
+    ]
+
+    def loss_and_errors(p, batch):
+        predictions = evaluate_model(
+            model.forward, p, batch.systems, infos, is_training=True
         )
-        trainer.train(model, jnp.float32, [dataset], [dataset], str(out))
-        return model
+        predictions = average_by_num_atoms(predictions, batch.systems, [])
+        targets_avg = average_by_num_atoms(batch.targets, batch.systems, [])
+        loss = loss_agg(predictions, targets_avg, batch.extra_data)
+        return loss, {"n": jnp.asarray(1.0)}
 
-    m_dp = run(True, tmp_path / "dp")
-    m_single = run(False, tmp_path / "single")
-    # both produced finite, trained parameters
-    leaves_dp = jax.tree_util.tree_leaves(m_dp.params)
-    leaves_s = jax.tree_util.tree_leaves(m_single.params)
-    assert all(np.isfinite(np.asarray(x)).all() for x in leaves_dp)
-    assert len(leaves_dp) == len(leaves_s)
+    # --- serial: average the 8 sub-batch gradients, one update
+    grads = []
+    losses = []
+    for batch in sub_batches:
+        (loss, _), g = jax.value_and_grad(
+            lambda p: loss_and_errors(p, batch), has_aux=True
+        )(params)
+        grads.append(g)
+        losses.append(loss)
+    mean_grads = jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / len(xs), *grads
+    )
+    updates, _ = optimizer.update(mean_grads, optimizer.init(params), params)
+    serial_params = optax.apply_updates(params, updates)
+
+    # --- DP step over the 8-device mesh (donates params: run last)
+    mesh = make_data_mesh(8)
+    dp_step = make_dp_train_step(loss_and_errors, optimizer, mesh)
+    from metatrain_tpu.parallel.mesh import stack_batches
+
+    stacked = stack_batches(sub_batches)
+    dp_params, _, dp_loss, _ = dp_step(params, opt_state, stacked)
+
+    np.testing.assert_allclose(
+        float(dp_loss), float(np.mean(losses)), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dp_params),
+        jax.tree_util.tree_leaves(serial_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
 
 
 def test_slurm_nodelist_parsing():

@@ -30,9 +30,15 @@ def _random_weights(rng, D, F):
     )
 
 
-def test_fused_kernel_matches_math():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "A,T,D,F,H",
+    [(21, 9, 32, 16, 4), (21, 8, 32, 16, 4), (9, 48, 128, 64, 8)],
+)
+def test_fused_kernel_matches_math(A, T, D, F, H):
     rng = np.random.default_rng(0)
-    A, T, D, F, H = 21, 9, 32, 16, 4
     tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
     weights = _random_weights(rng, D, F)
@@ -47,9 +53,11 @@ def test_fused_kernel_matches_math():
     )
 
 
-def test_fused_layer_gradients_and_double_backward():
+@pytest.mark.parametrize(
+    "A,T,D,F,H", [(10, 7, 16, 8, 2), (10, 8, 16, 8, 2), (26, 16, 64, 32, 8)]
+)
+def test_fused_layer_gradients_and_double_backward(A, T, D, F, H):
     rng = np.random.default_rng(1)
-    A, T, D, F, H = 10, 7, 16, 8, 2
     tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
     weights = _random_weights(rng, D, F)
@@ -62,11 +70,17 @@ def test_fused_layer_gradients_and_double_backward():
         e, c = _layer_math(tokens, bias, weights, H, 0.5)
         return jnp.sum(e**2) + jnp.sum(c**2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1))(tokens, bias, weights)
-    g_math = jax.grad(loss_math, argnums=(0, 1))(tokens, bias, weights)
-    for a, b in zip(g_fused, g_math):
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, bias, weights)
+    g_math = jax.grad(loss_math, argnums=(0, 1, 2))(tokens, bias, weights)
+    for a, b in zip(g_fused[:2], g_math[:2]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+    # weight gradients: accumulated across grid blocks inside the kernel
+    for name, a, b in zip(g_fused[2]._fields, g_fused[2], g_math[2]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name}",
         )
 
     # grad-of-grad (training with forces through the fused layer)

@@ -161,3 +161,87 @@ def test_zbl_repulsive_and_smooth():
     assert e1 > e2 > e3 > 0
     assert e4 == 0.0
     assert e3 < 1e-2  # smoothly vanishing at the cutoff
+
+
+def _lj_forces(system, epsilon=0.3, sigma=1.8):
+    from metatrain_tpu.ops.neighbors import neighbor_pairs
+
+    c, n, s = neighbor_pairs(system.positions, system.cell, system.pbc, 6.0)
+    forces = np.zeros_like(system.positions)
+    vec = system.positions[n] - system.positions[c] + s @ system.cell
+    r = np.linalg.norm(vec, axis=1)
+    x6 = (sigma / r) ** 6
+    # dE/dr for the 0.5-weighted full pair list
+    dedr = 0.5 * 4 * epsilon * (-12 * x6**2 + 6 * x6) / r
+    contrib = dedr[:, None] * vec / r[:, None]
+    np.add.at(forces, c, contrib)
+    np.add.at(forces, n, -contrib)
+    return forces
+
+
+def test_gap_force_rows_improve_forces(tmp_path):
+    """Fitting energies AND gradient rows (reference gap/model.py:324,648)
+    must materially beat the energy-only fit on force RMSE."""
+    import jax
+
+    systems = []
+    for i in range(24):
+        s = make_molecule(6, seed=100 + i, types=(6,))
+        s.extra["energy"] = np.asarray(_lj_energy(s))
+        s.extra["forces"] = _lj_forces(s)
+        systems.append(s)
+    targets, infos = read_targets(
+        systems,
+        {
+            "energy": {
+                "quantity": "energy",
+                "key": "energy",
+                "unit": "eV",
+                "forces": {"key": "forces"},
+            }
+        },
+    )
+    ds_info = DatasetInfo("angstrom", [6], infos)
+    dataset = Dataset(systems, targets)
+
+    hypers = {"krr": {"num_sparse_points": 40, "degree": 2}}
+
+    def force_rmse(model):
+        errs = []
+        for i in range(4):
+            s = make_molecule(6, seed=500 + i, types=(6,))
+            ref = _lj_forces(s)
+            nbr = compute_neighbor_data(s, model.cutoff)
+            batch = batch_from_systems([s], [nbr], dtype=jnp.float64)
+            preds = evaluate_model(
+                model.forward_eval,
+                model.params,
+                batch,
+                {"energy": ds_info.targets["energy"]},
+                is_training=False,
+            )
+            grad = np.asarray(
+                preds["energy"].block().gradient("positions").values
+            )[: len(s), :, 0]
+            errs.append(((-grad) - ref) ** 2)
+        return float(np.sqrt(np.mean(np.concatenate(errs))))
+
+    # energy-only: strip the gradient from the dataset info/targets
+    targets_e, infos_e = read_targets(
+        systems,
+        {"energy": {"quantity": "energy", "key": "energy", "unit": "eV"}},
+    )
+    ds_info_e = DatasetInfo("angstrom", [6], infos_e)
+    model_e = GAP(hypers, ds_info_e)
+    GAPTrainer({"seed": 0}).train(
+        model_e, jnp.float64, [Dataset(systems, targets_e)], [], str(tmp_path)
+    )
+
+    model_f = GAP(hypers, ds_info)
+    GAPTrainer({"seed": 0}).train(
+        model_f, jnp.float64, [dataset], [], str(tmp_path)
+    )
+
+    rmse_e = force_rmse(model_e)
+    rmse_f = force_rmse(model_f)
+    assert rmse_f < 0.7 * rmse_e, (rmse_f, rmse_e)

@@ -107,3 +107,82 @@ def test_llpr_uncertainty_larger_for_outliers(tmp_path):
         )
 
     assert variance(system_out) > variance(system_in)
+
+
+def test_llpr_ensemble_finetuning_reduces_loss(tmp_path):
+    """Gradient-based ensemble finetuning (reference llpr/trainer.py:96-200)
+    improves the ensemble's probabilistic fit."""
+    base, dataset = _trained_base(tmp_path)
+    wrapped = LLPRUncertaintyModel({}, wrapped=base)
+    trainer = LLPRTrainer({"ensemble_size": 16, "seed": 0})
+    trainer.train(wrapped, jnp.float32, [dataset], [dataset], str(tmp_path))
+    w_before = np.asarray(wrapped.ensemble_weights["energy"]).copy()
+
+    wrapped2 = LLPRUncertaintyModel({}, wrapped=base)
+    trainer2 = LLPRTrainer(
+        {"ensemble_size": 16, "seed": 0, "finetune_epochs": 50,
+         "finetune_learning_rate": 1e-2}
+    )
+    trainer2.train(wrapped2, jnp.float32, [dataset], [dataset], str(tmp_path))
+    w_after = np.asarray(wrapped2.ensemble_weights["energy"])
+    # weights actually moved
+    assert not np.allclose(w_before, w_after)
+    assert np.isfinite(w_after).all()
+
+
+def test_llpr_ensemble_forces(tmp_path):
+    """Per-member ensemble energy gradients through the shared autograd
+    engine (reference llpr/model.py:719): a multi-property gradient
+    target pulled back in one vmapped backward."""
+    from metatrain_tpu.data.target_info import get_generic_target_info
+    from metatrain_tpu.engine.evaluate import evaluate_model
+
+    base, dataset = _trained_base(tmp_path)
+    wrapped = LLPRUncertaintyModel({}, wrapped=base)
+    K = 5
+    trainer = LLPRTrainer({"ensemble_size": K, "seed": 0})
+    trainer.train(wrapped, jnp.float32, [dataset], [dataset], str(tmp_path))
+
+    ens_name = "mtt::aux::energy_ensemble"
+    from metatrain_tpu.containers import Labels
+    from metatrain_tpu.data.target_info import _empty_block
+
+    info = get_generic_target_info(
+        "scalar", num_properties=K, quantity="energy", unit="eV"
+    )
+    # request per-member position gradients on the layout
+    info.layout.block(0).add_gradient(
+        "positions",
+        _empty_block(
+            ["sample", "system", "atom"],
+            [Labels(["xyz"], np.arange(3, dtype=np.int32).reshape(-1, 1))],
+            info.layout.block(0).properties,
+        ),
+    )
+
+    system = make_molecule(5, seed=33)
+    nbr = compute_neighbor_data(system, wrapped.requested_neighbor_cutoff())
+    batch = batch_from_systems([system], [nbr])
+    preds = evaluate_model(
+        wrapped.forward,
+        wrapped.params,
+        batch,
+        {ens_name: info},
+        is_training=False,
+    )
+    block = preds[ens_name].block(0)
+    grads = np.asarray(block.gradient("positions").values)
+    assert grads.shape == (batch.n_atoms_padded, 3, K)
+    assert np.isfinite(grads).all()
+    # member columns differ (distinct ensemble members)
+    assert not np.allclose(grads[..., 0], grads[..., 1])
+
+    # each member's gradient equals the gradient of that member's energy
+    def member_energy(positions, k):
+        out = wrapped.forward(
+            wrapped.params, batch.replace(positions=positions), [ens_name]
+        )
+        return jnp.sum(out[ens_name].block(0).values[:1, k])
+
+    g0 = np.asarray(jax.grad(lambda p: member_energy(p, 0))(batch.positions))
+    np.testing.assert_allclose(grads[..., 0], g0, rtol=1e-4, atol=1e-6)

@@ -130,3 +130,91 @@ def test_mace_training_smoke(tmp_path):
     with open(tmp_path / "train.csv") as f:
         rows = list(csv.DictReader(f))
     assert np.isfinite(float(rows[-1]["train loss"]))
+
+
+def test_mace_correlation3_invariance_including_inversion():
+    """The iterated-CG product basis at correlation 3 stays exactly O(3)
+    invariant for scalar targets (rotations AND improper rotations)."""
+    hypers = dict(SMALL_HYPERS, correlation=3, num_interactions=1)
+    model = MACE(hypers, _dataset_info(), compute_dtype=jnp.float64)
+    params = model.init_params(jax.random.PRNGKey(2))
+    system = make_molecule(6, seed=4)
+
+    def energy_of(s):
+        out = model.forward(params, _batch([s]), ["energy"])
+        return float(np.asarray(out["energy"].block().values)[0, 0])
+
+    e0 = energy_of(system)
+    assert abs(e0) > 1e-8
+    rng = np.random.default_rng(3)
+    for improper in (False, True):
+        rotation = random_rotation(rng, improper=improper)
+        rotated = System(
+            system.positions @ rotation.T, system.types, system.cell, system.pbc
+        )
+        np.testing.assert_allclose(energy_of(rotated), e0, rtol=1e-9)
+
+
+def test_mace_vector_target_equivariance():
+    """A Cartesian rank-1 target rotates with the system and flips under
+    inversion (true-vector behavior) -- the equivariant readout path."""
+    from metatrain_tpu.data.target_info import get_generic_target_info
+
+    info = get_generic_target_info(
+        "cartesian", rank=1, quantity="dipole", unit="e*A"
+    )
+    ds_info = DatasetInfo("angstrom", [1, 6, 8], {"dipole": info})
+    model = MACE(dict(SMALL_HYPERS, correlation=2), ds_info, jnp.float64)
+    params = model.init_params(jax.random.PRNGKey(5))
+    system = make_molecule(6, seed=7)
+
+    def dipole_of(s):
+        out = model.forward(params, _batch([s]), ["dipole"])
+        return np.asarray(out["dipole"].block().values, dtype=np.float64)[0]
+
+    d0 = dipole_of(system)
+    assert np.linalg.norm(d0) > 1e-8
+    rng = np.random.default_rng(11)
+    rotation = random_rotation(rng)
+    rotated = System(
+        system.positions @ rotation.T, system.types, system.cell, system.pbc
+    )
+    np.testing.assert_allclose(
+        dipole_of(rotated), rotation @ d0, rtol=1e-7, atol=1e-10
+    )
+    inverted = System(
+        -system.positions, system.types, system.cell, system.pbc
+    )
+    np.testing.assert_allclose(dipole_of(inverted), -d0, rtol=1e-7, atol=1e-10)
+
+
+def test_mace_spherical_target_equivariance():
+    """A lambda=2 spherical target transforms with the real Wigner-D."""
+    from metatrain_tpu.data.target_info import get_generic_target_info
+    from metatrain_tpu.engine.augmentation import real_wigner_d
+
+    info = get_generic_target_info(
+        "spherical",
+        quantity="quadrupole",
+        irreps=[{"o3_lambda": 2, "o3_sigma": 1}],
+    )
+    ds_info = DatasetInfo("angstrom", [1, 6, 8], {"quad": info})
+    model = MACE(dict(SMALL_HYPERS, correlation=2), ds_info, jnp.float64)
+    params = model.init_params(jax.random.PRNGKey(6))
+    system = make_molecule(6, seed=9)
+
+    def quad_of(s):
+        out = model.forward(params, _batch([s]), ["quad"])
+        return np.asarray(out["quad"].block().values, dtype=np.float64)[0]
+
+    q0 = quad_of(system)
+    assert np.linalg.norm(q0) > 1e-8
+    rng = np.random.default_rng(13)
+    rotation = random_rotation(rng)
+    rotated = System(
+        system.positions @ rotation.T, system.types, system.cell, system.pbc
+    )
+    wd = real_wigner_d(rotation, 2)
+    np.testing.assert_allclose(
+        quad_of(rotated), wd @ q0, rtol=1e-6, atol=1e-9
+    )

@@ -11,7 +11,17 @@ from metatrain_tpu.ops.pallas.attention import (
 )
 
 
-@pytest.mark.parametrize("A,T,D,H", [(10, 9, 32, 4), (65, 17, 64, 8)])
+@pytest.mark.parametrize(
+    "A,T,D,H",
+    [
+        (10, 9, 32, 4),
+        (65, 17, 64, 8),
+        # T % 8 == 0 -> M-expanded kernel path
+        (10, 8, 32, 4),
+        (65, 16, 64, 8),
+        (20, 48, 128, 8),
+    ],
+)
 def test_forward_matches_reference(A, T, D, H):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
@@ -27,9 +37,9 @@ def test_forward_matches_reference(A, T, D, H):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_gradients_match_reference():
+@pytest.mark.parametrize("A,T,D,H", [(12, 7, 32, 4), (12, 16, 32, 4), (9, 48, 128, 8)])
+def test_gradients_match_reference(A, T, D, H):
     rng = np.random.default_rng(1)
-    A, T, D, H = 12, 7, 32, 4
     q = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     k = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     v = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
@@ -51,10 +61,10 @@ def test_gradients_match_reference():
         )
 
 
-def test_double_backward():
+@pytest.mark.parametrize("A,T,D,H", [(6, 5, 16, 2), (6, 8, 16, 2), (5, 16, 64, 8)])
+def test_double_backward(A, T, D, H):
     """grad-of-grad through the kernel (training with forces)."""
     rng = np.random.default_rng(2)
-    A, T, D, H = 6, 5, 16, 2
     q = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     k = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
     v = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
