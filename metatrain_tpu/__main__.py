@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint to restart from, or 'auto' for the most recent",
     )
     train.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the training run into DIR",
+    )
+    train.add_argument(
         "-r",
         "--override",
         action="append",
@@ -44,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     evaluate.add_argument("-o", "--output", default=None)
     evaluate.add_argument("-b", "--batch-size", type=int, default=16)
     evaluate.add_argument("--check-consistency", action="store_true")
+    evaluate.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the evaluation into DIR",
+    )
 
     export = sub.add_parser("export", help="export a checkpoint")
     export.add_argument("checkpoint")
@@ -92,23 +104,29 @@ def main(argv=None) -> int:
                 restart = args.restart
                 if restart == "auto":
                     restart = find_latest_checkpoint()
-                train_model(
-                    options,
-                    output_dir=".",
-                    checkpoint_dir=str(output_dir),
-                    restart_from=restart,
-                )
+                from .utils.profiling import profile_trace
+
+                with profile_trace(args.profile):
+                    train_model(
+                        options,
+                        output_dir=".",
+                        checkpoint_dir=str(output_dir),
+                        restart_from=restart,
+                    )
             elif args.command == "eval":
                 from .cli.eval import eval_model
 
+                from .utils.profiling import profile_trace
+
                 options = load_options(args.options)
-                eval_model(
-                    args.model,
-                    options,
-                    output_path=args.output,
-                    batch_size=args.batch_size,
-                    check_consistency=args.check_consistency,
-                )
+                with profile_trace(args.profile):
+                    eval_model(
+                        args.model,
+                        options,
+                        output_path=args.output,
+                        batch_size=args.batch_size,
+                        check_consistency=args.check_consistency,
+                    )
             elif args.command == "export":
                 from .cli.export import export_model
 

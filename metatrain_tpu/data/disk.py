@@ -22,6 +22,8 @@ from __future__ import annotations
 import io
 import json
 import zipfile
+
+from .smart_zip import SmartZip
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -95,10 +97,14 @@ class DiskDataset:
         self, path: str, target_infos: Optional[Dict[str, TargetInfo]] = None
     ):
         self.path = str(path)
-        self.zipf = zipfile.ZipFile(self.path, "r")
+        # numpy-indexed central directory: scales to millions of members
+        # and pickles into dataloader workers (reference SmartZip,
+        # utils/data/smart_zip.py)
+        self.zipf = SmartZip(self.path)
         names = self.zipf.namelist()
-        with self.zipf.open("metadata/atom_counts.npy") as f:
-            self._atom_counts = np.load(io.BytesIO(f.read()))
+        self._atom_counts = np.load(
+            io.BytesIO(self.zipf.read("metadata/atom_counts.npy"))
+        )
         self._len = len(self._atom_counts)
         self.target_names = sorted(
             {
@@ -130,9 +136,8 @@ class DiskDataset:
         }
 
     def _load_npz(self, member: str) -> Dict[str, np.ndarray]:
-        with self.zipf.open(member) as f:
-            with np.load(io.BytesIO(f.read())) as data:
-                return {k: data[k] for k in data.files}
+        with np.load(io.BytesIO(self.zipf.read(member))) as data:
+            return {k: data[k] for k in data.files}
 
     def __getitem__(self, index: int) -> Sample:
         raw = self._load_npz(f"{index}/system.npz")

@@ -411,9 +411,13 @@ class NNTrainer(TrainerInterface):
                 and jax.process_index() == 0  # rank-0 IO, reference
                 # pet/trainer.py:677-687
             ):
+                # the snapshot records the NEXT epoch to run, so a restart
+                # continues instead of repeating this epoch
+                self.epoch = epoch + 1
                 self.save_checkpoint(
                     model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
                 )
+                self.epoch = epoch
 
         if lora_state is not None:
             from .finetuning import apply_lora

@@ -149,12 +149,17 @@ class AtomisticNNModel(ModelInterface):
         module_targets = tuple(
             dict.fromkeys(list(requested) + list(ll_requests.values()))
         )
-        batch_data = self.preprocess(batch)
-        raw = self.module.apply(params, batch_data, module_targets)
-        results = {
-            name: self._assemble_target(name, raw[name], batch)
-            for name in requested
-        }
+        from ..utils.profiling import stage
+
+        with stage("preprocess"):
+            batch_data = self.preprocess(batch)
+        with stage("module"):
+            raw = self.module.apply(params, batch_data, module_targets)
+        with stage("assemble"):
+            results = {
+                name: self._assemble_target(name, raw[name], batch)
+                for name in requested
+            }
         if "features" in aux_requested:
             results["features"] = self._per_atom_feature_map(
                 _flatten_features(raw, batch_data), batch

@@ -44,6 +44,19 @@ class ArchitectureTests:
     architecture: str = ""
     minimal_model_hypers: Dict[str, Any] = {}
     supports_forces: bool = True
+    supports_stress: bool = True
+    supports_restart: bool = True
+    # False for architectures that are NOT O(3)-invariant by construction
+    # and learn invariance through augmentation (PET, reference design)
+    is_o3_invariant: bool = True
+    # target kinds the architecture can train on beyond system scalars
+    # (reference fixture matrix, ``utils/testing/architectures.py:159-438``)
+    supported_target_types: tuple = ("scalar",)
+    # target kinds whose outputs are exactly O(3)-equivariant
+    equivariant_target_types: tuple = ()
+    # relative tolerance for O(3) energy invariance (f64 architectures can
+    # use much tighter bounds)
+    invariance_rtol: float = 1e-5
     trainer_overrides: Dict[str, Any] = {}
 
     # -- fixtures -----------------------------------------------------------
@@ -164,6 +177,309 @@ class ArchitectureTests:
                 np.testing.assert_allclose(
                     grads[a, d], num, rtol=5e-4, atol=1e-7
                 )
+
+    # -- Equivariance / invariance (reference ``testing/output.py``) ---------
+
+    def test_energy_invariance_under_O3(self, model_and_params):
+        """Scalar predictions are exactly invariant under rotations AND
+        improper rotations (reference equivariance checks)."""
+        if not self.is_o3_invariant:
+            pytest.skip(
+                "architecture learns invariance via augmentation "
+                "(not invariant by construction)"
+            )
+        from ..engine.augmentation import random_rotation
+
+        model, params = model_and_params
+        system = _molecule(6, seed=11)
+
+        def energy_of(s):
+            out = model.forward(params, self._batch(model, [s]), ["energy"])
+            return np.asarray(out["energy"].block(0).values).sum()
+
+        e0 = energy_of(system)
+        rng = np.random.default_rng(7)
+        for improper in (False, True):
+            rotation = random_rotation(rng, improper=improper)
+            rotated = System(
+                system.positions @ rotation.T,
+                system.types,
+                system.cell,
+                system.pbc,
+            )
+            np.testing.assert_allclose(
+                energy_of(rotated), e0, rtol=self.invariance_rtol
+            )
+
+    def test_single_atom(self, model_and_params):
+        """A single isolated atom (zero neighbors) evaluates finitely and
+        exerts no force on itself (reference ``output.py:812``)."""
+        model, params = model_and_params
+        system = System(
+            positions=np.zeros((1, 3)),
+            types=np.asarray([6]),
+            cell=np.zeros((3, 3)),
+            pbc=np.zeros(3, dtype=bool),
+        )
+        batch = self._batch(model, [system])
+        out = model.forward(params, batch, ["energy"])
+        values = np.asarray(out["energy"].block(0).values)
+        assert np.isfinite(values).all()
+        if self.supports_forces:
+            info = get_energy_target_info("eV", add_position_gradients=True)
+            preds = evaluate_model(
+                model.forward, params, batch, {"energy": info},
+                is_training=False,
+            )
+            forces = np.asarray(
+                preds["energy"].block(0).gradient("positions").values
+            )[0]
+            np.testing.assert_allclose(forces, 0.0, atol=1e-5)
+
+    def test_stress_vs_finite_differences(self, arch_module, dataset_and_info):
+        """Strain gradients from the autograd engine match finite
+        differences of the deformed periodic cell (reference periodic
+        stress checks; strain trick per ``evaluate_model.py:296-350``)."""
+        if not (self.supports_forces and self.supports_stress):
+            pytest.skip("architecture does not support strain gradients")
+        _, ds_info = dataset_and_info
+        try:
+            model = arch_module.__model__(
+                self.minimal_model_hypers, ds_info, compute_dtype=jnp.float64
+            )
+        except TypeError:
+            pytest.skip("architecture does not run in float64")
+
+        # small periodic crystal with one atom type from the dataset
+        rng = np.random.default_rng(3)
+        cell = np.eye(3) * 3.5
+        frac = np.array(
+            [[0.0, 0.0, 0.0], [0.5, 0.5, 0.0], [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]]
+        )
+        positions = frac @ cell + rng.normal(0, 0.05, size=(4, 3))
+        system = System(
+            positions=positions,
+            types=np.full(4, ds_info.atomic_types[0]),
+            cell=cell,
+            pbc=np.ones(3, dtype=bool),
+        )
+        params = model.init_params(jax.random.PRNGKey(2))
+        info = get_energy_target_info("eV", add_strain_gradients=True)
+        batch = self._batch(model, [system], dtype=jnp.float64)
+        preds = evaluate_model(model.forward, params, batch, {"energy": info})
+        d_strain = np.asarray(
+            preds["energy"].block(0).gradient("strain").values
+        )[0, :, :, 0]
+
+        def energy_of(strain):
+            deformation = np.eye(3) + strain
+            s = System(
+                system.positions @ deformation,
+                system.types,
+                system.cell @ deformation,
+                system.pbc,
+            )
+            b = self._batch(model, [s], dtype=jnp.float64)
+            return float(
+                np.asarray(
+                    model.forward(params, b, ["energy"])["energy"]
+                    .block(0)
+                    .values
+                ).sum()
+            )
+
+        eps = 1e-6
+        for i in range(3):
+            for j in range(3):
+                sp, sm = np.zeros((3, 3)), np.zeros((3, 3))
+                sp[i, j] += eps
+                sm[i, j] -= eps
+                num = (energy_of(sp) - energy_of(sm)) / (2 * eps)
+                np.testing.assert_allclose(
+                    d_strain[i, j], num, rtol=5e-4, atol=1e-6
+                )
+
+    # -- Target-type matrix (reference ``architectures.py:159-438``) --------
+
+    @pytest.fixture(
+        scope="class",
+        params=["per_atom_scalar", "multi_property", "cartesian_rank1",
+                "spherical_l2"],
+    )
+    def typed_dataset(self, request):
+        kind = request.param
+        if kind not in self.supported_target_types:
+            pytest.skip(f"{self.architecture} does not support {kind}")
+        from ..data.target_info import get_generic_target_info
+
+        rng = np.random.default_rng(1)
+        systems, values = [], []
+        for i in range(8):
+            s = _molecule(5, seed=20 + i)
+            systems.append(s)
+        if kind == "per_atom_scalar":
+            info = get_generic_target_info(
+                "scalar", 1, "eV", "energy", per_atom=True
+            )
+            values = [rng.normal(size=(len(s), 1)) for s in systems]
+        elif kind == "multi_property":
+            info = get_generic_target_info("scalar", 3, "", "generic")
+            values = [rng.normal(size=(1, 3)) for _ in systems]
+        elif kind == "cartesian_rank1":
+            info = get_generic_target_info(
+                "cartesian", 1, "", "dipole", rank=1
+            )
+            values = [rng.normal(size=(1, 3, 1)) for _ in systems]
+        else:  # spherical_l2
+            info = get_generic_target_info(
+                "spherical",
+                1,
+                "",
+                "quad",
+                irreps=[{"o3_lambda": 2, "o3_sigma": 1}],
+            )
+            values = [rng.normal(size=(1, 5, 1)) for _ in systems]
+
+        from ..containers import Labels, TensorBlock, TensorMap
+
+        target_maps = []
+        for s, v in zip(systems, values):
+            layout_block = info.layout.block(0)
+            if kind == "per_atom_scalar":
+                samples = Labels(
+                    ["system", "atom"],
+                    np.stack(
+                        [np.zeros(len(s), dtype=np.int32),
+                         np.arange(len(s), dtype=np.int32)],
+                        axis=1,
+                    ),
+                )
+            else:
+                samples = Labels(
+                    ["system"], np.zeros((1, 1), dtype=np.int32)
+                )
+            block = TensorBlock(
+                values=jnp.asarray(v),
+                samples=samples,
+                components=tuple(layout_block.components),
+                properties=layout_block.properties,
+            )
+            target_maps.append(TensorMap(info.layout.keys, [block]))
+        types = sorted({int(t) for s in systems for t in s.types})
+        dataset = Dataset(systems, {"target": target_maps})
+        return kind, dataset, DatasetInfo(
+            "angstrom", types, {"target": info}
+        )
+
+    def test_target_type_outputs_and_training(
+        self, arch_module, typed_dataset, tmp_path
+    ):
+        kind, dataset, ds_info = typed_dataset
+        model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = self._batch(model, [dataset[0].system, dataset[1].system])
+        out = model.forward(params, batch, ["target"])["target"].block(0)
+        layout_block = ds_info.targets["target"].layout.block(0)
+        values = np.asarray(out.values)
+        assert np.isfinite(values).all()
+        expected_trailing = tuple(
+            len(c) for c in layout_block.components
+        ) + (len(layout_block.properties),)
+        assert values.shape[1:] == expected_trailing
+
+        trainer = arch_module.__trainer__(
+            {"num_epochs": 1, "batch_size": 4, **self.trainer_overrides}
+        )
+        trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
+
+    def test_equivariant_target_types(self, arch_module, typed_dataset):
+        kind, dataset, ds_info = typed_dataset
+        if kind not in self.equivariant_target_types:
+            pytest.skip(f"{kind} equivariance not claimed")
+        from ..engine.augmentation import random_rotation, real_wigner_d
+
+        try:
+            model = arch_module.__model__(
+                self.minimal_model_hypers, ds_info, compute_dtype=jnp.float64
+            )
+        except TypeError:
+            pytest.skip("architecture does not run in float64")
+        params = model.init_params(jax.random.PRNGKey(4))
+        system = dataset[0].system
+
+        def predict(s):
+            out = model.forward(
+                params, self._batch(model, [s], dtype=jnp.float64), ["target"]
+            )
+            return np.asarray(out["target"].block(0).values)[0]
+
+        p0 = predict(system)
+        rotation = random_rotation(np.random.default_rng(5))
+        rotated = System(
+            system.positions @ rotation.T, system.types, system.cell, system.pbc
+        )
+        p_rot = predict(rotated)
+        if kind == "cartesian_rank1":
+            expected = np.einsum("ij,jp->ip", rotation, p0)
+        elif kind == "spherical_l2":
+            expected = np.einsum("ij,jp->ip", real_wigner_d(rotation, 2), p0)
+        else:
+            expected = p0
+        np.testing.assert_allclose(p_rot, expected, rtol=1e-6, atol=1e-9)
+
+    # -- Restart continuation (reference ``testing/training.py:193-370``) ----
+
+    def test_restart_continuation_matches_uninterrupted(
+        self, arch_module, dataset_and_info, tmp_path
+    ):
+        """k epochs + checkpoint + restart to N epochs == N straight epochs
+        (epoch-keyed samplers, restored optimizer state, LR schedule)."""
+        if not self.supports_restart:
+            pytest.skip("architecture has no SGD restart semantics")
+        dataset, ds_info = dataset_and_info
+        hypers = {
+            "num_epochs": 4,
+            "batch_size": 5,
+            "o3_augmentation": False,
+            "data_parallel": False,
+            **self.trainer_overrides,
+        }
+
+        model_a = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        trainer_a = arch_module.__trainer__(dict(hypers))
+        trainer_a.train(
+            model_a, jnp.float32, [dataset], [dataset], str(tmp_path / "a")
+        )
+
+        # "interrupt" run B via its periodic epoch-2 snapshot (it keeps
+        # training to epoch 4, but the snapshot is exactly the state an
+        # interruption would leave behind)
+        model_b = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        trainer_b = arch_module.__trainer__(
+            dict(hypers, checkpoint_interval=2)
+        )
+        trainer_b.train(
+            model_b, jnp.float32, [dataset], [dataset], str(tmp_path / "b")
+        )
+        ckpt = tmp_path / "b" / "model_2.ckpt"
+
+        from ..utils.io import trainer_from_checkpoint
+
+        model_c = model_from_checkpoint(str(ckpt), context="restart")
+        trainer_c = trainer_from_checkpoint(
+            str(ckpt), dict(hypers), context="restart"
+        )
+        trainer_c.train(
+            model_c, jnp.float32, [dataset], [dataset], str(tmp_path / "c")
+        )
+
+        leaves_a = jax.tree_util.tree_leaves(model_a.params)
+        leaves_c = jax.tree_util.tree_leaves(model_c.params)
+        assert len(leaves_a) == len(leaves_c)
+        for a, c in zip(leaves_a, leaves_c):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-5
+            )
 
     # -- TrainingTests ------------------------------------------------------------
 

@@ -17,6 +17,8 @@ class TestPET(ArchitectureTests):
         "num_gnn_layers": 1,
     }
     supports_forces = True
+    is_o3_invariant = False  # PET learns invariance via O3 augmentation
+    supported_target_types = ("scalar", "per_atom_scalar", "multi_property")
 
 
 class TestPETResidual(ArchitectureTests):
@@ -25,6 +27,7 @@ class TestPETResidual(ArchitectureTests):
         TestPET.minimal_model_hypers, featurizer_type="residual", num_gnn_layers=2
     )
     supports_forces = True
+    is_o3_invariant = False
 
 
 class TestSoapBpnn(ArchitectureTests):
@@ -34,6 +37,11 @@ class TestSoapBpnn(ArchitectureTests):
         "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 8},
     }
     supports_forces = True
+    supported_target_types = (
+        "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
+        "spherical_l2",
+    )
+    equivariant_target_types = ("cartesian_rank1", "spherical_l2")
 
 
 class TestSoapBpnnAlchemical(ArchitectureTests):
@@ -53,6 +61,10 @@ class TestMACE(ArchitectureTests):
         "mlp_width": 8,
     }
     supports_forces = True
+    supported_target_types = (
+        "scalar", "multi_property", "cartesian_rank1", "spherical_l2"
+    )
+    equivariant_target_types = ("cartesian_rank1", "spherical_l2")
 
 
 class TestSPACE(ArchitectureTests):
