@@ -25,7 +25,7 @@ def main():
     weights = weights_f32(rng)
     dtype = jnp.bfloat16
     tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=dtype)
-    bias = jnp.zeros((A, T), jnp.float32)
+    cf = jnp.ones((A, T), jnp.float32)
 
     for ba_f in (8, 16, 32, 64, 128, 256):
         fl._BWD_OPS.clear()
@@ -35,7 +35,7 @@ def main():
             fused = jax.jit(
                 lambda t, b, w: fl.fused_transformer_layer(t, b, w, H, SCALE)
             )
-            secs = chain_time(fused, (tokens, bias, weights))
+            secs = chain_time(fused, (tokens, cf, weights))
             report(f"fwd BA={ba_f}", secs)
         except Exception as e:  # noqa: BLE001
             print(f"fwd BA={ba_f}: FAILED {type(e).__name__}: {str(e)[:120]}")
@@ -59,7 +59,7 @@ def main():
 
                 return jax.grad(loss)(t)
 
-            secs = chain_time(jax.jit(grad_fused), (tokens, bias, weights))
+            secs = chain_time(jax.jit(grad_fused), (tokens, cf, weights))
             report(f"fwd+bwd(no dW) BA={ba_b}", secs)
         except Exception as e:  # noqa: BLE001
             print(f"fwd+bwd BA={ba_b}: FAILED {type(e).__name__}: {str(e)[:120]}")

@@ -48,16 +48,16 @@ def main():
     weights = weights_f32(rng)
     for dtype in (jnp.bfloat16,):
         tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=dtype)
-        bias = jnp.zeros((A, T), jnp.float32)
+        cf = jnp.ones((A, T), jnp.float32)
 
         fused = jax.jit(
             lambda t, b, w: fused_transformer_layer(t, b, w, H, SCALE)
         )
-        secs = chain_time(fused, (tokens, bias, weights))
+        secs = chain_time(fused, (tokens, cf, weights))
         report(f"fused layer fwd {dtype.__name__}", secs)
 
         unfused = jax.jit(lambda t, b, w: _layer_math(t, b, w, H, SCALE))
-        secs = chain_time(unfused, (tokens, bias, weights))
+        secs = chain_time(unfused, (tokens, cf, weights))
         report(f"unfused XLA layer fwd {dtype.__name__}", secs)
 
         def grad_fused(t, b, w):
@@ -69,7 +69,7 @@ def main():
 
             return jax.grad(loss, argnums=(0, 1))(t, w)
 
-        secs = chain_time(jax.jit(grad_fused), (tokens, bias, weights))
+        secs = chain_time(jax.jit(grad_fused), (tokens, cf, weights))
         report(f"fused layer fwd+bwd {dtype.__name__}", secs)
 
         def grad_unfused(t, b, w):
@@ -81,7 +81,7 @@ def main():
 
             return jax.grad(loss, argnums=(0, 1))(t, w)
 
-        secs = chain_time(jax.jit(grad_unfused), (tokens, bias, weights))
+        secs = chain_time(jax.jit(grad_unfused), (tokens, cf, weights))
         report(f"unfused XLA layer fwd+bwd {dtype.__name__}", secs)
 
 

@@ -261,8 +261,7 @@ class FusedTransformerLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, node_emb, edge_emb, attn_bias):
-        from ...ops.pallas.attention import reference_window_attention  # noqa
+    def __call__(self, node_emb, edge_emb, cf_tokens):
         from ...ops.pallas.fused_layer import (
             LayerWeights,
             fused_transformer_layer,
@@ -311,13 +310,13 @@ class FusedTransformerLayer(nn.Module):
         )
         if use_kernel:
             edge_out, center_attn = fused_transformer_layer(
-                tokens, attn_bias, weights, self.num_heads, scale
+                tokens, cf_tokens, weights, self.num_heads, scale
             )
         else:
             from ...ops.pallas.fused_layer import _layer_math
 
             edge_out, center_attn = _layer_math(
-                tokens, attn_bias, weights, self.num_heads, scale
+                tokens, cf_tokens, weights, self.num_heads, scale
             )
 
         if expanded:
@@ -404,7 +403,6 @@ class CartesianTransformer(nn.Module):
         cf_tokens = jnp.concatenate(
             [jnp.ones((cf.shape[0], 1), dtype=cf.dtype), cf], axis=1
         )
-        attn_bias = jnp.log(jnp.clip(cf_tokens, EPSILON_ATTN, None))
 
         use_fused_layer = (
             self.fused_layers
@@ -412,6 +410,10 @@ class CartesianTransformer(nn.Module):
             and self.activation == "SwiGLU"
             and self.transformer_type == "PreLN"
         )
+        if not use_fused_layer:
+            # unfused layers take the additive log-cutoff bias; the fused
+            # kernel consumes cutoff factors directly (multiplicatively)
+            attn_bias = jnp.log(jnp.clip(cf_tokens, EPSILON_ATTN, None))
         out_node, out_edges = node_emb, edge_tokens
         for i in range(self.num_attention_layers):
             if use_fused_layer:
@@ -423,7 +425,7 @@ class CartesianTransformer(nn.Module):
                     temperature=self.temperature,
                     dtype=self.dtype,
                     name=f"layer_{i}",
-                )(out_node, out_edges, attn_bias)
+                )(out_node, out_edges, cf_tokens)
             else:
                 out_node, out_edges = TransformerLayer(
                     d_model=self.d_pet,

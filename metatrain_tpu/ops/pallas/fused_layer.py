@@ -6,7 +6,8 @@ transformer layer is HBM-bound: every Dense/norm/attention op round-trips
 per block of atoms with activations resident in VMEM:
 
     tokens = [center | edges]
-    -> RMSNorm -> QKV -> window attention (+log-cutoff bias) -> out-proj
+    -> RMSNorm -> QKV -> window attention (x multiplicative cutoff mask)
+    -> out-proj
     -> edge stream: +residual -> RMSNorm -> SwiGLU FFN -> +residual
 
 HBM traffic per layer drops from ~10 activation round-trips to one read
@@ -99,7 +100,7 @@ def _expand_heads_scaled(x, num_heads: int, head_dim: int, scale: float):
     )
 
 
-def _window_attention_block(q, k, v, bias, num_heads, scale):
+def _window_attention_block(q, k, v, cf, num_heads, scale):
     """Per-block window MHA; kq-transposed M-expanded layout when T is
     sublane-aligned.
 
@@ -109,22 +110,24 @@ def _window_attention_block(q, k, v, bias, num_heads, scale):
     and the score matmul's output tile (48, 384) fills whole 8x128
     granules.
 
-    The additive log-cutoff bias enters MULTIPLICATIVELY:
-    ``exp(s + bias) = cf * exp(s)`` with ``cf = exp(bias)``, folded into
-    the value matrix (``v * cf``) and the normalizer (``sum_u e * cf``).
-    This is analytically identical, saves two full passes over the score
-    tensor (bias add + max-subtract), and sidesteps a TPU compiler crash
-    on multi-lane-tile broadcasts ``(BA,T,1)->(BA,T,384)``. Skipping
-    max-subtraction is safe here: bias <= 0 and RMS-normed q/k keep
-    |scores| far below exp's f32 overflow (~88); the f64 fallback
-    (gradcheck-grade) keeps the subtraction.
+    ``cf`` is the MULTIPLICATIVE attention mask (cutoff factors, in
+    [0, 1], with the center token at 1): softmax(s + log cf) is computed
+    as ``cf * exp(s) / sum_u cf * exp(s)`` -- analytically identical to
+    the reference's additive log-cutoff bias
+    (``pet/modules/transformer.py:109-111``) but with cf folded into the
+    value matrix and the normalizer, saving two full passes over the
+    score tensor (bias add + max-subtract) and sidestepping a TPU
+    compiler crash on multi-lane-tile broadcasts (BA,T,1)->(BA,T,384).
+    Skipping max-subtraction is safe: RMS-normed q/k keep |scores| far
+    below exp's f32 overflow (~88); the f64 fallback (gradcheck-grade)
+    keeps the subtraction.
     """
     BA, T, D = q.shape
     head_dim = D // num_heads
     # f32 softmax statistics for f32/bf16 compute; full f64 when the
     # caller runs the f64 fallback path (gradcheck-grade)
     acc = jnp.promote_types(jnp.float32, q.dtype)
-    bias_acc = bias.astype(acc)
+    cf_acc = cf.astype(acc)
     if _use_mexp(T, D, num_heads):
         H = num_heads
         q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, H*T, D)
@@ -137,11 +140,10 @@ def _window_attention_block(q, k, v, bias, num_heads, scale):
         if acc == jnp.float64:
             scores_t = scores_t - jnp.max(scores_t, axis=1, keepdims=True)
         e = jnp.exp(scores_t)
-        cf = jnp.exp(bias_acc)  # (BA, T) multiplicative attention mask
         # normalizer: sum_u cf[u] * e[u, ht], as a vector-like batched dot
         # (Mosaic requires lhs contraction last + [B, 1, K] vector form)
         denom = jax.lax.dot_general(
-            cf[:, None, :],
+            cf_acc[:, None, :],
             e,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=acc,
@@ -156,6 +158,7 @@ def _window_attention_block(q, k, v, bias, num_heads, scale):
         )  # (BA, H*T, D)
         return _fold_heads(out_exp, H, T, head_dim).astype(q.dtype)
 
+    log_cf = jnp.log(jnp.clip(cf_acc, 1e-30, None))
     head_outs = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -164,7 +167,7 @@ def _window_attention_block(q, k, v, bias, num_heads, scale):
             k[:, :, sl],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=acc,
-        ) * scale + bias_acc[:, None, :]
+        ) * scale + log_cf[:, None, :]
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores)
         weights = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -179,11 +182,12 @@ def _window_attention_block(q, k, v, bias, num_heads, scale):
     return jnp.concatenate(head_outs, axis=-1).astype(q.dtype)
 
 
-def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
+def _layer_math(tokens, cf, w: LayerWeights, num_heads: int, scale: float):
     """PreLN layer on one block: returns (edge_out, center_attn_out).
 
     :param tokens: (BA, T, D) with token 0 the center.
-    :param bias: (BA, T) log-cutoff pre-softmax bias (keys axis).
+    :param cf: (BA, T) multiplicative attention mask (cutoff factors;
+        keys axis, center token = 1).
     """
     BA, T, D = tokens.shape
     compute_dtype = tokens.dtype
@@ -197,7 +201,7 @@ def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
     k = qkv[:, :, D : 2 * D]
     v = qkv[:, :, 2 * D :]
 
-    attn = _window_attention_block(q, k, v, bias, num_heads, scale)
+    attn = _window_attention_block(q, k, v, cf, num_heads, scale)
     attn_out = _matmul_bias(
         attn.reshape(BA * T, D), wc.w_out, wc.b_out, compute_dtype
     ).reshape(BA, T, D)
@@ -219,11 +223,11 @@ def _layer_math(tokens, bias, w: LayerWeights, num_heads: int, scale: float):
     return edge_out, center_attn
 
 
-def _fwd_kernel(tokens_ref, bias_ref, *rest, num_heads, scale):
+def _fwd_kernel(tokens_ref, cf_ref, *rest, num_heads, scale):
     *weight_refs, edge_out_ref, center_ref = rest
     w = LayerWeights(*(ref[:] for ref in weight_refs))
     edge_out, center_attn = _layer_math(
-        tokens_ref[:], bias_ref[:], w, num_heads, scale
+        tokens_ref[:], cf_ref[:], w, num_heads, scale
     )
     edge_out_ref[:] = edge_out
     center_ref[:] = center_attn
@@ -231,7 +235,7 @@ def _fwd_kernel(tokens_ref, bias_ref, *rest, num_heads, scale):
 
 def _bwd_kernel(
     tokens_ref,
-    bias_ref,
+    cf_ref,
     *rest,
     num_heads,
     scale,
@@ -240,26 +244,26 @@ def _bwd_kernel(
 ):
     weight_refs = rest[:n_weights]
     g_edge_ref, g_center_ref = rest[n_weights : n_weights + 2]
-    d_tokens_ref, d_bias_ref = rest[n_weights + 2 : n_weights + 4]
+    d_tokens_ref, d_cf_ref = rest[n_weights + 2 : n_weights + 4]
     dw_refs = rest[n_weights + 4 :]
 
     w = LayerWeights(*(ref[:] for ref in weight_refs))
 
     if weight_grads:
-        def f(tokens, bias, weights):
-            return _layer_math(tokens, bias, weights, num_heads, scale)
+        def f(tokens, cf, weights):
+            return _layer_math(tokens, cf, weights, num_heads, scale)
 
-        _, vjp = jax.vjp(f, tokens_ref[:], bias_ref[:], w)
-        d_tokens, d_bias, dw = vjp((g_edge_ref[:], g_center_ref[:]))
+        _, vjp = jax.vjp(f, tokens_ref[:], cf_ref[:], w)
+        d_tokens, d_cf, dw = vjp((g_edge_ref[:], g_center_ref[:]))
     else:
-        def f(tokens, bias):
-            return _layer_math(tokens, bias, w, num_heads, scale)
+        def f(tokens, cf):
+            return _layer_math(tokens, cf, w, num_heads, scale)
 
-        _, vjp = jax.vjp(f, tokens_ref[:], bias_ref[:])
-        d_tokens, d_bias = vjp((g_edge_ref[:], g_center_ref[:]))
+        _, vjp = jax.vjp(f, tokens_ref[:], cf_ref[:])
+        d_tokens, d_cf = vjp((g_edge_ref[:], g_center_ref[:]))
         dw = ()
     d_tokens_ref[:] = d_tokens.astype(d_tokens_ref.dtype)
-    d_bias_ref[:] = d_bias.astype(d_bias_ref.dtype)
+    d_cf_ref[:] = d_cf.astype(d_cf_ref.dtype)
 
     # accumulate f32 weight grads across the sequential grid (output
     # blocks are revisited: constant index_map + "arbitrary" semantics)
@@ -284,10 +288,12 @@ def _block_atoms(T: int, backward: bool = False) -> int:
     return 4
 
 
-def _pad_atoms(x, BA):
+def _pad_atoms(x, BA, value=0.0):
     pad = (-x.shape[0]) % BA
     if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        x = jnp.pad(
+            x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=value
+        )
     return x
 
 
@@ -300,11 +306,13 @@ def _weight_spec(w):
     )
 
 
-def _forward_impl(tokens, bias, weights: LayerWeights, num_heads, scale):
+def _forward_impl(tokens, cf, weights: LayerWeights, num_heads, scale):
     A, T, D = tokens.shape
     BA = _block_atoms(T)
     tokens_p = _pad_atoms(tokens, BA)
-    bias_p = _pad_atoms(bias, BA)
+    # padded windows get cf = 1 so their softmax normalizer stays > 0
+    # (their outputs are sliced off below, but NaNs would poison dW)
+    cf_p = _pad_atoms(cf, BA, value=1.0)
     A_p = tokens_p.shape[0]
 
     spec3 = pl.BlockSpec((BA, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -330,41 +338,41 @@ def _forward_impl(tokens, bias, weights: LayerWeights, num_heads, scale):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_use_interpret(),
-    )(tokens_p, bias_p, *weights)
+    )(tokens_p, cf_p, *weights)
     return edge_out[:A], center[:A]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_transformer_layer(tokens, bias, weights: LayerWeights, num_heads, scale):
+def fused_transformer_layer(tokens, cf, weights: LayerWeights, num_heads, scale):
     """Fused PreLN layer: (A, T, D) tokens -> ((A, T-1, D) edge tokens,
     (A, D) center attention output)."""
-    return _forward_impl(tokens, bias, weights, num_heads, scale)
+    return _forward_impl(tokens, cf, weights, num_heads, scale)
 
 
-def _fused_fwd(tokens, bias, weights, num_heads, scale):
-    out = fused_transformer_layer(tokens, bias, weights, num_heads, scale)
-    return out, (tokens, bias, weights)
+def _fused_fwd(tokens, cf, weights, num_heads, scale):
+    out = fused_transformer_layer(tokens, cf, weights, num_heads, scale)
+    return out, (tokens, cf, weights)
 
 
-def _bwd_math_reference(tokens, bias, weights, g_edge, g_center, num_heads, scale):
+def _bwd_math_reference(tokens, cf, weights, g_edge, g_center, num_heads, scale):
     """Pure-XLA replay of the layer backward (for grad-of-grad)."""
 
-    def f(tokens, bias, weights):
-        return _layer_math(tokens, bias, weights, num_heads, scale)
+    def f(tokens, cf, weights):
+        return _layer_math(tokens, cf, weights, num_heads, scale)
 
-    _, vjp = jax.vjp(f, tokens, bias, weights)
-    d_tokens, d_bias, dw = vjp((g_edge, g_center))
+    _, vjp = jax.vjp(f, tokens, cf, weights)
+    d_tokens, d_cf, dw = vjp((g_edge, g_center))
     dw32 = LayerWeights(*(x.astype(jnp.float32) for x in dw))
-    return d_tokens, d_bias.astype(jnp.float32), dw32
+    return d_tokens, d_cf.astype(jnp.float32), dw32
 
 
 def _make_bwd_op(num_heads, scale, weight_grads=True):
     @jax.custom_vjp
-    def bwd_op(tokens, bias, weights: LayerWeights, g_edge, g_center):
+    def bwd_op(tokens, cf, weights: LayerWeights, g_edge, g_center):
         A, T, D = tokens.shape
         BA = _block_atoms(T, backward=True)
         tokens_p = _pad_atoms(tokens, BA)
-        bias_p = _pad_atoms(bias, BA)
+        cf_p = _pad_atoms(cf, BA, value=1.0)  # see _forward_impl
         g_edge_p = _pad_atoms(g_edge, BA)
         g_center_p = _pad_atoms(g_center, BA)
         A_p = tokens_p.shape[0]
@@ -413,16 +421,16 @@ def _make_bwd_op(num_heads, scale, weight_grads=True):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=_use_interpret(),
-        )(tokens_p, bias_p, *weights, g_edge_p, g_center_p)
-        d_tokens, d_bias, *dw = outs
+        )(tokens_p, cf_p, *weights, g_edge_p, g_center_p)
+        d_tokens, d_cf, *dw = outs
         if not weight_grads:
             dw = [jnp.zeros(w.shape, jnp.float32) for w in weights]
-        return d_tokens[:A], d_bias[:A], LayerWeights(*dw)
+        return d_tokens[:A], d_cf[:A], LayerWeights(*dw)
 
-    def bwd_op_fwd(tokens, bias, weights, g_edge, g_center):
+    def bwd_op_fwd(tokens, cf, weights, g_edge, g_center):
         return (
-            bwd_op(tokens, bias, weights, g_edge, g_center),
-            (tokens, bias, weights, g_edge, g_center),
+            bwd_op(tokens, cf, weights, g_edge, g_center),
+            (tokens, cf, weights, g_edge, g_center),
         )
 
     def bwd_op_bwd(residuals, cotangents):
@@ -442,7 +450,7 @@ _BWD_OPS = {}
 def _fused_bwd(num_heads, scale, residuals, g):
     from ..inference import param_grads_needed
 
-    tokens, bias, weights = residuals
+    tokens, cf, weights = residuals
     g_edge, g_center = g
     # trace-time flag: under no_param_grads() (inference force calls) the
     # weight-gradient matmuls and their accumulators are skipped entirely
@@ -450,18 +458,18 @@ def _fused_bwd(num_heads, scale, residuals, g):
     key = (num_heads, float(scale), weight_grads)
     if key not in _BWD_OPS:
         _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads)
-    d_tokens, d_bias, dw = _BWD_OPS[key](
-        tokens, bias, weights, g_edge, g_center
+    d_tokens, d_cf, dw = _BWD_OPS[key](
+        tokens, cf, weights, g_edge, g_center
     )
     dw_cast = LayerWeights(
         *(x.astype(w.dtype) for x, w in zip(dw, weights))
     )
-    return d_tokens, d_bias.astype(bias.dtype), dw_cast
+    return d_tokens, d_cf.astype(cf.dtype), dw_cast
 
 
 fused_transformer_layer.defvjp(_fused_fwd, _fused_bwd)
 
 
-def reference_fused_layer(tokens, bias, weights, num_heads, scale):
+def reference_fused_layer(tokens, cf, weights, num_heads, scale):
     """Pure-XLA reference of the same math (tests)."""
-    return _layer_math(tokens, bias, weights, num_heads, scale)
+    return _layer_math(tokens, cf, weights, num_heads, scale)

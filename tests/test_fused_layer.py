@@ -40,11 +40,12 @@ import pytest
 def test_fused_kernel_matches_math(A, T, D, F, H):
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
-    bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.uniform(0.0, 1.0, size=(A, T)), dtype=jnp.float32)
+    cf = cf.at[:, 0].set(1.0).at[:, -1].set(0.0)  # center = 1; a dead edge
     weights = _random_weights(rng, D, F)
 
-    edge_k, center_k = _forward_impl(tokens, bias, weights, H, 0.3)
-    edge_m, center_m = _layer_math(tokens, bias, weights, H, 0.3)
+    edge_k, center_k = _forward_impl(tokens, cf, weights, H, 0.3)
+    edge_m, center_m = _layer_math(tokens, cf, weights, H, 0.3)
     np.testing.assert_allclose(
         np.asarray(edge_k), np.asarray(edge_m), atol=2e-5
     )
@@ -59,19 +60,21 @@ def test_fused_kernel_matches_math(A, T, D, F, H):
 def test_fused_layer_gradients_and_double_backward(A, T, D, F, H):
     rng = np.random.default_rng(1)
     tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
-    bias = jnp.asarray(rng.normal(size=(A, T)), dtype=jnp.float32)
+    cf = jnp.asarray(
+        rng.uniform(0.05, 1.0, size=(A, T)), dtype=jnp.float32
+    ).at[:, 0].set(1.0)
     weights = _random_weights(rng, D, F)
 
-    def loss_fused(tokens, bias, weights):
-        e, c = fused_transformer_layer(tokens, bias, weights, H, 0.5)
+    def loss_fused(tokens, cf, weights):
+        e, c = fused_transformer_layer(tokens, cf, weights, H, 0.5)
         return jnp.sum(e**2) + jnp.sum(c**2)
 
-    def loss_math(tokens, bias, weights):
-        e, c = _layer_math(tokens, bias, weights, H, 0.5)
+    def loss_math(tokens, cf, weights):
+        e, c = _layer_math(tokens, cf, weights, H, 0.5)
         return jnp.sum(e**2) + jnp.sum(c**2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, bias, weights)
-    g_math = jax.grad(loss_math, argnums=(0, 1, 2))(tokens, bias, weights)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, cf, weights)
+    g_math = jax.grad(loss_math, argnums=(0, 1, 2))(tokens, cf, weights)
     for a, b in zip(g_fused[:2], g_math[:2]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
@@ -85,12 +88,12 @@ def test_fused_layer_gradients_and_double_backward(A, T, D, F, H):
 
     # grad-of-grad (training with forces through the fused layer)
     def outer(tokens):
-        g = jax.grad(loss_fused)(tokens, bias, weights)
+        g = jax.grad(loss_fused)(tokens, cf, weights)
         return jnp.sum(g**2)
 
     gg = jax.grad(outer)(tokens)
     def outer_math(tokens):
-        g = jax.grad(loss_math)(tokens, bias, weights)
+        g = jax.grad(loss_math)(tokens, cf, weights)
         return jnp.sum(g**2)
 
     gg_ref = jax.grad(outer_math)(tokens)
