@@ -72,7 +72,9 @@ def main():
                 counts[e["name"]] += 1
     grand = sum(totals.values())
     print(f"total traced device time: {grand/1e3:.2f} ms over 3 calls")
-    for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:45]:
+    named = [(n, d) for n, d in totals.items() if not n.startswith("jit_") and not n.strip().isdigit()]
+    print(f"sum of named ops: {sum(d for _, d in named)/3e3:.2f} ms/call")
+    for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:140]:
         print(f"{dur/3e3:9.3f} ms/call  x{counts[name]//3:<4d} {name[:110]}")
 
 

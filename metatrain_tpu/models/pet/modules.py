@@ -393,10 +393,10 @@ class CartesianTransformer(nn.Module):
         w1 = _dense_params(
             self, "compress_1", self.d_pet, parts[0][:1], self.dtype
         )
-        A, M, D = parts[0].shape
-        flat = tuple(p.reshape(A * M, D) for p in parts)
-        (tok_flat,) = _run_stage(compress_math, flat, (*w0, *w1))
-        edge_tokens = tok_flat.reshape(A, M, D)
+        # 3D (A, M, D) blocks: blocking over atoms needs no row padding
+        # and no (A*M, D) reshape (M=47 is sublane-misaligned, so that
+        # reshape is a full HBM relayout copy under XLA)
+        (edge_tokens,) = _run_stage(compress_math, parts, (*w0, *w1))
 
         # cutoff factor of the central token is 1; padded edges are 0
         cf = jnp.where(nbr_mask, cutoff_factors, 0.0)
@@ -452,14 +452,17 @@ def reverse_edges(edge_array, nbr_reverse):
     transpose is the SAME gather -- the generic scatter-add transpose
     costs ~3x more on TPU (benchmarks/micro_edges.py) -- and whose JVP /
     batching rules keep forward-mode autodiff working.
+
+    The gather runs NEF-native on the (A, M, ...) layout ((atom, slot)
+    index pairs): flattening to (A*M, ...) first would relayout the whole
+    array twice (M is not sublane-aligned).
     """
-    from ...ops.involution import permute_rows
+    from ...ops.involution import permute_nef
 
     A, M = edge_array.shape[:2]
-    flat = edge_array.reshape((A * M,) + edge_array.shape[2:])
-    return permute_rows(flat, nbr_reverse.reshape(-1)).reshape(
-        edge_array.shape
-    )
+    rev_i = nbr_reverse // M
+    rev_m = nbr_reverse % M
+    return permute_nef(edge_array, rev_i, rev_m)
 
 
 def _reverse_edges_impl(edge_array, nbr_reverse):
@@ -620,16 +623,15 @@ class PETBackbone(nn.Module):
                     cat_example,
                     self.dtype,
                 )
-                A, M, D = out_edges.shape
-                flat = (
-                    out_edges.reshape(A * M, D),
-                    reversed_edges.reshape(A * M, D),
-                    input_messages.astype(out_edges.dtype).reshape(A * M, D),
+                (input_messages,) = _run_stage(
+                    combination_math,
+                    (
+                        out_edges,
+                        reversed_edges,
+                        input_messages.astype(out_edges.dtype),
+                    ),
+                    (*ln, *w0, *w1),
                 )
-                (msg_flat,) = _run_stage(
-                    combination_math, flat, (*ln, *w0, *w1)
-                )
-                input_messages = msg_flat.reshape(A, M, D)
             node_features.append(node_state)
             edge_features.append(input_messages)
         else:  # residual
@@ -747,13 +749,9 @@ class PETModule(nn.Module):
                     ef,
                     self.dtype,
                 )
-                A_, M_, D_ = ef.shape
-                (edge_ll_flat,) = _run_stage(
-                    head_math,
-                    (ef.astype(self.dtype).reshape(A_ * M_, D_),),
-                    hw,
+                (edge_ll,) = _run_stage(
+                    head_math, (ef.astype(self.dtype),), hw
                 )
-                edge_ll = edge_ll_flat.reshape(A_, M_, -1)
                 node_ll_list.append(node_ll)
                 edge_ll_list.append(edge_ll)
                 for block_key, size in shapes.items():

@@ -52,9 +52,14 @@ def test_calculator_bucket_reuse_and_nl_reuse():
     system = make_molecule(9, seed=1)
     out1 = calc.compute(system)
     n_compiled = len(calc._jitted)
-    # small perturbation: same bucket, same NL -> no recompilation
+    # small non-uniform perturbation (a uniform shift is a translation,
+    # under which the energy is exactly invariant): same bucket, same
+    # NL -> no recompilation
     moved = make_molecule(9, seed=1)
-    moved.positions = system.positions + 0.01
+    rng = np.random.default_rng(7)
+    moved.positions = system.positions + rng.uniform(
+        -0.01, 0.01, size=system.positions.shape
+    )
     out2 = calc.compute(moved)
     assert len(calc._jitted) == n_compiled
     assert abs(out1["energy"] - out2["energy"]) < 1.0
