@@ -102,12 +102,20 @@ def bucket_atoms(value: int, ratio: float = 1.25) -> int:
 
 
 def bucket_neighbors(value: int, ratio: float = 1.25) -> int:
-    """Geometric bucket for the NEF neighbor width M, aligned so the token
-    count T = M + 1 (center + neighbors) is a multiple of 8: PET attention
-    then maps onto full TPU sublanes with no sub-tile slicing (the fused
-    kernel requires it, and masked padding edges cost nothing extra)."""
+    """Geometric bucket for the NEF neighbor width M.
+
+    The result is a multiple of 16 and strictly greater than ``value``:
+
+    - M % 16 == 0 makes (A, M, D) -> (A*M, D) reshapes layout-free for
+      both f32 (8-sublane tiles) and bf16 (16-sublane tiles), so the
+      row-block stage kernels and the reversed-edge gather run on
+      perfectly aligned flat 2D arrays with no relayout copies;
+    - the strictly-reserved last slot (always masked) is where PET's
+      attention kernel stores the center token, keeping the token count
+      T == M sublane-aligned with no concat (see ops/pallas/fused_layer).
+    """
     m = bucket_size(max(value, 1), ratio, minimum=7)
-    return _round_up(m + 1, 8) - 1
+    return _round_up(m + 1, 16)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -323,8 +331,13 @@ def batch_from_systems(
         raise ValueError(f"n_atoms_padded={A} < total atoms {total_atoms}")
     if S < n_systems + 1:
         raise ValueError(f"n_systems_padded={S} too small for {n_systems} systems")
-    if M < m_required:
-        raise ValueError(f"max_neighbors={M} < required {m_required}")
+    if M < m_required + 1:
+        # one slot is strictly reserved (always masked): PET's fused
+        # attention kernel stores the center token there (bucket_neighbors)
+        raise ValueError(
+            f"max_neighbors={M} must exceed the largest real neighbor "
+            f"count {m_required} (the last NEF slot is reserved)"
+        )
 
     positions = np.zeros((A, 3), dtype=np.float64)
     types = np.zeros((A,), dtype=np.int32)

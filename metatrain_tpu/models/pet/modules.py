@@ -249,8 +249,10 @@ class TransformerLayer(nn.Module):
 class FusedTransformerLayer(nn.Module):
     """PreLN/RMSNorm/SwiGLU transformer layer backed by the fused Pallas
     mega-kernel (``ops/pallas/fused_layer.py``): one HBM read + write per
-    layer instead of ~10 activation round-trips. The node-stream pieces
-    (center contraction/expansion, center MLP) are tiny O(A x d) XLA ops.
+    layer instead of ~10 activation round-trips. The center token rides
+    in the reserved last NEF slot INSIDE the kernel (no (A, M+1, D)
+    concat in HBM). The node-stream pieces (center contraction/expansion,
+    center MLP) are tiny O(A x d) XLA ops.
     """
 
     d_model: int
@@ -300,9 +302,6 @@ class FusedTransformerLayer(nn.Module):
             )(node_emb)
         else:
             center_token = node_emb
-        tokens = jnp.concatenate(
-            [center_token[:, None, :], edge_emb], axis=1
-        ).astype(self.dtype)
 
         use_kernel = jax.default_backend() == "tpu" and self.dtype in (
             jnp.float32,
@@ -310,13 +309,23 @@ class FusedTransformerLayer(nn.Module):
         )
         if use_kernel:
             edge_out, center_attn = fused_transformer_layer(
-                tokens, cf_tokens, weights, self.num_heads, scale
+                edge_emb.astype(self.dtype),
+                center_token.astype(self.dtype),
+                cf_tokens,
+                weights,
+                self.num_heads,
+                scale,
             )
         else:
             from ...ops.pallas.fused_layer import _layer_math
 
             edge_out, center_attn = _layer_math(
-                tokens, cf_tokens, weights, self.num_heads, scale
+                edge_emb.astype(self.dtype),
+                center_token.astype(self.dtype),
+                cf_tokens,
+                weights,
+                self.num_heads,
+                scale,
             )
 
         if expanded:
@@ -393,16 +402,15 @@ class CartesianTransformer(nn.Module):
         w1 = _dense_params(
             self, "compress_1", self.d_pet, parts[0][:1], self.dtype
         )
-        # 3D (A, M, D) blocks: blocking over atoms needs no row padding
-        # and no (A*M, D) reshape (M=47 is sublane-misaligned, so that
-        # reshape is a full HBM relayout copy under XLA)
-        (edge_tokens,) = _run_stage(compress_math, parts, (*w0, *w1))
+        # flat (A*M, D) blocks: M is a multiple of 16 so the reshape is
+        # layout-free, and every block matmul is row-aligned
+        A, M, D = parts[0].shape
+        flat = tuple(p.reshape(A * M, D) for p in parts)
+        (tok_flat,) = _run_stage(compress_math, flat, (*w0, *w1))
+        edge_tokens = tok_flat.reshape(A, M, D)
 
         # cutoff factor of the central token is 1; padded edges are 0
         cf = jnp.where(nbr_mask, cutoff_factors, 0.0)
-        cf_tokens = jnp.concatenate(
-            [jnp.ones((cf.shape[0], 1), dtype=cf.dtype), cf], axis=1
-        )
 
         use_fused_layer = (
             self.fused_layers
@@ -410,10 +418,22 @@ class CartesianTransformer(nn.Module):
             and self.activation == "SwiGLU"
             and self.transformer_type == "PreLN"
         )
-        if not use_fused_layer:
-            # unfused layers take the additive log-cutoff bias; the fused
-            # kernel consumes cutoff factors directly (multiplicatively)
-            attn_bias = jnp.log(jnp.clip(cf_tokens, EPSILON_ATTN, None))
+        if use_fused_layer:
+            # fused kernel: multiplicative cutoff factors, center token in
+            # the reserved last NEF slot (always masked -> cf there is 0;
+            # the center's factor is 1)
+            A = cf.shape[0]
+            M = cf.shape[1]
+            cf_tokens = jax.lax.dynamic_update_slice(
+                cf, jnp.ones((A, 1), cf.dtype), (0, M - 1)
+            )
+        else:
+            # unfused layers: center-first [center | edges] tokens with an
+            # additive log-cutoff bias
+            cf_first = jnp.concatenate(
+                [jnp.ones((cf.shape[0], 1), dtype=cf.dtype), cf], axis=1
+            )
+            attn_bias = jnp.log(jnp.clip(cf_first, EPSILON_ATTN, None))
         out_node, out_edges = node_emb, edge_tokens
         for i in range(self.num_attention_layers):
             if use_fused_layer:
@@ -453,16 +473,17 @@ def reverse_edges(edge_array, nbr_reverse):
     costs ~3x more on TPU (benchmarks/micro_edges.py) -- and whose JVP /
     batching rules keep forward-mode autodiff working.
 
-    The gather runs NEF-native on the (A, M, ...) layout ((atom, slot)
-    index pairs): flattening to (A*M, ...) first would relayout the whole
-    array twice (M is not sublane-aligned).
+    The gather runs on the flat (A*M, ...) view: with M a multiple of 16
+    (``containers.bucket_neighbors``) the reshape is layout-free, so the
+    gather is a pure aligned row permutation with no relayout copies.
     """
-    from ...ops.involution import permute_nef
+    from ...ops.involution import permute_rows
 
     A, M = edge_array.shape[:2]
-    rev_i = nbr_reverse // M
-    rev_m = nbr_reverse % M
-    return permute_nef(edge_array, rev_i, rev_m)
+    flat = edge_array.reshape((A * M,) + edge_array.shape[2:])
+    return permute_rows(flat, nbr_reverse.reshape(-1)).reshape(
+        edge_array.shape
+    )
 
 
 def _reverse_edges_impl(edge_array, nbr_reverse):
@@ -623,15 +644,16 @@ class PETBackbone(nn.Module):
                     cat_example,
                     self.dtype,
                 )
-                (input_messages,) = _run_stage(
-                    combination_math,
-                    (
-                        out_edges,
-                        reversed_edges,
-                        input_messages.astype(out_edges.dtype),
-                    ),
-                    (*ln, *w0, *w1),
+                A, M, D = out_edges.shape
+                flat = (
+                    out_edges.reshape(A * M, D),
+                    reversed_edges.reshape(A * M, D),
+                    input_messages.astype(out_edges.dtype).reshape(A * M, D),
                 )
+                (msg_flat,) = _run_stage(
+                    combination_math, flat, (*ln, *w0, *w1)
+                )
+                input_messages = msg_flat.reshape(A, M, D)
             node_features.append(node_state)
             edge_features.append(input_messages)
         else:  # residual
@@ -749,9 +771,13 @@ class PETModule(nn.Module):
                     ef,
                     self.dtype,
                 )
-                (edge_ll,) = _run_stage(
-                    head_math, (ef.astype(self.dtype),), hw
+                A_, M_, D_ = ef.shape
+                (edge_ll_flat,) = _run_stage(
+                    head_math,
+                    (ef.astype(self.dtype).reshape(A_ * M_, D_),),
+                    hw,
                 )
+                edge_ll = edge_ll_flat.reshape(A_, M_, -1)
                 node_ll_list.append(node_ll)
                 edge_ll_list.append(edge_ll)
                 for block_key, size in shapes.items():

@@ -5,17 +5,26 @@ transformer layer is HBM-bound: every Dense/norm/attention op round-trips
 ~130-500 MB of activations. These kernels perform the ENTIRE PreLN layer
 per block of atoms with activations resident in VMEM:
 
-    tokens = [center | edges]
+    tokens = edges with the center token stored in the reserved last slot
     -> RMSNorm -> QKV -> window attention (x multiplicative cutoff mask)
     -> out-proj
     -> edge stream: +residual -> RMSNorm -> SwiGLU FFN -> +residual
 
 HBM traffic per layer drops from ~10 activation round-trips to one read
-and one write of the token block (weights are small and resident).
+and one write of the edge block (weights are small and resident).
+
+Token layout: the NEF neighbor width M is a multiple of 16 with the last
+slot strictly reserved (always masked; ``containers.bucket_neighbors``).
+The kernel OVERWRITES that slot with the center token in VMEM, so the
+token count T == M stays sublane-aligned and no (A, M+1, D) concat is
+ever materialized in HBM. Attention is permutation-invariant in the key
+order and each query row is independent, so center-last is numerically
+identical to the reference's center-first concat
+(``pet/modules/transformer.py:225-246``).
 
 The attention core uses the M-expanded formulation from
 ``ops/pallas/attention.py`` (one (H*T, D) x (D, T) matmul for all heads)
-when T % 8 == 0, which is guaranteed by ``containers.bucket_neighbors``.
+when T % 8 == 0.
 
 The backward is a second mega-kernel: it recomputes the layer in VMEM and
 back-propagates through it via ``jax.vjp`` of the same block math (traced
@@ -182,59 +191,75 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
     return jnp.concatenate(head_outs, axis=-1).astype(q.dtype)
 
 
-def _layer_math(tokens, cf, w: LayerWeights, num_heads: int, scale: float):
+def _layer_math(edges, center, cf, w: LayerWeights, num_heads: int, scale: float):
     """PreLN layer on one block: returns (edge_out, center_attn_out).
 
-    :param tokens: (BA, T, D) with token 0 the center.
-    :param cf: (BA, T) multiplicative attention mask (cutoff factors;
-        keys axis, center token = 1).
+    :param edges: (BA, M, D) edge tokens; slot M-1 is the reserved
+        (always-masked) NEF slot -- its contents are ignored, the center
+        token is written there to form the (BA, M, D) token block.
+    :param center: (BA, D) center tokens.
+    :param cf: (BA, M) multiplicative attention mask (cutoff factors on
+        the keys axis; slot M-1 -- the center -- must be 1).
     """
-    BA, T, D = tokens.shape
-    compute_dtype = tokens.dtype
+    BA, M, D = edges.shape
+    compute_dtype = edges.dtype
 
     wc = LayerWeights(*(x.astype(compute_dtype) for x in w))
+    # write the center token into the reserved last slot (Mosaic has no
+    # dynamic_update_slice: an iota-select is one VPU pass)
+    row = jax.lax.broadcasted_iota(jnp.int32, (BA, M, 1), 1)
+    is_reserved = row == M - 1
+    tokens = jnp.where(
+        is_reserved, center.astype(compute_dtype)[:, None, :], edges
+    )
     normed = _rms_norm(tokens, wc.norm_attn)
     qkv = _matmul_bias(
-        normed.reshape(BA * T, D), wc.w_qkv, wc.b_qkv, compute_dtype
-    ).reshape(BA, T, 3 * D)
+        normed.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, compute_dtype
+    ).reshape(BA, M, 3 * D)
     q = qkv[:, :, :D]
     k = qkv[:, :, D : 2 * D]
     v = qkv[:, :, 2 * D :]
 
     attn = _window_attention_block(q, k, v, cf, num_heads, scale)
     attn_out = _matmul_bias(
-        attn.reshape(BA * T, D), wc.w_out, wc.b_out, compute_dtype
-    ).reshape(BA, T, D)
+        attn.reshape(BA * M, D), wc.w_out, wc.b_out, compute_dtype
+    ).reshape(BA, M, D)
 
-    center_attn = attn_out[:, 0, :]  # (BA, D)
+    center_attn = attn_out[:, M - 1, :]  # (BA, D)
 
-    edges = tokens[:, 1:, :] + attn_out[:, 1:, :]
-    h_norm = _rms_norm(edges, wc.norm_mlp)
+    res = tokens + attn_out
+    h_norm = _rms_norm(res, wc.norm_mlp)
     d_ff = wc.w_ffn_out.shape[0]
     # vg stays in the f32 accumulator: Mosaic's logistic lowering rejects
     # bf16 operands (f32-scalar broadcast into bf16 vectors)
-    vg = _matmul_bias(h_norm.reshape(BA * (T - 1), D), wc.w_in, wc.b_in)
+    vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)
     value, gate = vg[:, :d_ff], vg[:, d_ff:]
     ffn_h = (value * jax.nn.sigmoid(gate)).astype(compute_dtype)
     ffn_out = _matmul_bias(
         ffn_h, wc.w_ffn_out, wc.b_ffn_out, compute_dtype
-    ).reshape(BA, T - 1, D)
-    edge_out = edges + ffn_out
+    ).reshape(BA, M, D)
+    edge_out = res + ffn_out
+    # zero the reserved slot: downstream edge arrays must keep it masked
+    # (FFN ran over it harmlessly; cheaper than slicing sublanes)
+    edge_out = jnp.where(
+        is_reserved, jnp.zeros((), edge_out.dtype), edge_out
+    )
     return edge_out, center_attn
 
 
-def _fwd_kernel(tokens_ref, cf_ref, *rest, num_heads, scale):
-    *weight_refs, edge_out_ref, center_ref = rest
+def _fwd_kernel(edges_ref, center_ref, cf_ref, *rest, num_heads, scale):
+    *weight_refs, edge_out_ref, center_out_ref = rest
     w = LayerWeights(*(ref[:] for ref in weight_refs))
     edge_out, center_attn = _layer_math(
-        tokens_ref[:], cf_ref[:], w, num_heads, scale
+        edges_ref[:], center_ref[:], cf_ref[:], w, num_heads, scale
     )
     edge_out_ref[:] = edge_out
-    center_ref[:] = center_attn
+    center_out_ref[:] = center_attn
 
 
 def _bwd_kernel(
-    tokens_ref,
+    edges_ref,
+    center_ref,
     cf_ref,
     *rest,
     num_heads,
@@ -244,25 +269,26 @@ def _bwd_kernel(
 ):
     weight_refs = rest[:n_weights]
     g_edge_ref, g_center_ref = rest[n_weights : n_weights + 2]
-    d_tokens_ref, d_cf_ref = rest[n_weights + 2 : n_weights + 4]
-    dw_refs = rest[n_weights + 4 :]
+    d_edges_ref, d_center_ref, d_cf_ref = rest[n_weights + 2 : n_weights + 5]
+    dw_refs = rest[n_weights + 5 :]
 
     w = LayerWeights(*(ref[:] for ref in weight_refs))
 
     if weight_grads:
-        def f(tokens, cf, weights):
-            return _layer_math(tokens, cf, weights, num_heads, scale)
+        def f(edges, center, cf, weights):
+            return _layer_math(edges, center, cf, weights, num_heads, scale)
 
-        _, vjp = jax.vjp(f, tokens_ref[:], cf_ref[:], w)
-        d_tokens, d_cf, dw = vjp((g_edge_ref[:], g_center_ref[:]))
+        _, vjp = jax.vjp(f, edges_ref[:], center_ref[:], cf_ref[:], w)
+        d_edges, d_center, d_cf, dw = vjp((g_edge_ref[:], g_center_ref[:]))
     else:
-        def f(tokens, cf):
-            return _layer_math(tokens, cf, w, num_heads, scale)
+        def f(edges, center, cf):
+            return _layer_math(edges, center, cf, w, num_heads, scale)
 
-        _, vjp = jax.vjp(f, tokens_ref[:], cf_ref[:])
-        d_tokens, d_cf = vjp((g_edge_ref[:], g_center_ref[:]))
+        _, vjp = jax.vjp(f, edges_ref[:], center_ref[:], cf_ref[:])
+        d_edges, d_center, d_cf = vjp((g_edge_ref[:], g_center_ref[:]))
         dw = ()
-    d_tokens_ref[:] = d_tokens.astype(d_tokens_ref.dtype)
+    d_edges_ref[:] = d_edges.astype(d_edges_ref.dtype)
+    d_center_ref[:] = d_center.astype(d_center_ref.dtype)
     d_cf_ref[:] = d_cf.astype(d_cf_ref.dtype)
 
     # accumulate f32 weight grads across the sequential grid (output
@@ -282,7 +308,7 @@ def _bwd_kernel(
 
 def _block_atoms(T: int, backward: bool = False) -> int:
     if T <= 48:
-        return 8 if backward else 16
+        return 32 if backward else 16
     if T <= 96:
         return 8
     return 4
@@ -306,88 +332,86 @@ def _weight_spec(w):
     )
 
 
-def _forward_impl(tokens, cf, weights: LayerWeights, num_heads, scale):
-    A, T, D = tokens.shape
-    BA = _block_atoms(T)
-    tokens_p = _pad_atoms(tokens, BA)
+def _forward_impl(edges, center, cf, weights: LayerWeights, num_heads, scale):
+    A, M, D = edges.shape
+    BA = _block_atoms(M)
+    edges_p = _pad_atoms(edges, BA)
+    center_p = _pad_atoms(center, BA)
     # padded windows get cf = 1 so their softmax normalizer stays > 0
     # (their outputs are sliced off below, but NaNs would poison dW)
     cf_p = _pad_atoms(cf, BA, value=1.0)
-    A_p = tokens_p.shape[0]
+    A_p = edges_p.shape[0]
 
-    spec3 = pl.BlockSpec((BA, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec2 = pl.BlockSpec((BA, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     weight_specs = [_weight_spec(w) for w in weights]
 
-    edge_out, center = pl.pallas_call(
+    edge_out, center_out = pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
         grid=(A_p // BA,),
-        in_specs=[spec3, spec2] + weight_specs,
-        out_specs=(
-            pl.BlockSpec(
-                (BA, T - 1, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=[spec3, spec_c, spec2] + weight_specs,
+        out_specs=(spec3, spec_c),
         out_shape=(
-            jax.ShapeDtypeStruct((A_p, T - 1, D), tokens.dtype),
-            jax.ShapeDtypeStruct((A_p, D), tokens.dtype),
+            jax.ShapeDtypeStruct((A_p, M, D), edges.dtype),
+            jax.ShapeDtypeStruct((A_p, D), edges.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_use_interpret(),
-    )(tokens_p, cf_p, *weights)
-    return edge_out[:A], center[:A]
+    )(edges_p, center_p, cf_p, *weights)
+    return edge_out[:A], center_out[:A]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_transformer_layer(tokens, cf, weights: LayerWeights, num_heads, scale):
-    """Fused PreLN layer: (A, T, D) tokens -> ((A, T-1, D) edge tokens,
-    (A, D) center attention output)."""
-    return _forward_impl(tokens, cf, weights, num_heads, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_transformer_layer(
+    edges, center, cf, weights: LayerWeights, num_heads, scale
+):
+    """Fused PreLN layer on the reserved-slot token layout:
+    ((A, M, D) edges, (A, D) center) -> ((A, M, D) edge tokens with slot
+    M-1 zeroed, (A, D) center attention output)."""
+    return _forward_impl(edges, center, cf, weights, num_heads, scale)
 
 
-def _fused_fwd(tokens, cf, weights, num_heads, scale):
-    out = fused_transformer_layer(tokens, cf, weights, num_heads, scale)
-    return out, (tokens, cf, weights)
+def _fused_fwd(edges, center, cf, weights, num_heads, scale):
+    out = fused_transformer_layer(edges, center, cf, weights, num_heads, scale)
+    return out, (edges, center, cf, weights)
 
 
-def _bwd_math_reference(tokens, cf, weights, g_edge, g_center, num_heads, scale):
+def _bwd_math_reference(
+    edges, center, cf, weights, g_edge, g_center, num_heads, scale
+):
     """Pure-XLA replay of the layer backward (for grad-of-grad)."""
 
-    def f(tokens, cf, weights):
-        return _layer_math(tokens, cf, weights, num_heads, scale)
+    def f(edges, center, cf, weights):
+        return _layer_math(edges, center, cf, weights, num_heads, scale)
 
-    _, vjp = jax.vjp(f, tokens, cf, weights)
-    d_tokens, d_cf, dw = vjp((g_edge, g_center))
+    _, vjp = jax.vjp(f, edges, center, cf, weights)
+    d_edges, d_center, d_cf, dw = vjp((g_edge, g_center))
     dw32 = LayerWeights(*(x.astype(jnp.float32) for x in dw))
-    return d_tokens, d_cf.astype(jnp.float32), dw32
+    return d_edges, d_center, d_cf.astype(jnp.float32), dw32
 
 
 def _make_bwd_op(num_heads, scale, weight_grads=True):
     @jax.custom_vjp
-    def bwd_op(tokens, cf, weights: LayerWeights, g_edge, g_center):
-        A, T, D = tokens.shape
-        BA = _block_atoms(T, backward=True)
-        tokens_p = _pad_atoms(tokens, BA)
+    def bwd_op(edges, center, cf, weights: LayerWeights, g_edge, g_center):
+        A, M, D = edges.shape
+        BA = _block_atoms(M, backward=True)
+        edges_p = _pad_atoms(edges, BA)
+        center_p = _pad_atoms(center, BA)
         cf_p = _pad_atoms(cf, BA, value=1.0)  # see _forward_impl
         g_edge_p = _pad_atoms(g_edge, BA)
         g_center_p = _pad_atoms(g_center, BA)
-        A_p = tokens_p.shape[0]
+        A_p = edges_p.shape[0]
         n_weights = len(weights)
 
         spec3 = pl.BlockSpec(
-            (BA, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        spec2 = pl.BlockSpec((BA, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        spec_edge = pl.BlockSpec(
-            (BA, T - 1, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        spec_center = pl.BlockSpec(
-            (BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
+        spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_c = pl.BlockSpec((BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
         weight_specs = [_weight_spec(w) for w in weights]
         # weight-grad outputs: every grid step maps to block 0 (revisited
         # accumulator in VMEM, written back once at the end)
@@ -407,11 +431,14 @@ def _make_bwd_op(num_heads, scale, weight_grads=True):
                 weight_grads=weight_grads,
             ),
             grid=(A_p // BA,),
-            in_specs=[spec3, spec2] + weight_specs + [spec_edge, spec_center],
-            out_specs=(spec3, spec2, *dw_specs),
+            in_specs=[spec3, spec_c, spec2]
+            + weight_specs
+            + [spec3, spec_c],
+            out_specs=(spec3, spec_c, spec2, *dw_specs),
             out_shape=(
-                jax.ShapeDtypeStruct((A_p, T, D), tokens.dtype),
-                jax.ShapeDtypeStruct((A_p, T), jnp.float32),
+                jax.ShapeDtypeStruct((A_p, M, D), edges.dtype),
+                jax.ShapeDtypeStruct((A_p, D), edges.dtype),
+                jax.ShapeDtypeStruct((A_p, M), jnp.float32),
                 *dw_shapes,
             ),
             compiler_params=pltpu.CompilerParams(
@@ -421,16 +448,16 @@ def _make_bwd_op(num_heads, scale, weight_grads=True):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=_use_interpret(),
-        )(tokens_p, cf_p, *weights, g_edge_p, g_center_p)
-        d_tokens, d_cf, *dw = outs
+        )(edges_p, center_p, cf_p, *weights, g_edge_p, g_center_p)
+        d_edges, d_center, d_cf, *dw = outs
         if not weight_grads:
             dw = [jnp.zeros(w.shape, jnp.float32) for w in weights]
-        return d_tokens[:A], d_cf[:A], LayerWeights(*dw)
+        return d_edges[:A], d_center[:A], d_cf[:A], LayerWeights(*dw)
 
-    def bwd_op_fwd(tokens, cf, weights, g_edge, g_center):
+    def bwd_op_fwd(edges, center, cf, weights, g_edge, g_center):
         return (
-            bwd_op(tokens, cf, weights, g_edge, g_center),
-            (tokens, cf, weights, g_edge, g_center),
+            bwd_op(edges, center, cf, weights, g_edge, g_center),
+            (edges, center, cf, weights, g_edge, g_center),
         )
 
     def bwd_op_bwd(residuals, cotangents):
@@ -450,7 +477,7 @@ _BWD_OPS = {}
 def _fused_bwd(num_heads, scale, residuals, g):
     from ..inference import param_grads_needed
 
-    tokens, cf, weights = residuals
+    edges, center, cf, weights = residuals
     g_edge, g_center = g
     # trace-time flag: under no_param_grads() (inference force calls) the
     # weight-gradient matmuls and their accumulators are skipped entirely
@@ -458,18 +485,18 @@ def _fused_bwd(num_heads, scale, residuals, g):
     key = (num_heads, float(scale), weight_grads)
     if key not in _BWD_OPS:
         _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads)
-    d_tokens, d_cf, dw = _BWD_OPS[key](
-        tokens, cf, weights, g_edge, g_center
+    d_edges, d_center, d_cf, dw = _BWD_OPS[key](
+        edges, center, cf, weights, g_edge, g_center
     )
     dw_cast = LayerWeights(
         *(x.astype(w.dtype) for x, w in zip(dw, weights))
     )
-    return d_tokens, d_cf.astype(cf.dtype), dw_cast
+    return d_edges, d_center, d_cf.astype(cf.dtype), dw_cast
 
 
 fused_transformer_layer.defvjp(_fused_fwd, _fused_bwd)
 
 
-def reference_fused_layer(tokens, cf, weights, num_heads, scale):
+def reference_fused_layer(edges, center, cf, weights, num_heads, scale):
     """Pure-XLA reference of the same math (tests)."""
-    return _layer_math(tokens, cf, weights, num_heads, scale)
+    return _layer_math(edges, center, cf, weights, num_heads, scale)

@@ -1,8 +1,14 @@
-"""Fused transformer layer kernel vs its XLA math (interpret mode)."""
+"""Fused transformer layer kernel vs its XLA math (interpret mode).
+
+Token convention: edges (A, M, D) with the last slot reserved (always
+masked); the kernel writes the center token there, so cf[:, -1] must be 1
+and edge_out[:, -1] comes back zeroed.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from metatrain_tpu.ops.pallas.fused_layer import (
     LayerWeights,
@@ -30,73 +36,128 @@ def _random_weights(rng, D, F):
     )
 
 
-import pytest
+def _random_inputs(rng, A, M, D):
+    edges = jnp.asarray(rng.normal(size=(A, M, D)), dtype=jnp.float32)
+    center = jnp.asarray(rng.normal(size=(A, D)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.uniform(0.05, 1.0, size=(A, M)), dtype=jnp.float32)
+    cf = cf.at[:, -1].set(1.0)  # reserved slot holds the center: factor 1
+    cf = cf.at[:, 0].set(0.0)  # one dead edge
+    return edges, center, cf
 
 
 @pytest.mark.parametrize(
-    "A,T,D,F,H",
+    "A,M,D,F,H",
     [(21, 9, 32, 16, 4), (21, 8, 32, 16, 4), (9, 48, 128, 64, 8)],
 )
-def test_fused_kernel_matches_math(A, T, D, F, H):
+def test_fused_kernel_matches_math(A, M, D, F, H):
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
-    cf = jnp.asarray(rng.uniform(0.0, 1.0, size=(A, T)), dtype=jnp.float32)
-    cf = cf.at[:, 0].set(1.0).at[:, -1].set(0.0)  # center = 1; a dead edge
+    edges, center, cf = _random_inputs(rng, A, M, D)
     weights = _random_weights(rng, D, F)
 
-    edge_k, center_k = _forward_impl(tokens, cf, weights, H, 0.3)
-    edge_m, center_m = _layer_math(tokens, cf, weights, H, 0.3)
+    edge_k, center_k = _forward_impl(edges, center, cf, weights, H, 0.3)
+    edge_m, center_m = _layer_math(edges, center, cf, weights, H, 0.3)
     np.testing.assert_allclose(
         np.asarray(edge_k), np.asarray(edge_m), atol=2e-5
     )
     np.testing.assert_allclose(
         np.asarray(center_k), np.asarray(center_m), atol=2e-5
     )
+    # the reserved slot comes back zeroed
+    np.testing.assert_array_equal(np.asarray(edge_k[:, -1, :]), 0.0)
+
+
+def test_center_slot_equivalence_with_prepended_reference():
+    """Center-in-last-slot must equal an independent center-FIRST
+    formulation of the same PreLN layer (attention is permutation-
+    invariant in the key order; each query row is independent)."""
+    rng = np.random.default_rng(3)
+    A, M, D, F, H = 7, 8, 32, 16, 4
+    hd = D // H
+    scale = 0.4
+    edges, center, cf = _random_inputs(rng, A, M, D)
+    w = _random_weights(rng, D, F)
+    edge_m, center_m = _layer_math(edges, center, cf, w, H, scale)
+
+    # independent reference: tokens [center | edges[:, :M-1]], additive
+    # log-cutoff bias, plain jnp softmax attention, PreLN/SwiGLU
+    tokens = jnp.concatenate([center[:, None, :], edges[:, : M - 1]], 1)
+    cfr = jnp.concatenate([cf[:, -1:], cf[:, : M - 1]], 1)
+
+    def rms(x, s):
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + 1e-6) * s
+
+    normed = rms(tokens, w.norm_attn)
+    qkv = normed @ w.w_qkv + w.b_qkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(A, M, H, hd)
+    kh = k.reshape(A, M, H, hd)
+    vh = v.reshape(A, M, H, hd)
+    scores = jnp.einsum("athd,auhd->ahtu", qh, kh) * scale
+    scores = scores + jnp.log(jnp.clip(cfr, 1e-30, None))[:, None, None, :]
+    wts = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("ahtu,auhd->athd", wts, vh).reshape(A, M, D)
+    attn_out = attn @ w.w_out + w.b_out
+    res = tokens + attn_out
+    h = rms(res, w.norm_mlp)
+    vg = h @ w.w_in + w.b_in
+    val, gate = jnp.split(vg, 2, axis=-1)
+    ffn = (val * jax.nn.sigmoid(gate)) @ w.w_ffn_out + w.b_ffn_out
+    out = res + ffn
+
+    np.testing.assert_allclose(
+        np.asarray(center_m), np.asarray(attn_out[:, 0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(edge_m[:, : M - 1]), np.asarray(out[:, 1:]), atol=1e-5
+    )
 
 
 @pytest.mark.parametrize(
-    "A,T,D,F,H", [(10, 7, 16, 8, 2), (10, 8, 16, 8, 2), (26, 16, 64, 32, 8)]
+    "A,M,D,F,H", [(10, 7, 16, 8, 2), (10, 8, 16, 8, 2), (26, 16, 64, 32, 8)]
 )
-def test_fused_layer_gradients_and_double_backward(A, T, D, F, H):
+def test_fused_layer_gradients_and_double_backward(A, M, D, F, H):
     rng = np.random.default_rng(1)
-    tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=jnp.float32)
-    cf = jnp.asarray(
-        rng.uniform(0.05, 1.0, size=(A, T)), dtype=jnp.float32
-    ).at[:, 0].set(1.0)
+    edges, center, cf = _random_inputs(rng, A, M, D)
     weights = _random_weights(rng, D, F)
 
-    def loss_fused(tokens, cf, weights):
-        e, c = fused_transformer_layer(tokens, cf, weights, H, 0.5)
+    def loss_fused(edges, center, cf, weights):
+        e, c = fused_transformer_layer(edges, center, cf, weights, H, 0.5)
         return jnp.sum(e**2) + jnp.sum(c**2)
 
-    def loss_math(tokens, cf, weights):
-        e, c = _layer_math(tokens, cf, weights, H, 0.5)
+    def loss_math(edges, center, cf, weights):
+        e, c = _layer_math(edges, center, cf, weights, H, 0.5)
         return jnp.sum(e**2) + jnp.sum(c**2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, cf, weights)
-    g_math = jax.grad(loss_math, argnums=(0, 1, 2))(tokens, cf, weights)
-    for a, b in zip(g_fused[:2], g_math[:2]):
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        edges, center, cf, weights
+    )
+    g_math = jax.grad(loss_math, argnums=(0, 1, 2, 3))(
+        edges, center, cf, weights
+    )
+    for a, b in zip(g_fused[:3], g_math[:3]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
     # weight gradients: accumulated across grid blocks inside the kernel
-    for name, a, b in zip(g_fused[2]._fields, g_fused[2], g_math[2]):
+    for name, a, b in zip(g_fused[3]._fields, g_fused[3], g_math[3]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=f"d{name}",
         )
 
     # grad-of-grad (training with forces through the fused layer)
-    def outer(tokens):
-        g = jax.grad(loss_fused)(tokens, cf, weights)
+    def outer(edges):
+        g = jax.grad(loss_fused)(edges, center, cf, weights)
         return jnp.sum(g**2)
 
-    gg = jax.grad(outer)(tokens)
-    def outer_math(tokens):
-        g = jax.grad(loss_math)(tokens, cf, weights)
+    gg = jax.grad(outer)(edges)
+
+    def outer_math(edges):
+        g = jax.grad(loss_math)(edges, center, cf, weights)
         return jnp.sum(g**2)
 
-    gg_ref = jax.grad(outer_math)(tokens)
+    gg_ref = jax.grad(outer_math)(edges)
     np.testing.assert_allclose(
         np.asarray(gg), np.asarray(gg_ref), rtol=1e-3, atol=1e-3
     )
