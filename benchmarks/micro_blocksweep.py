@@ -1,6 +1,6 @@
 """Sweep the fused-layer kernel block size (atoms per grid step) on the
 real TPU, fwd and fwd+bwd, at the bench shape. Picks the production
-``_block_atoms`` values."""
+``_block_atoms`` values. (New reserved-slot signature.)"""
 
 import os
 import sys
@@ -17,15 +17,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 from micro_attention import chain_time, report  # noqa: E402
 
 from metatrain_tpu.ops.pallas import fused_layer as fl  # noqa: E402
-from micro_fused import weights_f32, A, T, D, F, H, SCALE  # noqa: E402
+from metatrain_tpu.ops.pallas.fused_layer import LayerWeights  # noqa: E402
+
+A, M, D, F, H = 11520, 48, 128, 256, 8
+SCALE = 0.25
+
+
+def weights_f32(rng):
+    def w(*shape):
+        return jnp.asarray(rng.normal(size=shape) * 0.05, dtype=jnp.float32)
+
+    return LayerWeights(
+        norm_attn=jnp.ones((D,)),
+        w_qkv=w(D, 3 * D),
+        b_qkv=w(3 * D),
+        w_out=w(D, D),
+        b_out=w(D),
+        norm_mlp=jnp.ones((D,)),
+        w_in=w(D, 2 * F),
+        b_in=w(2 * F),
+        w_ffn_out=w(F, D),
+        b_ffn_out=w(D),
+    )
 
 
 def main():
     rng = np.random.default_rng(0)
     weights = weights_f32(rng)
     dtype = jnp.bfloat16
-    tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=dtype)
-    cf = jnp.ones((A, T), jnp.float32)
+    edges = jnp.asarray(rng.normal(size=(A, M, D)), dtype=dtype)
+    center = jnp.asarray(rng.normal(size=(A, D)), dtype=dtype)
+    cf = jnp.ones((A, M), jnp.float32)
 
     for ba_f in (8, 16, 32, 64, 128, 256):
         fl._BWD_OPS.clear()
@@ -33,9 +55,11 @@ def main():
         fl._block_atoms = lambda T_, backward=False, _b=ba_f: _b
         try:
             fused = jax.jit(
-                lambda t, b, w: fl.fused_transformer_layer(t, b, w, H, SCALE)
+                lambda e, c, b, w: fl.fused_transformer_layer(
+                    e, c, b, w, H, SCALE
+                )
             )
-            secs = chain_time(fused, (tokens, cf, weights))
+            secs = chain_time(fused, (edges, center, cf, weights))
             report(f"fwd BA={ba_f}", secs)
         except Exception as e:  # noqa: BLE001
             print(f"fwd BA={ba_f}: FAILED {type(e).__name__}: {str(e)[:120]}")
@@ -49,20 +73,22 @@ def main():
         orig = fl._block_atoms
         fl._block_atoms = lambda T_, backward=False, _b=ba_b: _b
         try:
-            def grad_fused(t, b, w):
-                def loss(t):
-                    with inference.no_param_grads():
-                        e, c = fl.fused_transformer_layer(t, b, w, H, SCALE)
-                    return jnp.sum(e.astype(jnp.float32)) + jnp.sum(
-                        c.astype(jnp.float32)
-                    )
+            def loss(e, c, b, w):
+                eo, co = fl.fused_transformer_layer(e, c, b, w, H, SCALE)
+                return jnp.sum(eo.astype(jnp.float32)) + jnp.sum(
+                    co.astype(jnp.float32)
+                )
 
-                return jax.grad(loss)(t)
-
-            secs = chain_time(jax.jit(grad_fused), (tokens, cf, weights))
+            with inference.no_param_grads():
+                g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+                g(edges, center, cf, weights)
+            secs = chain_time(
+                lambda e, c, b, w: g(e, c, b, w)[0],
+                (edges, center, cf, weights),
+            )
             report(f"fwd+bwd(no dW) BA={ba_b}", secs)
         except Exception as e:  # noqa: BLE001
-            print(f"fwd+bwd BA={ba_b}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            print(f"bwd BA={ba_b}: FAILED {type(e).__name__}: {str(e)[:120]}")
         finally:
             fl._block_atoms = orig
 

@@ -278,22 +278,22 @@ class SystemBatch:
 def _gather_neighbor_positions(pos, nbr_indices, nbr_reverse):
     """``pos[nbr_indices]`` with a scatter-free transpose.
 
-    The generic transpose of this gather is a duplicate-index scatter-add
-    (slow on TPU). Because ``nbr_reverse`` is an involutive edge
-    permutation whose reversed slot's CENTER equals ``nbr_indices[i, m]``,
-    the gather factors EXACTLY as broadcast-to-own-edges followed by the
-    edge reversal: ``pos[idx][i, m] = broadcast(pos)[reverse(i, m)]``.
-    Both factors have natural gather/sum transposes, so every autodiff
-    mode (grad, jacfwd, vmap) works without a scatter.
-    """
-    from ..ops.involution import permute_rows
+    Forward: a direct row gather from the SMALL (A, 3) source (~2x
+    faster than gathering from a broadcast (A*M, 3) array: XLA reads one
+    full tile per gathered row either way, but the small source stays
+    resident).
 
-    A, M = nbr_indices.shape
-    own = jnp.broadcast_to(pos[:, None, :], (A, M) + pos.shape[1:])
-    flat = own.reshape((A * M,) + pos.shape[1:])
-    return permute_rows(flat, nbr_reverse.reshape(-1)).reshape(
-        (A, M) + pos.shape[1:]
-    )
+    Transpose: the generic transpose is a duplicate-index scatter-add
+    (~4 ms at bench shape). Because ``nbr_reverse`` is an involutive edge
+    permutation whose reversed slot's CENTER equals ``nbr_indices[i, m]``
+    (padded slots self-map and carry zero cotangents), the exact
+    transpose is ``dpos[p] = sum_m dvec[reverse(p, m)]`` -- an edge
+    reversal followed by a window sum, both with natural autodiff rules
+    (so grad-of-grad and jacfwd keep working).
+    """
+    from ..ops.involution import nbr_gather
+
+    return nbr_gather(pos, nbr_indices, nbr_reverse)
 
 
 def batch_from_systems(

@@ -130,3 +130,67 @@ batching.primitive_batchers[permute_nef_p] = _nef_batching
 mlir.register_lowering(
     permute_nef_p, mlir.lower_fun(_nef_impl, multiple_results=False)
 )
+
+# -- Neighbor-position gather: ``pos[nbr_indices]`` whose transpose uses
+# the edge involution instead of a duplicate-index scatter-add. The
+# reversed slot's CENTER equals ``nbr_indices[i, m]`` (padded slots
+# self-map and carry zero cotangents), so the exact adjoint is
+# ``dpos[p] = sum_m ct[reverse(p, m)]``: a gather + window sum (~2x
+# faster than the scatter on TPU, benchmarks/micro_m48.py).
+
+nbr_gather_p = jex_core.Primitive("involutive_nbr_gather")
+
+
+def nbr_gather(pos, nbr_indices, nbr_reverse):
+    """``pos[nbr_indices]`` (A, ...) -> (A, M, ...) with a scatter-free
+    transpose via the involutive edge-reversal index ``nbr_reverse``
+    (flat indices into A*M; padded slots self-referencing)."""
+    return nbr_gather_p.bind(pos, nbr_indices, nbr_reverse)
+
+
+def _nbr_impl(pos, nbr_indices, nbr_reverse):
+    return jnp.take(pos, nbr_indices, axis=0)
+
+
+def _nbr_abstract_eval(pos, nbr_indices, nbr_reverse):
+    return pos.update(
+        shape=nbr_indices.shape + pos.shape[1:], dtype=pos.dtype
+    )
+
+
+def _nbr_jvp(primals, tangents):
+    pos, idx, rev = primals
+    dpos = tangents[0]
+    out = nbr_gather(pos, idx, rev)
+    if type(dpos) is ad.Zero:
+        return out, ad.Zero.from_primal_value(out)
+    return out, nbr_gather(dpos, idx, rev)
+
+
+def _nbr_transpose(ct, pos, idx, rev):
+    if type(ct) is ad.Zero:
+        return ad.Zero.from_primal_value(pos), None, None
+    A, M = idx.shape
+    flat = ct.reshape((A * M,) + ct.shape[2:])
+    rev_ct = permute_rows(flat, rev.reshape(-1)).reshape(ct.shape)
+    return jnp.sum(rev_ct, axis=1), None, None
+
+
+def _nbr_batching(args, dims):
+    pos, idx, rev = args
+    pdim, idim, rdim = dims
+    if idim is not None or rdim is not None:
+        raise NotImplementedError("batched gather indices")
+    pos_moved = jnp.moveaxis(pos, pdim, -1)  # batch axis trailing
+    out = nbr_gather(pos_moved, idx, rev)  # (A, M, ..., B)
+    return out, out.ndim - 1
+
+
+nbr_gather_p.def_impl(_nbr_impl)
+nbr_gather_p.def_abstract_eval(_nbr_abstract_eval)
+ad.primitive_jvps[nbr_gather_p] = _nbr_jvp
+ad.primitive_transposes[nbr_gather_p] = _nbr_transpose
+batching.primitive_batchers[nbr_gather_p] = _nbr_batching
+mlir.register_lowering(
+    nbr_gather_p, mlir.lower_fun(_nbr_impl, multiple_results=False)
+)
