@@ -307,8 +307,9 @@ def _bwd_kernel(
 
 
 def _block_atoms(T: int, backward: bool = False) -> int:
+    # benchmarks/micro_blocksweep.py at the bench shape (T=48)
     if T <= 48:
-        return 32 if backward else 16
+        return 32 if backward else 128
     if T <= 96:
         return 8
     return 4
