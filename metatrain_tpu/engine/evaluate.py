@@ -46,6 +46,7 @@ def evaluate_model(
     target_infos: Dict[str, TargetInfo],
     is_training: bool = True,
     outputs: Optional[List[str]] = None,
+    selected_atoms=None,
 ) -> Dict[str, TensorMap]:
     """Run the model and attach requested position/strain gradients.
 
@@ -58,6 +59,9 @@ def evaluate_model(
     :param is_training: kept for API parity; JAX gradients are always
         differentiable, so this does not change correctness.
     :param outputs: subset of target names to compute (default: all).
+    :param selected_atoms: optional (A,) boolean mask restricting outputs
+        (and hence their gradients) to a subset of atoms; see
+        ``models.nn_base.AtomisticNNModel.forward``.
     :return: ``{name: TensorMap}`` with ``positions`` gradients of shape
         (A, 3, 1) and ``strain`` gradients of shape (S, 3, 3, 1) attached
         to scalar targets that request them.
@@ -74,6 +78,13 @@ def evaluate_model(
     # inference (is_training=False): no parameter gradients will ever be
     # pulled through this trace -- let custom kernels skip building them
     grad_ctx = no_param_grads if not is_training else contextlib.nullcontext
+
+    import functools
+
+    if selected_atoms is not None:
+        forward_fn = functools.partial(
+            forward_fn, selected_atoms=selected_atoms
+        )
 
     if not grad_targets:
         with grad_ctx():

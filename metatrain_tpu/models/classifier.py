@@ -106,7 +106,8 @@ class Classifier(ModelInterface):
         return self.params
 
     def forward(
-        self, params, batch: SystemBatch, outputs: Sequence[str]
+        self, params, batch: SystemBatch, outputs: Sequence[str],
+        selected_atoms=None,  # per-structure classifier: selection is n/a
     ) -> Dict[str, TensorMap]:
         logits = self.head.apply(params, self._features(batch))
         block = TensorBlock(

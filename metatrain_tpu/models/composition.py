@@ -156,9 +156,15 @@ class CompositionModel(ModelInterface):
         params: Dict[str, Any],
         batch: SystemBatch,
         outputs: Sequence[str],
+        selected_atoms=None,
     ) -> Dict[str, TensorMap]:
-        """Device-side additive contribution (used at evaluation)."""
+        """Device-side additive contribution (used at evaluation).
+        ``selected_atoms``: optional (A,) mask restricting contributions
+        (see ``nn_base.AtomisticNNModel.forward``)."""
         results: Dict[str, TensorMap] = {}
+        amask = batch.atom_mask
+        if selected_atoms is not None:
+            amask = amask & selected_atoms
         type_index = params["type_to_index"][batch.types]
         for name in outputs:
             if name not in self.target_infos:
@@ -167,7 +173,7 @@ class CompositionModel(ModelInterface):
             w = params["weights"][name]  # (n_types, P)
             per_atom_values = w[type_index]  # (A, P)
             per_atom_values = jnp.where(
-                batch.atom_mask[:, None], per_atom_values, 0.0
+                amask[:, None], per_atom_values, 0.0
             )
             layout_block = info.layout.block(0)
             if info.per_atom:
@@ -187,14 +193,14 @@ class CompositionModel(ModelInterface):
                     ),
                     components=layout_block.components,
                     properties=layout_block.properties,
-                    mask=batch.atom_mask,
+                    mask=amask,
                 )
             else:
                 per_system = sum_over_atoms(
                     per_atom_values,
                     batch.system_index,
                     batch.n_systems_padded,
-                    batch.atom_mask,
+                    amask,
                 )
                 block = TensorBlock(
                     values=per_system,

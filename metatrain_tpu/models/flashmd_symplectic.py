@@ -98,7 +98,11 @@ class FlashMDSymplectic(AtomisticNNModel):
         return jnp.sum(per_atom)
 
     def forward(
-        self, params, batch: SystemBatch, outputs: Sequence[str]
+        self,
+        params,
+        batch: SystemBatch,
+        outputs: Sequence[str],
+        selected_atoms=None,  # MD step prediction: full-system by nature
     ) -> Dict[str, TensorMap]:
         A = batch.n_atoms_padded
         dtype = batch.positions.dtype

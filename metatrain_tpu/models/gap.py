@@ -145,8 +145,15 @@ class GAP(ModelInterface):
         return self.params
 
     def forward(
-        self, params, batch: SystemBatch, outputs: Sequence[str]
+        self,
+        params,
+        batch: SystemBatch,
+        outputs: Sequence[str],
+        selected_atoms=None,
     ) -> Dict[str, TensorMap]:
+        amask = batch.atom_mask
+        if selected_atoms is not None:
+            amask = amask & selected_atoms
         degree = self.hypers["krr"]["degree"]
         features = self.batch_features(batch)  # (A, D)
         kernel = (
@@ -162,7 +169,7 @@ class GAP(ModelInterface):
         info = self.dataset_info.targets[self.target_name]
         S = batch.n_systems_padded
         if info.per_atom:
-            values = jnp.where(batch.atom_mask, atom_energies, 0.0)[:, None]
+            values = jnp.where(amask, atom_energies, 0.0)[:, None]
             samples = Labels(
                 ["system", "atom"],
                 jnp.stack(
@@ -173,10 +180,10 @@ class GAP(ModelInterface):
                     axis=1,
                 ),
             )
-            mask = batch.atom_mask
+            mask = amask
         else:
             values = sum_over_atoms(
-                atom_energies, batch.system_index, S, batch.atom_mask
+                atom_energies, batch.system_index, S, amask
             )[:, None]
             samples = Labels.range("system", S)
             mask = batch.system_mask
@@ -189,10 +196,12 @@ class GAP(ModelInterface):
         )
         return {self.target_name: TensorMap(info.layout.keys, [block])}
 
-    def forward_eval(self, params, batch, outputs):
-        results = self.forward(params, batch, outputs)
+    def forward_eval(self, params, batch, outputs, selected_atoms=None):
+        results = self.forward(params, batch, outputs, selected_atoms)
         comp_params = self.composition._device_params(dtype=jnp.float32)
-        additive = self.composition.forward(comp_params, batch, list(results))
+        additive = self.composition.forward(
+            comp_params, batch, list(results), selected_atoms
+        )
         for name, contribution in additive.items():
             if name in results:
                 block = results[name].block(0)

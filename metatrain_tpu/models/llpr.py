@@ -234,7 +234,11 @@ class LLPRUncertaintyModel(ModelInterface):
         return self.params
 
     def forward(
-        self, params, batch: SystemBatch, outputs: Sequence[str]
+        self,
+        params,
+        batch: SystemBatch,
+        outputs: Sequence[str],
+        selected_atoms=None,
     ) -> Dict[str, TensorMap]:
         base_outputs = [o for o in outputs if o in self.target_names]
         # ensemble outputs need the base prediction as the ensemble mean
@@ -244,7 +248,9 @@ class LLPRUncertaintyModel(ModelInterface):
                 and name not in base_outputs
             ):
                 base_outputs.append(name)
-        results = self.model.forward_eval(params, batch, base_outputs)
+        results = self.model.forward_eval(
+            params, batch, base_outputs, selected_atoms
+        )
         S = batch.n_systems_padded
         for name in self.target_names:
             unc_name = f"mtt::aux::{name}_uncertainty"

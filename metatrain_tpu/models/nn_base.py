@@ -40,6 +40,72 @@ def block_key_str(key_tuple) -> str:
     return "_".join(str(int(v)) for v in key_tuple)
 
 
+DIAGNOSTIC_PREFIX = "mtt::feature::"
+"""Output-name prefix for intermediate-tensor capture (reference
+``pet/modules/diagnostic.py:24``): ``mtt::feature::<module.path>``
+resolves dots to the flax module tree, e.g.
+``mtt::feature::backbone.gnn_layer_0.layer_0``. Tuple-valued module
+outputs take a trailing element index (``....layer_0.1``)."""
+
+
+def _lookup_intermediate(tree, path: str):
+    """Navigate flax ``capture_intermediates`` output by a dotted path."""
+
+    def unwrap(node):
+        if isinstance(node, dict) and "__call__" in node:
+            node = node["__call__"]
+        # flax stores each capture as a length-1 tuple of the call output
+        while isinstance(node, (tuple, list)) and len(node) == 1:
+            node = node[0]
+        return node
+
+    node = tree
+    for part in path.split("."):
+        if isinstance(node, dict) and part in node:
+            node = node[part]
+            continue
+        node = unwrap(node)
+        if isinstance(node, (tuple, list)) and part.isdigit():
+            node = node[int(part)]
+            continue
+        available = (
+            sorted(k for k in node if not k.startswith("__"))
+            if isinstance(node, dict)
+            else f"tuple of {len(node)}"
+            if isinstance(node, (tuple, list))
+            else type(node).__name__
+        )
+        raise KeyError(
+            f"diagnostic path '{path}' not found at '{part}' "
+            f"(available: {available})"
+        )
+    node = unwrap(node)
+    if isinstance(node, (tuple, list)):
+        raise KeyError(
+            f"diagnostic path '{path}' resolves to a tuple of "
+            f"{len(node)} tensors; append an element index (e.g. "
+            f"'{path}.0')"
+        )
+    return node
+
+
+def selection_mask(batch: SystemBatch, pairs) -> jnp.ndarray:
+    """(A,) boolean mask from (system, atom) sample pairs.
+
+    Host-facing equivalent of the reference's ``selected_atoms`` Labels
+    (``utils/testing/output.py:470-501``): ``pairs`` is a (K, 2) integer
+    array in the same convention as per-atom sample labels (system index,
+    padded atom slot). The mask selects exactly those slots.
+    """
+    pairs = np.asarray(pairs, dtype=np.int64)
+    mask = np.zeros(int(batch.n_atoms_padded), dtype=bool)
+    system_index = np.asarray(jax.device_get(batch.system_index))
+    for sys_i, atom_slot in pairs:
+        if 0 <= atom_slot < mask.shape[0] and system_index[atom_slot] == sys_i:
+            mask[atom_slot] = True
+    return jnp.asarray(mask)
+
+
 class AtomisticNNModel(ModelInterface):
     """Base class: flax network + baselines + TensorMap assembly."""
 
@@ -130,7 +196,11 @@ class AtomisticNNModel(ModelInterface):
     # -- forward ---------------------------------------------------------------
 
     def forward(
-        self, params: Any, batch: SystemBatch, outputs: Sequence[str]
+        self,
+        params: Any,
+        batch: SystemBatch,
+        outputs: Sequence[str],
+        selected_atoms: Optional[jnp.ndarray] = None,
     ) -> Dict[str, TensorMap]:
         """Training-space predictions (no scaler/additive baselines).
 
@@ -138,6 +208,15 @@ class AtomisticNNModel(ModelInterface):
         (reference pet/model.py additional outputs): ``"features"`` (the
         internal per-atom representation) and
         ``"mtt::aux::{target}_last_layer_features"``.
+
+        :param selected_atoms: optional (A,) boolean mask over padded atom
+            slots; per-atom outputs are restricted to (masked outside) the
+            selection and per-structure outputs sum ONLY the selected
+            atoms' contributions (reference ``forward(..,
+            selected_atoms)``, pet/model.py:278 — there a (system, atom)
+            Labels list; here a fixed-shape device mask, the TPU-friendly
+            equivalent. Build it from index pairs with
+            :func:`selection_mask`).
         """
         requested = tuple(n for n in outputs if n in self.output_shapes)
         aux_requested = [n for n in outputs if n not in self.output_shapes]
@@ -151,18 +230,41 @@ class AtomisticNNModel(ModelInterface):
         )
         from ..utils.profiling import stage
 
+        amask = batch.atom_mask
+        if selected_atoms is not None:
+            amask = amask & selected_atoms
+
+        diag_requests = {
+            n: n.removeprefix(DIAGNOSTIC_PREFIX)
+            for n in aux_requested
+            if n.startswith(DIAGNOSTIC_PREFIX)
+        }
+
         with stage("preprocess"):
             batch_data = self.preprocess(batch)
         with stage("module"):
-            raw = self.module.apply(params, batch_data, module_targets)
+            if diag_requests:
+                # capture intermediate module outputs (TPU-native analogue
+                # of the reference's temporary forward hooks,
+                # pet/modules/diagnostic.py)
+                raw, state = self.module.apply(
+                    params,
+                    batch_data,
+                    module_targets,
+                    capture_intermediates=True,
+                    mutable=["intermediates"],
+                )
+                intermediates = state["intermediates"]
+            else:
+                raw = self.module.apply(params, batch_data, module_targets)
         with stage("assemble"):
             results = {
-                name: self._assemble_target(name, raw[name], batch)
+                name: self._assemble_target(name, raw[name], batch, amask)
                 for name in requested
             }
         if "features" in aux_requested:
             results["features"] = self._per_atom_feature_map(
-                _flatten_features(raw, batch_data), batch
+                _flatten_features(raw, batch_data), batch, amask
             )
         for output_name, target_name in ll_requests.items():
             features = raw[f"_ll_features::{target_name}"]
@@ -174,14 +276,74 @@ class AtomisticNNModel(ModelInterface):
                     parts.append(node_ll)
                     parts.append(jnp.sum(edge_ll * cf[:, :, None], axis=1))
                 features = jnp.concatenate(parts, axis=-1)
-            results[output_name] = self._per_atom_feature_map(features, batch)
+            results[output_name] = self._per_atom_feature_map(
+                features, batch, amask
+            )
+        for output_name, path in diag_requests.items():
+            results[output_name] = self._diagnostic_map(
+                _lookup_intermediate(intermediates, path), batch, amask
+            )
         return results
 
-    def _per_atom_feature_map(self, features, batch: SystemBatch) -> TensorMap:
+    def _diagnostic_map(self, tensor, batch: SystemBatch, amask) -> TensorMap:
+        """Wrap a captured intermediate as a diagnostic TensorMap
+        (reference ``pet/modules/diagnostic.py``): (A, d) tensors get
+        per-atom samples, (A, M, d) NEF tensors get per-edge samples
+        ``(system, first_atom, second_atom, cell_shift_a/b/c)``."""
+        tensor = tensor.astype(jnp.promote_types(jnp.float32, tensor.dtype))
+        if tensor.ndim == 2:
+            return self._per_atom_feature_map(tensor, batch, amask)
+        if tensor.ndim != 3:
+            raise ValueError(
+                f"diagnostic tensor of rank {tensor.ndim} not supported"
+            )
+        A, M, d = tensor.shape
+        first = jnp.repeat(
+            jnp.arange(A, dtype=jnp.int32), M
+        )
+        second = batch.nbr_indices.reshape(-1).astype(jnp.int32)
+        shifts = batch.nbr_shifts.reshape(A * M, 3).astype(jnp.int32)
+        samples = Labels(
+            [
+                "system",
+                "first_atom",
+                "second_atom",
+                "cell_shift_a",
+                "cell_shift_b",
+                "cell_shift_c",
+            ],
+            jnp.concatenate(
+                [
+                    batch.system_index[first][:, None],
+                    first[:, None],
+                    second[:, None],
+                    shifts,
+                ],
+                axis=1,
+            ),
+        )
+        edge_mask = (batch.nbr_mask & amask[:, None]).reshape(-1)
+        values = jnp.where(
+            edge_mask[:, None], tensor.reshape(A * M, d), 0.0
+        )
+        block = TensorBlock(
+            values=values,
+            samples=samples,
+            components=(),
+            properties=Labels.range("_", d),
+            mask=edge_mask,
+        )
+        return TensorMap(Labels.single(), [block])
+
+    def _per_atom_feature_map(
+        self, features, batch: SystemBatch, amask=None
+    ) -> TensorMap:
+        if amask is None:
+            amask = batch.atom_mask
         features = features.astype(
             jnp.promote_types(jnp.float32, features.dtype)
         )
-        features = jnp.where(batch.atom_mask[:, None], features, 0.0)
+        features = jnp.where(amask[:, None], features, 0.0)
         block = TensorBlock(
             values=features,
             samples=Labels(
@@ -196,24 +358,30 @@ class AtomisticNNModel(ModelInterface):
             ),
             components=(),
             properties=Labels.range("property", int(features.shape[-1])),
-            mask=batch.atom_mask,
+            mask=amask,
         )
         return TensorMap(Labels.single(), [block])
 
     def forward_eval(
-        self, params: Any, batch: SystemBatch, outputs: Sequence[str]
+        self,
+        params: Any,
+        batch: SystemBatch,
+        outputs: Sequence[str],
+        selected_atoms: Optional[jnp.ndarray] = None,
     ) -> Dict[str, TensorMap]:
         """Evaluation predictions: scaler + additive baselines applied
         (reference ``pet/model.py:591-660``)."""
-        results = self.forward(params, batch, outputs)
+        results = self.forward(params, batch, outputs, selected_atoms)
         results = self.scaler.apply_scales(results)
         comp_params = self.composition._device_params(dtype=jnp.float32)
-        additive = self.composition.forward(comp_params, batch, list(results))
+        additive = self.composition.forward(
+            comp_params, batch, list(results), selected_atoms
+        )
         for name, contribution in additive.items():
             if name in results:
                 results[name] = add_tensormaps(results[name], contribution)
         if self.zbl is not None:
-            zbl_contrib = self.zbl.forward(batch, list(results))
+            zbl_contrib = self.zbl.forward(batch, list(results), selected_atoms)
             for name, contribution in zbl_contrib.items():
                 if name in results:
                     results[name] = add_tensormaps(results[name], contribution)
@@ -224,11 +392,14 @@ class AtomisticNNModel(ModelInterface):
         name: str,
         per_block: Dict[str, jnp.ndarray],
         batch: SystemBatch,
+        amask: Optional[jnp.ndarray] = None,
     ) -> TensorMap:
         info = self.target_infos[name]
         per_atom = info.per_atom
         A = batch.n_atoms_padded
         S = batch.n_systems_padded
+        if amask is None:
+            amask = batch.atom_mask
 
         blocks = []
         for key_tuple, layout_block in info.layout.items():
@@ -243,7 +414,7 @@ class AtomisticNNModel(ModelInterface):
             if per_atom:
                 values = flat.reshape((A,) + comp_sizes + (n_props,))
                 values = jnp.where(
-                    batch.atom_mask.reshape((A,) + (1,) * (values.ndim - 1)),
+                    amask.reshape((A,) + (1,) * (values.ndim - 1)),
                     values,
                     0.0,
                 )
@@ -257,10 +428,10 @@ class AtomisticNNModel(ModelInterface):
                         axis=1,
                     ),
                 )
-                mask = batch.atom_mask
+                mask = amask
             else:
                 summed = sum_over_atoms(
-                    flat, batch.system_index, S, batch.atom_mask
+                    flat, batch.system_index, S, amask
                 )
                 values = summed.reshape((S,) + comp_sizes + (n_props,))
                 samples = Labels.range("system", S)

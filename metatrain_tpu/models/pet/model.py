@@ -196,6 +196,33 @@ class PET(AtomisticNNModel):
             ),
         }
 
+    def forward(self, params, batch, outputs, selected_atoms=None):
+        """Adds ``mtt::aux::cutoff_stats`` (column 0 = per-atom adaptive
+        cutoff, column 1 = smoothed neighbor count; reference
+        ``pet/model.py:125-133``) on top of the shared aux outputs."""
+        stats_name = "mtt::aux::cutoff_stats"
+        names = [n for n in outputs if n != stats_name]
+        results = (
+            super().forward(params, batch, names, selected_atoms)
+            if names
+            else {}
+        )
+        if stats_name in outputs:
+            amask = batch.atom_mask
+            if selected_atoms is not None:
+                amask = amask & selected_atoms
+            d = self.preprocess(batch)
+            smooth_counts = jnp.sum(
+                jnp.where(d["nbr_mask"], d["cutoff_factors"], 0.0), axis=1
+            )
+            stats = jnp.stack(
+                [d["atomic_cutoffs"], smooth_counts], axis=1
+            )
+            results[stats_name] = self._per_atom_feature_map(
+                stats, batch, amask
+            )
+        return results
+
     def requested_neighbor_cutoff(self) -> float:
         return self.cutoff
 

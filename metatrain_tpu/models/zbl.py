@@ -93,9 +93,12 @@ class ZBL:
         return 0.5 * jnp.sum(pair_e, axis=1)
 
     def forward(
-        self, batch: SystemBatch, outputs: Sequence[str]
+        self, batch: SystemBatch, outputs: Sequence[str], selected_atoms=None
     ) -> Dict[str, TensorMap]:
         results: Dict[str, TensorMap] = {}
+        amask = batch.atom_mask
+        if selected_atoms is not None:
+            amask = amask & selected_atoms
         atom_e = self.atomic_energies(batch)
         for name in outputs:
             if name not in self.target_names:
@@ -103,7 +106,7 @@ class ZBL:
             info = self.dataset_info.targets[name]
             layout_block = info.layout.block(0)
             if info.per_atom:
-                values = jnp.where(batch.atom_mask, atom_e, 0.0)[:, None]
+                values = jnp.where(amask, atom_e, 0.0)[:, None]
                 samples = Labels(
                     ["system", "atom"],
                     jnp.stack(
@@ -116,13 +119,13 @@ class ZBL:
                         axis=1,
                     ),
                 )
-                mask = batch.atom_mask
+                mask = amask
             else:
                 values = sum_over_atoms(
                     atom_e,
                     batch.system_index,
                     batch.n_systems_padded,
-                    batch.atom_mask,
+                    amask,
                 )[:, None]
                 samples = Labels.range("system", batch.n_systems_padded)
                 mask = batch.system_mask

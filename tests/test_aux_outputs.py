@@ -133,3 +133,66 @@ def test_gaussian_nll_and_crps():
     centered = _scalar_block(rng.normal(size=(4, 8)) * 0.01)
     s3, _ = block_loss_terms("crps", centered, target)
     assert float(s3) < float(s2)
+
+
+@pytest.fixture
+def pet_model_batch():
+    model = PET(PET_HYPERS, _info())
+    model.init_params(jax.random.PRNGKey(0))
+    batch = _batch(model, [make_molecule(6, seed=1)])
+    return model, batch
+
+
+def test_diagnostic_feature_outputs(pet_model_batch):
+    """mtt::feature:: intermediate capture (reference
+    pet/modules/diagnostic.py): node-like and edge-like tensors."""
+    import numpy as np
+
+    model, batch = pet_model_batch
+    node_name = "mtt::feature::backbone.gnn_layer_0.layer_0.0"
+    edge_name = "mtt::feature::backbone.gnn_layer_0.layer_0.1"
+    out = model.forward(model.params, batch, [node_name, edge_name])
+
+    node_map = out[node_name].block()
+    assert node_map.values.ndim == 2
+    assert node_map.values.shape[0] == batch.n_atoms_padded
+    assert list(node_map.samples.names) == ["system", "atom"]
+    assert np.isfinite(np.asarray(node_map.values)).all()
+
+    edge_map = out[edge_name].block()
+    A, M = batch.nbr_indices.shape
+    assert edge_map.values.shape[0] == A * M
+    assert list(edge_map.samples.names) == [
+        "system", "first_atom", "second_atom",
+        "cell_shift_a", "cell_shift_b", "cell_shift_c",
+    ]
+    # masked (padded) edges are zeroed
+    em = np.asarray(edge_map.mask)
+    assert (np.asarray(edge_map.values)[~em] == 0).all()
+
+
+def test_diagnostic_unknown_path_raises(pet_model_batch):
+    import pytest
+
+    model, batch = pet_model_batch
+    with pytest.raises(KeyError, match="not found"):
+        model.forward(
+            model.params, batch, ["mtt::feature::backbone.nope"]
+        )
+
+
+def test_pet_cutoff_stats_output(pet_model_batch):
+    """mtt::aux::cutoff_stats (reference pet/model.py:125-133)."""
+    model, batch = pet_model_batch
+    out = model.forward(
+        model.params, batch, ["energy", "mtt::aux::cutoff_stats"]
+    )
+    stats = out["mtt::aux::cutoff_stats"].block()
+    assert stats.values.shape == (batch.n_atoms_padded, 2)
+    vals = np.asarray(stats.values)
+    m = np.asarray(stats.mask)
+    # fixed cutoff model: column 0 equals the cutoff radius
+    np.testing.assert_allclose(vals[m, 0], model.cutoff)
+    # smoothed neighbor counts are positive and bounded by real neighbors
+    assert (vals[m, 1] > 0).all()
+    assert (vals[m, 1] <= np.asarray(batch.nbr_mask).sum(1)[m] + 1e-6).all()
