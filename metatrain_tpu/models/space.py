@@ -19,7 +19,7 @@ the same exact real-CG tables as our MACE family, plus:
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -140,6 +140,7 @@ class SpaceModule(nn.Module):
     hypers: Dict[str, Any]
     num_species: int
     output_shapes: Dict[str, Dict[str, int]]
+    target_specs: Optional[Dict[str, Any]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -208,13 +209,80 @@ class SpaceModule(nn.Module):
             )(hidden)
             head = jax.nn.silu(head)
             results[f"_ll_features::{target_name}"] = head
+            specs = (self.target_specs or {}).get(target_name)
             per_block = {}
-            for block_key, size in shapes.items():
-                per_block[block_key] = nn.Dense(
-                    size, dtype=self.dtype, name=f"last_{safe}_{block_key}"
-                )(head)
+            for b_idx, (block_key, size) in enumerate(shapes.items()):
+                spec = specs[b_idx] if specs else {"type": "scalar"}
+                if spec["type"] == "scalar":
+                    per_block[block_key] = nn.Dense(
+                        size, dtype=self.dtype, name=f"last_{safe}_{block_key}"
+                    )(head)
+                    continue
+                out = _space_equivariant_readout(
+                    self,
+                    features,
+                    spec,
+                    lmax,
+                    f"equiv_{safe}_{block_key}",
+                )
+                if spec["type"] == "cartesian_rank1":
+                    # real-SH order m=(-1,0,1) ~ (y,z,x) -> xyz
+                    out = out[:, :, jnp.array([2, 0, 1])]
+                # (A, props, 2lam+1) -> (A, components * props),
+                # components-major (matches TensorMap block layout)
+                per_block[block_key] = out.transpose(0, 2, 1).reshape(
+                    out.shape[0], -1
+                )
             results[target_name] = per_block
         return results
+
+
+def _space_equivariant_readout(mod, features, spec, lmax, name):
+    """Equivariant per-atom readout from SPACE's per-L proper-parity
+    features (reference SPACE tensorial readout capability slot; same
+    scheme as ``mace.EquivariantReadout``): direct per-channel linear on
+    features[lambda] when the block parity matches (-1)^lambda, otherwise
+    one CG coupling of feature pairs whose combined parity matches
+    (pseudo-tensors, e.g. lambda=1 sigma=-1 via 1 x 1 -> 1)."""
+    from .mace import _cg_couple
+
+    lam = int(spec["o3_lambda"])
+    sigma = int(spec["o3_sigma"])
+    P = int(spec["num_properties"])
+    acc = jnp.promote_types(jnp.float32, mod.dtype)
+
+    def channel_linear(x, suffix):
+        # (A, C, 2L+1) -> (A, P, 2L+1)
+        return nn.Dense(
+            P, use_bias=False, dtype=mod.dtype, name=f"{name}_{suffix}"
+        )(x.transpose(0, 2, 1)).transpose(0, 2, 1)
+
+    proper = sigma == (-1) ** lam
+    if proper:
+        return channel_linear(features[lam], "direct")
+
+    # pseudo-tensor: couple l1 x l2 -> lam with (-1)^(l1+l2) == target
+    # parity sigma * (-1)^lam
+    p_t = sigma * ((-1) ** lam)
+    out = None
+    for l1 in range(lmax + 1):
+        for l2 in range(l1 + 1):
+            if (-1) ** (l1 + l2) != p_t or not (
+                abs(l1 - l2) <= lam <= l1 + l2
+            ):
+                continue
+            x1 = channel_linear(features[l1], f"c{l1}_{l2}_a")
+            x2 = channel_linear(features[l2], f"c{l1}_{l2}_b")
+            term = _cg_couple(
+                x1.astype(acc), l1, x2.astype(acc), l2, lam, acc
+            ).astype(mod.dtype)
+            out = term if out is None else out + term
+    if out is None:
+        raise NotImplementedError(
+            f"no parity path to (lambda={lam}, sigma={sigma}) with "
+            f"lmax={lmax}"
+        )
+    return out
 
 
 class SPACE(AtomisticNNModel):
@@ -232,12 +300,49 @@ class SPACE(AtomisticNNModel):
             else:
                 full[key] = value
         super().__init__(full, dataset_info, compute_dtype)
+        lmax = len(full["k_max_l"]) - 1
+        target_specs: Dict[str, Any] = {}
         for name, info in self.target_infos.items():
-            if not info.is_scalar:
+            specs = []
+            if info.is_scalar:
+                for _ in info.layout.blocks():
+                    specs.append({"type": "scalar"})
+            elif info.is_spherical:
+                names = info.layout.keys.names
+                for key_tuple, block in info.layout.items():
+                    lam = int(key_tuple[names.index("o3_lambda")])
+                    if lam > lmax:
+                        raise NotImplementedError(
+                            f"SPACE target '{name}': o3_lambda={lam} "
+                            f"exceeds the feature body order lmax={lmax} "
+                            "(increase k_max_l)"
+                        )
+                    specs.append(
+                        {
+                            "type": "spherical",
+                            "o3_lambda": lam,
+                            "o3_sigma": int(
+                                key_tuple[names.index("o3_sigma")]
+                            ),
+                            "num_properties": len(block.properties),
+                        }
+                    )
+            elif info.is_cartesian and info.rank == 1:
+                for _, block in info.layout.items():
+                    specs.append(
+                        {
+                            "type": "cartesian_rank1",
+                            "o3_lambda": 1,
+                            "o3_sigma": 1,
+                            "num_properties": len(block.properties),
+                        }
+                    )
+            else:
                 raise NotImplementedError(
-                    f"SPACE tensorial target '{name}': equivariant readout "
-                    "for non-scalar targets pending"
+                    f"SPACE target '{name}': Cartesian rank >= 2 targets "
+                    "are not supported (use a spherical decomposition)"
                 )
+            target_specs[name] = specs
         self.cutoff = float(full["cutoff"])
         self.cutoff_width = float(full["cutoff_width"])
         self.cutoff_function = "bump"
@@ -247,6 +352,7 @@ class SPACE(AtomisticNNModel):
             hypers=dict(full),
             num_species=len(self.atomic_types),
             output_shapes=self.output_shapes,
+            target_specs=target_specs,
             dtype=compute_dtype,
         )
 

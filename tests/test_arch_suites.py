@@ -72,11 +72,19 @@ class TestSPACE(ArchitectureTests):
     minimal_model_hypers = {
         "cutoff": 4.5,
         "num_radial": 3,
-        "k_max_l": [8, 4],
+        "k_max_l": [8, 4, 4],
         "num_message_passing": 1,
         "mlp_width": 8,
     }
     supports_forces = True
+    supported_target_types = (
+        "scalar",
+        "per_atom_scalar",
+        "multi_property",
+        "cartesian_rank1",
+        "spherical_l2",
+    )
+    equivariant_target_types = ("cartesian_rank1", "spherical_l2")
 
 
 class TestDPA3(ArchitectureTests):
