@@ -195,7 +195,7 @@ class FlashMD(AtomisticNNModel):
 
     def forward_eval(self, params, batch, outputs):
         results = self.forward(params, batch, outputs)
-        results = self.scaler.apply_scales(results)
+        results = self.scaler.apply_scales(results, batch)
         if "positions" in results:
             results["positions"] = _add_per_atom(
                 results["positions"], batch.positions

@@ -372,7 +372,7 @@ class AtomisticNNModel(ModelInterface):
         """Evaluation predictions: scaler + additive baselines applied
         (reference ``pet/model.py:591-660``)."""
         results = self.forward(params, batch, outputs, selected_atoms)
-        results = self.scaler.apply_scales(results)
+        results = self.scaler.apply_scales(results, batch)
         comp_params = self.composition._device_params(dtype=jnp.float32)
         additive = self.composition.forward(
             comp_params, batch, list(results), selected_atoms

@@ -1,11 +1,20 @@
-"""Scaler: per-target RMS normalization of training targets.
+"""Scaler: RMS normalization of training targets.
 
-Re-design of the reference ``src/metatrain/scaler/``: computes one scale
-per target (uncentered std over all values) plus per-property scales,
-fitted host-side after composition removal; targets are divided by the
-scale in the collate pipeline and predictions are multiplied back at
-evaluation time (``scaler/model.py:188-232``). Gradient blocks are scaled
-with the same factor (d(s*E) = s*dE).
+Re-design of the reference ``src/metatrain/scaler/``: fits, host-side and
+after composition removal,
+
+- a **per-target** scale (uncentered RMS over every value of the target;
+  one value per atomic type for per-atom targets,
+  ``_base_scaler.py:287-372``), and
+- **per-block, per-property** scales whose product with the per-target
+  scale is the full RMS of that (block, property) slice
+  (``scaler/model.py:188-232`` ``use_per_target_scales`` /
+  ``use_per_property_scales`` decomposition). Per-property scales stay at
+  1 for atom-pair (edge) targets, mirroring the reference.
+
+Targets are divided by the full scale in the collate pipeline and
+predictions are multiplied back at evaluation time. Gradient blocks are
+scaled with the same factor (d(s*E) = s*dE).
 """
 
 from __future__ import annotations
@@ -25,18 +34,44 @@ FixedScales = Dict[str, Union[float, Dict[str, float]]]
 
 
 class Scaler(ModelInterface):
-    """Per-target (and per-property) RMS scales."""
+    """Per-target / per-block / per-property / per-type RMS scales."""
 
-    __checkpoint_version__ = 1
+    __checkpoint_version__ = 2
     __supported_dtypes__ = [jnp.float64, jnp.float32]
 
     def __init__(self, hypers: Dict[str, Any], dataset_info: DatasetInfo):
         super().__init__(hypers, dataset_info)
-        # target -> (P,) per-property scales (scale 1.0 = no-op)
-        self.scales: Dict[str, np.ndarray] = {}
+        self.atomic_types = list(dataset_info.atomic_types)
+        self._type_to_index = {
+            int(z): i for i, z in enumerate(self.atomic_types)
+        }
+        # target -> list over layout blocks of (R, P_b) full scales where
+        # R = n_types for per-atom targets, else 1 (scale 1.0 = no-op)
+        self.scales: Dict[str, List[np.ndarray]] = {}
+        # target -> (R,) per-target scale (RMS over all blocks/properties)
+        self.per_target: Dict[str, np.ndarray] = {}
         for name, info in dataset_info.targets.items():
-            n_props = len(info.layout.block(0).properties)
-            self.scales[name] = np.ones((n_props,), dtype=np.float64)
+            R = len(self.atomic_types) if info.per_atom else 1
+            self.scales[name] = [
+                np.ones((R, len(block.properties)), dtype=np.float64)
+                for block in info.layout.blocks()
+            ]
+            self.per_target[name] = np.ones((R,), dtype=np.float64)
+
+    # -- fitting ---------------------------------------------------------------
+
+    def _rows(self, name: str) -> int:
+        info = self.dataset_info.targets[name]
+        return len(self.atomic_types) if info.per_atom else 1
+
+    def _row_index(self, system, n_rows: int) -> np.ndarray:
+        """Scale-row index for each sample row of a host target block."""
+        if n_rows == 1:
+            return np.zeros(0, dtype=np.int64)  # unused for R == 1
+        return np.array(
+            [self._type_to_index.get(int(z), 0) for z in system.types],
+            dtype=np.int64,
+        )
 
     def fit(
         self,
@@ -45,38 +80,98 @@ class Scaler(ModelInterface):
     ) -> None:
         fixed_scales = fixed_scales or {}
         for name in self.scales:
+            info = self.dataset_info.targets[name]
+            R = self._rows(name)
             if name in fixed_scales:
                 spec = fixed_scales[name]
                 value = float(spec) if not isinstance(spec, dict) else float(
                     next(iter(spec.values()))
                 )
-                self.scales[name] = np.full_like(self.scales[name], value)
+                self.scales[name] = [
+                    np.full_like(s, value) for s in self.scales[name]
+                ]
+                self.per_target[name] = np.full((R,), value)
                 continue
-            sq_sum = np.zeros_like(self.scales[name])
-            count = 0
+
+            sq = [np.zeros_like(s) for s in self.scales[name]]
+            cnt = [np.zeros_like(s) for s in self.scales[name]]
             for dataset in datasets:
                 if name not in dataset.targets:
                     continue
-                for tmap in dataset.targets[name]:
-                    for block in tmap.blocks():
+                for sample_i, tmap in enumerate(dataset.targets[name]):
+                    system = dataset.systems[sample_i]
+                    for b, block in enumerate(tmap.blocks()):
                         values = np.asarray(block.values, dtype=np.float64)
-                        flat = values.reshape(-1, values.shape[-1])
+                        P = values.shape[-1]
+                        flat = values.reshape(values.shape[0], -1, P)
                         finite = np.isfinite(flat)
-                        sq_sum += np.where(finite, flat**2, 0.0).sum(0)
-                        count += int(finite[:, 0].sum()) * int(
-                            np.prod(values.shape[1:-1], initial=1)
-                        )
-            if count > 0:
-                rms = np.sqrt(sq_sum / max(count, 1))
-                self.scales[name] = np.where(rms > 0, rms, 1.0)
+                        v2 = np.where(finite, flat**2, 0.0).sum(axis=1)
+                        n = finite.sum(axis=1).astype(np.float64)
+                        if R == 1:
+                            sq[b][0] += v2.sum(0)
+                            cnt[b][0] += n.sum(0)
+                        else:
+                            rows = self._row_index(system, R)
+                            rows = rows[: values.shape[0]]
+                            np.add.at(sq[b], rows, v2[: len(rows)])
+                            np.add.at(cnt[b], rows, n[: len(rows)])
 
-    # -- application ---------------------------------------------------------
+            full = [
+                np.where(c > 0, np.sqrt(s / np.maximum(c, 1)), 1.0)
+                for s, c in zip(sq, cnt)
+            ]
+            full = [np.where(f > 0, f, 1.0) for f in full]
+            sq_all = sum(s.sum(axis=1) for s in sq)
+            cnt_all = sum(c.sum(axis=1) for c in cnt)
+            target_scale = np.where(
+                cnt_all > 0, np.sqrt(sq_all / np.maximum(cnt_all, 1)), 1.0
+            )
+            target_scale = np.where(target_scale > 0, target_scale, 1.0)
+            self.scales[name] = full
+            self.per_target[name] = target_scale
+
+    # -- decomposition ---------------------------------------------------------
+
+    def _is_multi_property(self, name: str) -> bool:
+        info = self.dataset_info.targets[name]
+        if info.sample_kind == "atom_pair":
+            # reference: no per-property scales for edge targets
+            return False
+        blocks = list(info.layout.blocks())
+        return len(blocks) > 1 or any(
+            len(b.properties) > 1 for b in blocks
+        )
+
+    def _block_factor(
+        self,
+        name: str,
+        b: int,
+        use_per_target: bool,
+        use_per_property: bool,
+    ) -> np.ndarray:
+        """(R, P_b) multiplicative factor for the chosen decomposition
+        (full = per_target x per_property)."""
+        full = self.scales[name][b]
+        target = self.per_target[name][:, None]
+        if use_per_target and use_per_property:
+            return full
+        if use_per_target:
+            return np.broadcast_to(target, full.shape)
+        if use_per_property:
+            if not self._is_multi_property(name):
+                return np.ones_like(full)
+            return full / np.where(target > 0, target, 1.0)
+        return np.ones_like(full)
 
     def scale_value(self, name: str) -> np.ndarray:
-        return self.scales.get(name, np.ones(1))
+        """Flat full scale of the first block (diagnostics/tests)."""
+        return self.scales.get(name, [np.ones((1, 1))])[0][0]
+
+    # -- host removal (collate transform) --------------------------------------
 
     def remove_transform(self, samples: List[Sample]) -> List[Sample]:
-        """Collate transform: divide host targets (and gradients) by scale."""
+        """Collate transform: divide host targets (and gradients) by the
+        full scale."""
         new_samples = []
         for sample in samples:
             new_targets = {}
@@ -84,33 +179,109 @@ class Scaler(ModelInterface):
                 if name not in self.scales:
                     new_targets[name] = tmap
                     continue
-                inv = 1.0 / self.scales[name]
-                new_targets[name] = _scale_tensormap_host(tmap, inv)
+                R = self._rows(name)
+                rows = self._row_index(sample.system, R)
+                new_targets[name] = _scale_tensormap_host(
+                    tmap, self.scales[name], rows, invert=True
+                )
             new_samples.append(
                 Sample(sample.system, new_targets, sample.extra_data)
             )
         return new_samples
 
+    # -- device application (evaluation) ---------------------------------------
+
     def apply_scales(
-        self, predictions: Dict[str, TensorMap]
+        self,
+        predictions: Dict[str, TensorMap],
+        batch=None,
+        remove: bool = False,
+        use_per_target_scales: bool = True,
+        use_per_property_scales: bool = True,
     ) -> Dict[str, TensorMap]:
-        """Multiply device predictions back by the scales (evaluation)."""
+        """Multiply (or with ``remove=True`` divide) device predictions by
+        the scales (reference ``scaler/model.py:188-232``).
+
+        :param batch: the SystemBatch the predictions came from; required
+            to resolve per-type rows of per-atom targets (ignored
+            otherwise).
+        """
         out = {}
         for name, tmap in predictions.items():
-            if name in self.scales:
-                scale = jnp.asarray(self.scales[name])
-                out[name] = tmap.map_values(
-                    lambda v, s=scale: v * s.astype(v.dtype)
-                )
-            else:
+            if name not in self.scales:
                 out[name] = tmap
+                continue
+            R = self._rows(name)
+            blocks = []
+            for b, block in enumerate(tmap.blocks()):
+                factor = self._block_factor(
+                    name,
+                    b,
+                    use_per_target_scales,
+                    use_per_property_scales,
+                )
+                if remove:
+                    factor = 1.0 / factor
+                if R == 1:
+                    row = jnp.asarray(factor[0])  # (P,)
+                    scale = row.reshape(
+                        (1,) * (block.values.ndim - 1) + (-1,)
+                    )
+                else:
+                    if batch is None:
+                        raise ValueError(
+                            "apply_scales needs the batch for per-atom "
+                            f"target '{name}' (per-type scales)"
+                        )
+                    lookup = np.zeros(
+                        (max(self.atomic_types) + 1, factor.shape[1])
+                    )
+                    for z, i in self._type_to_index.items():
+                        lookup[z] = factor[i]
+                    per_row = jnp.asarray(lookup)[
+                        jnp.clip(batch.types, 0, lookup.shape[0] - 1)
+                    ]  # (A, P)
+                    scale = per_row.reshape(
+                        (per_row.shape[0],)
+                        + (1,) * (block.values.ndim - 2)
+                        + (per_row.shape[-1],)
+                    )
+                new_block = TensorBlock(
+                    values=block.values * scale.astype(block.values.dtype),
+                    samples=block.samples,
+                    components=block.components,
+                    properties=block.properties,
+                    mask=block.mask,
+                )
+                for gname, grad in block.gradients():
+                    gscale = scale.reshape(
+                        (scale.shape[0],)
+                        + (1,) * (grad.values.ndim - scale.ndim)
+                        + scale.shape[1:]
+                    ) if R != 1 else scale.reshape(
+                        (1,) * (grad.values.ndim - 1) + (-1,)
+                    )
+                    new_block.add_gradient(
+                        gname,
+                        TensorBlock(
+                            values=grad.values
+                            * gscale.astype(grad.values.dtype),
+                            samples=grad.samples,
+                            components=grad.components,
+                            properties=grad.properties,
+                            mask=grad.mask,
+                        ),
+                    )
+                blocks.append(new_block)
+            out[name] = TensorMap(tmap.keys, blocks)
         return out
 
     # -- ModelInterface -------------------------------------------------------
 
-    def init_params(self, rng) -> Dict[str, jnp.ndarray]:
+    def init_params(self, rng) -> Dict[str, Any]:
         self.params = {
-            name: jnp.asarray(s) for name, s in self.scales.items()
+            name: [jnp.asarray(s) for s in scales]
+            for name, scales in self.scales.items()
         }
         return self.params
 
@@ -126,7 +297,10 @@ class Scaler(ModelInterface):
             "model_ckpt_version": self.__checkpoint_version__,
             "hypers": self.hypers,
             "dataset_info": self.dataset_info.to_dict(),
-            "scales": {k: v.copy() for k, v in self.scales.items()},
+            "scales": {
+                k: [s.copy() for s in v] for k, v in self.scales.items()
+            },
+            "per_target": {k: v.copy() for k, v in self.per_target.items()},
         }
 
     @classmethod
@@ -138,33 +312,91 @@ class Scaler(ModelInterface):
             DatasetInfo.from_dict(checkpoint["dataset_info"]),
         )
         for name, s in checkpoint["scales"].items():
-            model.scales[name] = np.asarray(s, dtype=np.float64)
+            if name not in model.scales:
+                continue
+            if isinstance(s, np.ndarray) and s.ndim == 1:
+                # v1 checkpoints: one (P,) full scale shared by all blocks
+                model.scales[name] = [
+                    np.broadcast_to(s, tpl.shape).copy()
+                    for tpl in model.scales[name]
+                ]
+                model.per_target[name] = np.full(
+                    model.per_target[name].shape,
+                    float(np.sqrt(np.mean(np.square(s)))) or 1.0,
+                )
+            else:
+                model.scales[name] = [np.asarray(x, np.float64) for x in s]
+        for name, v in checkpoint.get("per_target", {}).items():
+            if name in model.per_target:
+                model.per_target[name] = np.asarray(v, np.float64)
         return model
 
     def restart(self, dataset_info: DatasetInfo) -> "Scaler":
         merged = self.dataset_info.union(dataset_info)
         new = Scaler(self.hypers, merged)
         for name, s in self.scales.items():
-            if name in new.scales:
-                new.scales[name] = s.copy()
+            if name in new.scales and all(
+                a.shape == b.shape for a, b in zip(s, new.scales[name])
+            ):
+                new.scales[name] = [x.copy() for x in s]
+                new.per_target[name] = self.per_target[name].copy()
         return new
 
 
-def _scale_tensormap_host(tmap: TensorMap, factor: np.ndarray) -> TensorMap:
+def _scale_tensormap_host(
+    tmap: TensorMap,
+    block_scales: List[np.ndarray],
+    rows: np.ndarray,
+    invert: bool,
+) -> TensorMap:
+    """Host-side scaling of one target TensorMap by (R, P_b) block scales.
+
+    ``rows`` maps per-atom sample rows to scale rows (empty for R == 1).
+    """
     blocks = []
-    for block in tmap.blocks():
+    for b, block in enumerate(tmap.blocks()):
+        factor = block_scales[min(b, len(block_scales) - 1)]
+        if invert:
+            factor = 1.0 / factor
+        values = np.asarray(block.values)
+        if factor.shape[0] == 1:
+            row_factor = factor[0]  # (P,)
+            scale = row_factor.reshape((1,) * (values.ndim - 1) + (-1,))
+        else:
+            n = values.shape[0]
+            per_row = factor[rows[:n]]  # (n, P)
+            scale = per_row.reshape(
+                (n,) + (1,) * (values.ndim - 2) + (per_row.shape[-1],)
+            )
         new_block = TensorBlock(
-            values=np.asarray(block.values) * factor,
+            values=values * scale,
             samples=block.samples,
             components=block.components,
             properties=block.properties,
             mask=block.mask,
         )
         for gname, grad in block.gradients():
+            gvalues = np.asarray(grad.values)
+            if factor.shape[0] == 1:
+                gscale = factor[0].reshape((1,) * (gvalues.ndim - 1) + (-1,))
+            else:
+                # per-atom target gradients: gradient samples index the
+                # target's sample rows in their first column
+                gsample_rows = np.asarray(grad.samples.values)[:, 0]
+                per_row = (1.0 / block_scales[
+                    min(b, len(block_scales) - 1)
+                ] if invert else block_scales[
+                    min(b, len(block_scales) - 1)
+                ])[rows[gsample_rows]]
+                gscale = per_row.reshape(
+                    (len(gsample_rows),)
+                    + (1,) * (gvalues.ndim - 2)
+                    + (per_row.shape[-1],)
+                )
             new_block.add_gradient(
                 gname,
                 TensorBlock(
-                    values=np.asarray(grad.values) * factor,
+                    values=gvalues * gscale,
                     samples=grad.samples,
                     components=grad.components,
                     properties=grad.properties,
