@@ -38,7 +38,68 @@ def load_options(path: Union[str, Path]) -> Dict[str, Any]:
         options = yaml.safe_load(f)
     if not isinstance(options, dict):
         raise MetatrainConfigError(f"options file {path} is not a mapping")
-    return options
+    return resolve_interpolations(options)
+
+
+#: function-style ``${name:}`` resolvers (reference
+#: ``utils/omegaconf.py:126-129``)
+_RESOLVERS = {
+    "default_device": lambda: "auto",
+    "default_precision": lambda: 32,
+    "default_random_seed": lambda: 0,
+}
+
+_INTERP_RE = __import__("re").compile(r"^\$\{([A-Za-z0-9_.:]+)\}$")
+_INTERP_INLINE_RE = __import__("re").compile(r"\$\{([A-Za-z0-9_.:]+)\}")
+
+
+def resolve_interpolations(options: Dict[str, Any]) -> Dict[str, Any]:
+    """OmegaConf-style ``${...}`` interpolation over the options tree
+    (reference ``utils/omegaconf.py``): ``${dotted.path}`` references
+    another key of the same file (absolute from the root), and
+    ``${resolver:}`` invokes a registered resolver
+    (default_device/default_precision/default_random_seed). Whole-string
+    interpolations keep the referenced value's type; embedded ones
+    stringify. Cycles are reported as errors.
+    """
+
+    def lookup(path: str, stack):
+        if ":" in path:
+            name = path.split(":", 1)[0]
+            if name not in _RESOLVERS:
+                raise MetatrainConfigError(
+                    f"unknown config resolver '${{{path}}}' "
+                    f"(available: {sorted(_RESOLVERS)})"
+                )
+            return _RESOLVERS[name]()
+        if path in stack:
+            raise MetatrainConfigError(
+                f"circular config interpolation through '${{{path}}}'"
+            )
+        node: Any = options
+        for part in path.split("."):
+            if not isinstance(node, dict) or part not in node:
+                raise MetatrainConfigError(
+                    f"config interpolation '${{{path}}}' not found"
+                )
+            node = node[part]
+        return resolve(node, stack + (path,))
+
+    def resolve(node, stack=()):
+        if isinstance(node, dict):
+            return {k: resolve(v, stack) for k, v in node.items()}
+        if isinstance(node, list):
+            return [resolve(v, stack) for v in node]
+        if isinstance(node, str):
+            whole = _INTERP_RE.match(node)
+            if whole:
+                return lookup(whole.group(1), stack)
+            return _INTERP_INLINE_RE.sub(
+                lambda m: str(lookup(m.group(1), stack)), node
+            )
+        return node
+
+    return resolve(options)
 
 
 def _expand_gradient(value: Any, default_key: str) -> Optional[Dict[str, Any]]:

@@ -112,3 +112,34 @@ def test_zip_prediction_writer_roundtrip(tmp_path):
     predicted = float(np.asarray(first.targets["energy"].block().values)[0, 0])
     expected = model.predict_host(dataset[0].system)["energy"][0, 0]
     np.testing.assert_allclose(predicted, expected, rtol=1e-5)
+
+
+def test_config_interpolation():
+    """${...} interpolation (reference utils/omegaconf.py resolvers)."""
+    import pytest
+
+    from metatrain_tpu.utils.config import (
+        MetatrainConfigError,
+        resolve_interpolations,
+    )
+
+    opts = {
+        "base_precision": 64,
+        "seed": "${default_random_seed:}",
+        "device": "${default_device:}",
+        "architecture": {
+            "model": {"precision": "${base_precision}"},
+            "note": "runs at ${base_precision} bits",
+        },
+    }
+    out = resolve_interpolations(opts)
+    assert out["architecture"]["model"]["precision"] == 64  # keeps type
+    assert out["architecture"]["note"] == "runs at 64 bits"
+    assert out["seed"] == 0 and out["device"] == "auto"
+
+    with pytest.raises(MetatrainConfigError, match="not found"):
+        resolve_interpolations({"a": "${missing.key}"})
+    with pytest.raises(MetatrainConfigError, match="circular"):
+        resolve_interpolations({"a": "${b}", "b": "${a}"})
+    with pytest.raises(MetatrainConfigError, match="unknown config resolver"):
+        resolve_interpolations({"a": "${nope:}"})
