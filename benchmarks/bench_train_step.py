@@ -1,9 +1,12 @@
-"""Training-step throughput at the bench shape: full force-training
-step (fwd + loss with force terms + param grads via double backward +
-optimizer update), the hot loop of `mtt train`. Run on the real TPU."""
+"""Training-step throughput: full force-training step (fwd + loss with
+force terms + param grads via double backward + optimizer update), the
+hot loop of `mtt train`, at a realistic packed-batch scale (max-atom
+samplers bound training batches to a few thousand atoms). Run on the
+real TPU."""
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -15,32 +18,68 @@ import optax
 jax.config.update("jax_compilation_cache_dir", "/tmp/mtt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-from micro_attention import chain_time, report  # noqa: E402
-from bench_breakdown import build  # noqa: E402
-
+from metatrain_tpu.containers import (  # noqa: E402
+    System,
+    batch_from_systems,
+    bucket_atoms,
+    bucket_neighbors,
+)
+from metatrain_tpu.data.target_info import (  # noqa: E402
+    DatasetInfo,
+    get_energy_target_info,
+)
 from metatrain_tpu.engine.evaluate import evaluate_model  # noqa: E402
+from metatrain_tpu.models.pet import PET  # noqa: E402
+from metatrain_tpu.ops.neighbors import compute_neighbor_data  # noqa: E402
+
+
+def build(dtype, n_cells=10):
+    a = 3.6
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    rng = np.random.default_rng(0)
+    frac = np.concatenate(
+        [
+            base + np.array([i, j, k])
+            for i in range(n_cells)
+            for j in range(n_cells)
+            for k in range(n_cells)
+        ]
+    )
+    cell = np.eye(3) * a * n_cells
+    positions = frac / n_cells @ cell + rng.normal(0, 0.05, size=(len(frac), 3))
+    system = System(
+        positions=positions,
+        types=np.full(len(frac), 29, dtype=np.int32),
+        cell=cell,
+        pbc=np.ones(3, dtype=bool),
+    )
+    dataset_info = DatasetInfo(
+        length_unit="angstrom",
+        atomic_types=[29],
+        targets={
+            "energy": get_energy_target_info("eV", add_position_gradients=True)
+        },
+    )
+    # remat: training with forces double-backs through every layer; the
+    # rematerialized path is the intended memory/FLOP trade
+    model = PET({"remat": True}, dataset_info, compute_dtype=dtype)
+    params = model.init_params(jax.random.PRNGKey(0))
+    nbr = compute_neighbor_data(system, cutoff=model.cutoff)
+    batch = batch_from_systems(
+        [system],
+        [nbr],
+        n_atoms_padded=bucket_atoms(len(system), 1.05),
+        n_systems_padded=2,
+        max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
+        dtype=jnp.float32,
+    )
+    return model, params, batch, dataset_info
 
 
 def main():
     dtype = jnp.bfloat16
-    import bench_breakdown
-
-    # training with forces (grad-of-grad) at 10k atoms needs remat:
-    # without it the double-backward's stored activations OOM the 16 GB
-    from metatrain_tpu.models.pet import PET as _PET
-
-    orig_init = _PET.__init__
-
-    def patched(self, hypers, dataset_info, compute_dtype=jnp.float32):
-        hp = dict(hypers or {})
-        hp.setdefault("remat", True)
-        orig_init(self, hp, dataset_info, compute_dtype)
-
-    _PET.__init__ = patched
-    try:
-        model, params, batch, dataset_info = build(dtype)
-    finally:
-        _PET.__init__ = orig_init
+    n_cells = int(os.environ.get("MTT_TRAIN_BENCH_CELLS", "10"))
+    model, params, batch, dataset_info = build(dtype, n_cells)
     target_infos = dict(dataset_info.targets)
     n_atoms = int(np.asarray(batch.atom_mask).sum())
 
@@ -73,25 +112,15 @@ def main():
         p = optax.apply_updates(p, updates)
         return p, opt_state, loss
 
-    # chained steps: each consumes the previous params
-    def chained(p_and_state, positions):
-        p, s = p_and_state
-        p, s, loss = train_step(p, s, positions)
-        return (p, s), loss
-
-    state = (params, opt_state)
-    state, _ = chained(state, batch.positions)  # compile
-    jax.block_until_ready(state[0])
-
-    import time
+    state = train_step(params, opt_state, batch.positions)
+    jax.block_until_ready(state[2])
 
     def run(n):
-        s = state
+        p, s, loss = state
         t0 = time.perf_counter()
         for _ in range(n):
-            s, _ = chained(s, batch.positions)
-        jax.block_until_ready(s[0])
-        float(jnp.sum(s[0]["params"]["embedding"]["embedding"]) if False else 0.0)
+            p, s, loss = train_step(p, s, batch.positions)
+        jax.block_until_ready(loss)
         return time.perf_counter() - t0
 
     run(2)
@@ -99,7 +128,7 @@ def main():
     t1, t2 = run(n1), run(n2)
     per_step = (t2 - t1) / (n2 - n1)
     print(
-        f"train step: {per_step*1e3:.1f} ms/step, "
+        f"train step ({n_atoms} atoms): {per_step*1e3:.1f} ms/step, "
         f"{n_atoms/per_step:.0f} atom-steps/s/chip "
         f"(A={batch.n_atoms_padded})"
     )

@@ -462,10 +462,13 @@ def _make_bwd_op(num_heads, scale, weight_grads=True):
         )
 
     def bwd_op_bwd(residuals, cotangents):
-        _, vjp = jax.vjp(
-            lambda *args: _bwd_math_reference(*args, num_heads, scale),
-            *residuals,
+        # grad-of-grad (training with forces): rematerialize the pure-XLA
+        # replay -- without this the second-order sweep stores every
+        # (A, T, 3D) temp of all layers at once (~46 GB at 10k atoms)
+        replay = jax.checkpoint(
+            lambda *args: _bwd_math_reference(*args, num_heads, scale)
         )
+        _, vjp = jax.vjp(replay, *residuals)
         return vjp(cotangents)
 
     bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)

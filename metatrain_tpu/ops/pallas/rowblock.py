@@ -284,12 +284,11 @@ def _make_bwd_op(math_fn, weight_grads):
 
     def bwd_op_bwd(residuals, cotangents):
         inputs, weights, g = residuals
-        _, vjp = jax.vjp(
-            lambda ins, w, g: _bwd_math_reference(math_fn, ins, w, g),
-            inputs,
-            weights,
-            g,
+        # rematerialized second-order replay (see fused_layer.bwd_op_bwd)
+        replay = jax.checkpoint(
+            lambda ins, w, g: _bwd_math_reference(math_fn, ins, w, g)
         )
+        _, vjp = jax.vjp(replay, inputs, weights, g)
         return vjp(cotangents)
 
     bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
