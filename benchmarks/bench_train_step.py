@@ -62,7 +62,11 @@ def build(dtype, n_cells=10):
     )
     # remat: training with forces double-backs through every layer; the
     # rematerialized path is the intended memory/FLOP trade
-    model = PET({"remat": True}, dataset_info, compute_dtype=dtype)
+    hypers = {"remat": True}
+    if os.environ.get("MTT_TRAIN_BENCH_XLA"):
+        # pure-XLA layer path: native grad-of-grad, no kernel replay
+        hypers.update({"fused_layers": False, "fused_attention": False})
+    model = PET(hypers, dataset_info, compute_dtype=dtype)
     params = model.init_params(jax.random.PRNGKey(0))
     nbr = compute_neighbor_data(system, cutoff=model.cutoff)
     batch = batch_from_systems(

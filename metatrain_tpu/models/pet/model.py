@@ -59,6 +59,9 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     # one HBM read + write per layer, M-expanded attention inside, fused
     # accumulating backward (ops/pallas/fused_layer.py)
     "fused_layers": True,
+    # Pallas window-attention kernel in the unfused layer path; False =
+    # pure-XLA attention (native grad-of-grad, no replay)
+    "fused_attention": True,
 }
 
 
@@ -117,6 +120,7 @@ class PET(AtomisticNNModel):
                     "featurizer_type",
                     "remat",
                     "fused_layers",
+                    "fused_attention",
                     "system_conditioning",
                     "max_charge",
                     "max_spin_multiplicity",

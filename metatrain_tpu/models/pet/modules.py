@@ -127,7 +127,7 @@ class AttentionBlock(nn.Module):
     num_heads: int
     temperature: float = 1.0
     dtype: Any = jnp.float32
-    fused: bool = True
+    fused: bool = True  # Pallas kernel vs pure-XLA reference attention
 
     @nn.compact
     def __call__(self, x, attn_bias):
@@ -184,6 +184,7 @@ class TransformerLayer(nn.Module):
     transformer_type: str = "PreLN"
     temperature: float = 1.0
     dtype: Any = jnp.float32
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, node_emb, edge_emb, attn_bias):
@@ -193,6 +194,7 @@ class TransformerLayer(nn.Module):
             self.num_heads,
             self.temperature,
             dtype=self.dtype,
+            fused=self.fused_attention,
             name="attention",
         )
         norm_attention = _norm(self.normalization, self.dtype, "norm_attention")
@@ -367,6 +369,7 @@ class CartesianTransformer(nn.Module):
     is_first: bool
     dtype: Any = jnp.float32
     fused_layers: bool = True
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(
@@ -457,6 +460,7 @@ class CartesianTransformer(nn.Module):
                     transformer_type=self.transformer_type,
                     temperature=self.temperature,
                     dtype=self.dtype,
+                    fused_attention=self.fused_attention,
                     name=f"layer_{i}",
                 )(out_node, out_edges, attn_bias)
         return out_node, out_edges
@@ -594,6 +598,7 @@ class PETBackbone(nn.Module):
                 num_species=self.num_species,
                 is_first=(i == 0),
                 fused_layers=hp.get("fused_layers", True),
+                fused_attention=hp.get("fused_attention", True),
                 dtype=self.dtype,
                 name=f"gnn_layer_{i}",
             )
