@@ -101,22 +101,51 @@ class Calculator:
 
         :return: dict with ``energy`` (float), ``forces`` ((n, 3), eV/A)
             and ``stress`` ((3, 3), dE/dstrain / volume) as requested.
+
+        MD-rate fast path: while the Verlet-skin list is reused, the
+        cached device batch is reused too and only the (A, 3) positions
+        (plus the cell) are re-uploaded per step -- rebuilding and
+        re-uploading the padded NEF index arrays (~100 MB at 10k atoms)
+        every step costs more than the force call itself.
         """
         n = len(system)
         nbr = self._vnl.update(system)
-        A = bucket_atoms(n, self.bucket_ratio)
-        M = bucket_neighbors(nbr.max_neighbors, self.bucket_ratio)
-        batch = batch_from_systems(
-            [system],
-            [nbr],
-            n_atoms_padded=A,
-            n_systems_padded=2,
-            max_neighbors=M,
-            dtype=self.dtype,
-        )
+        reused = nbr is getattr(self, "_last_nbr", None)
+        if reused and self._last_batch is not None and len(
+            self._last_types
+        ) == n and np.array_equal(self._last_types, system.types):
+            A = self._last_batch.n_atoms_padded
+            pos_pad = np.zeros((A, 3), np.dtype(self.dtype))
+            pos_pad[:n] = system.positions
+            cells = np.zeros(
+                (self._last_batch.n_systems_padded, 3, 3),
+                np.dtype(self.dtype),
+            )
+            cells[0] = system.cell
+            # ONE host->device transfer for both arrays (each transfer
+            # pays fixed RPC latency on tunneled runtimes)
+            pos_dev, cells_dev = jax.device_put((pos_pad, cells))
+            batch = self._last_batch.replace(
+                positions=pos_dev, cells=cells_dev
+            )
+        else:
+            A = bucket_atoms(n, self.bucket_ratio)
+            M = bucket_neighbors(nbr.max_neighbors, self.bucket_ratio)
+            batch = batch_from_systems(
+                [system],
+                [nbr],
+                n_atoms_padded=A,
+                n_systems_padded=2,
+                max_neighbors=M,
+                dtype=self.dtype,
+            )
+        self._last_nbr = nbr
+        self._last_batch = batch
+        self._last_types = np.asarray(system.types).copy()
         out = self._force_call(forces, stress)(self.model.params, batch)
+        out = jax.device_get(out)  # one device->host fetch for the tree
         result: Dict[str, np.ndarray] = {
-            "energy": float(np.asarray(out["energy"])[0, 0])
+            "energy": float(out["energy"][0, 0])
         }
         if forces:
             grad = np.asarray(out["position_gradient"])[:n, :, 0]
@@ -134,19 +163,113 @@ class Calculator:
         masses: np.ndarray,
         timestep: float,
         n_steps: int,
+        check_interval: int = 10,
     ) -> System:
-        """Minimal velocity-Verlet NVE driver (units: eV, A, amu;
-        timestep in ASE time units) -- mostly for integration tests."""
-        # 1 ASE time unit: sqrt(amu A^2 / eV)
-        pos = system.positions.copy()
-        vel = np.zeros_like(pos)
-        out = self.compute(System(pos, system.types, system.cell, system.pbc))
-        acc = out["forces"] / masses[:, None]
-        for _ in range(n_steps):
-            pos = pos + vel * timestep + 0.5 * acc * timestep**2
-            current = System(pos, system.types, system.cell, system.pbc)
-            out = self.compute(current)
-            new_acc = out["forces"] / masses[:, None]
-            vel = vel + 0.5 * (acc + new_acc) * timestep
-            acc = new_acc
-        return System(pos, system.types, system.cell, system.pbc)
+        """Device-resident velocity-Verlet NVE driver (units: eV, A, amu;
+        timestep in ASE time units).
+
+        MD-rate design: positions/velocities live ON DEVICE; a jitted
+        ``lax.scan`` integrates ``check_interval`` steps per dispatch, and
+        the only host round-trip per chunk is one scalar -- the max
+        displacement since the last neighbor build. The neighbor list is
+        rebuilt (host cell list) only when that exceeds skin/2, exactly
+        like the per-call Verlet logic but without per-step transfers.
+        """
+        import functools
+
+        n = len(system)
+        nbr = self._vnl.update(system)
+        A = bucket_atoms(n, self.bucket_ratio)
+        M = bucket_neighbors(nbr.max_neighbors, self.bucket_ratio)
+
+        def make_batch(sys_now, nbr_now):
+            return batch_from_systems(
+                [sys_now],
+                [nbr_now],
+                n_atoms_padded=A,
+                n_systems_padded=2,
+                max_neighbors=M,
+                dtype=self.dtype,
+            )
+
+        batch = make_batch(system, nbr)
+        force_call = self._force_call(True, False)
+        mass_pad = np.ones((A,), np.float64)
+        mass_pad[:n] = masses
+        amask = np.zeros((A,), bool)
+        amask[:n] = True
+
+        @functools.partial(jax.jit, static_argnums=(8,))
+        def chunk(params, batch, pos, vel, acc, ref_pos, mass, mask, k):
+            def step(carry, _):
+                pos, vel, acc = carry
+                pos = pos + vel * timestep + 0.5 * acc * timestep**2
+                out = force_call(
+                    params, batch.replace(positions=pos.astype(self.dtype))
+                )
+                forces = -out["position_gradient"][:, :, 0].astype(
+                    jnp.float64 if pos.dtype == jnp.float64 else jnp.float32
+                )
+                new_acc = jnp.where(
+                    mask[:, None], forces / mass[:, None], 0.0
+                )
+                vel = vel + 0.5 * (acc + new_acc) * timestep
+                return (pos, vel, new_acc), None
+
+            (pos, vel, acc), _ = jax.lax.scan(
+                step, (pos, vel, acc), None, length=k
+            )
+            disp = jnp.max(
+                jnp.where(
+                    mask,
+                    jnp.linalg.norm(pos - ref_pos, axis=1),
+                    0.0,
+                )
+            )
+            return pos, vel, acc, disp
+
+        pos_pad = np.zeros((A, 3))
+        pos_pad[:n] = system.positions
+        pos_d = jnp.asarray(pos_pad, jnp.float32)
+        vel_d = jnp.zeros_like(pos_d)
+        mask_d = jnp.asarray(amask)
+        mass_d = jnp.asarray(mass_pad, jnp.float32)
+
+        out = force_call(
+            self.model.params,
+            batch.replace(positions=pos_d.astype(self.dtype)),
+        )
+        acc_d = jnp.where(
+            mask_d[:, None],
+            -out["position_gradient"][:, :, 0].astype(jnp.float32)
+            / mass_d[:, None],
+            0.0,
+        )
+        ref_d = pos_d
+
+        done = 0
+        while done < n_steps:
+            k = min(check_interval, n_steps - done)
+            pos_d, vel_d, acc_d, disp = chunk(
+                self.model.params, batch, pos_d, vel_d, acc_d,
+                ref_d, mass_d, mask_d, k,
+            )
+            done += k
+            if float(disp) > self.skin / 2.0:  # one scalar fetch per chunk
+                host_pos = np.asarray(jax.device_get(pos_d))[:n].astype(
+                    np.float64
+                )
+                current = System(
+                    host_pos, system.types, system.cell, system.pbc
+                )
+                nbr = self._vnl.update(current)
+                if nbr.max_neighbors > M - 1:
+                    M = bucket_neighbors(nbr.max_neighbors, self.bucket_ratio)
+                batch = make_batch(current, nbr)
+                pad = np.zeros((A, 3))
+                pad[:n] = host_pos
+                ref_d = jnp.asarray(pad, jnp.float32)
+                pos_d = ref_d
+
+        final = np.asarray(jax.device_get(pos_d))[:n].astype(np.float64)
+        return System(final, system.types, system.cell, system.pbc)

@@ -190,6 +190,7 @@ def pairs_to_nef(
     shifts: np.ndarray,
     n_atoms: int,
     max_neighbors: Optional[int] = None,
+    reverse_of: Optional[np.ndarray] = None,
 ) -> NeighborData:
     """Scatter a flat full pair list into padded NEF arrays.
 
@@ -197,6 +198,12 @@ def pairs_to_nef(
     neighbor ``j`` with shift ``S``, ``reverse[i, slot]`` is the flat index
     ``j * max_nbrs + slot'`` of the edge ``(j, i, -S)``. Requires a full
     (symmetric) pair list.
+
+    :param reverse_of: optional per-edge index of the reversed partner in
+        the SAME flat pair list. When the full list is a mirrored half
+    	list the partner index is known by construction (k <-> k + H),
+        which skips the O(E log E) key-sort matching (~60 ms at 10k
+        atoms -- the bulk of an MD-rate neighbor rebuild).
     """
     counts = np.bincount(centers, minlength=n_atoms).astype(np.int64)
     m_req = int(counts.max()) if n_atoms and len(centers) else 0
@@ -221,14 +228,15 @@ def pairs_to_nef(
     edge_flat = np.empty(len(centers), dtype=np.int64)
     edge_flat[order] = sorted_centers * M + slot
 
-    # match (i, j, S) with (j, i, -S) by sorting packed keys
-    key_fwd = _pack_edge_keys(centers, neighbors, shifts)
-    key_rev = _pack_edge_keys(neighbors, centers, -shifts)
-    fwd_order = np.argsort(key_fwd, kind="stable")
-    rev_order = np.argsort(key_rev, kind="stable")
-    # after sorting, key_fwd[fwd_order] == key_rev[rev_order] elementwise
-    reverse_of = np.empty(len(centers), dtype=np.int64)
-    reverse_of[rev_order] = fwd_order  # edge e's reverse partner
+    if reverse_of is None:
+        # match (i, j, S) with (j, i, -S) by sorting packed keys
+        key_fwd = _pack_edge_keys(centers, neighbors, shifts)
+        key_rev = _pack_edge_keys(neighbors, centers, -shifts)
+        fwd_order = np.argsort(key_fwd, kind="stable")
+        rev_order = np.argsort(key_rev, kind="stable")
+        # after sorting, key_fwd[fwd_order] == key_rev[rev_order] pairwise
+        reverse_of = np.empty(len(centers), dtype=np.int64)
+        reverse_of[rev_order] = fwd_order  # edge e's reverse partner
     reverse_flat = edge_flat[reverse_of]
 
     own_flat = (
@@ -268,11 +276,24 @@ def compute_neighbor_data(
     cutoff: float,
     max_neighbors: Optional[int] = None,
 ) -> NeighborData:
-    """Full NEF neighbor data for one system at ``cutoff``."""
-    centers, neighbors, shifts = neighbor_pairs(
-        system.positions, system.cell, system.pbc, cutoff, full_list=True
+    """Full NEF neighbor data for one system at ``cutoff``.
+
+    Builds the full list by mirroring the half list so each edge's
+    reversed partner is known by construction (k <-> k + H) -- no key
+    matching."""
+    c, n, sh = neighbor_pairs(
+        system.positions, system.cell, system.pbc, cutoff, full_list=False
     )
-    return pairs_to_nef(centers, neighbors, shifts, len(system), max_neighbors)
+    H = len(c)
+    centers = np.concatenate([c, n])
+    neighbors = np.concatenate([n, c])
+    shifts = np.concatenate([sh, -sh])
+    reverse_of = np.concatenate(
+        [np.arange(H, 2 * H, dtype=np.int64), np.arange(H, dtype=np.int64)]
+    )
+    return pairs_to_nef(
+        centers, neighbors, shifts, len(system), max_neighbors, reverse_of
+    )
 
 
 @dataclasses.dataclass
