@@ -67,6 +67,7 @@ class LLPRUncertaintyModel(ModelInterface):
         self.target_names = list(self.model.supported_outputs().keys())
         self.covariances: Dict[str, np.ndarray] = {}
         self.inv_covariances: Dict[str, np.ndarray] = {}
+        self.cholesky_factors: Dict[str, np.ndarray] = {}
         self.calibration: Dict[str, float] = {
             name: 1.0 for name in self.target_names
         }
@@ -122,17 +123,24 @@ class LLPRUncertaintyModel(ModelInterface):
         for name, cov in self.covariances.items():
             F = len(cov)
             if regularizer is not None:
-                self.inv_covariances[name] = np.linalg.inv(
-                    cov + regularizer * np.eye(F)
-                )
+                sym = 0.5 * (cov + cov.T) + regularizer * np.eye(F)
+                self.inv_covariances[name] = np.linalg.inv(sym)
+                self.cholesky_factors[name] = np.linalg.cholesky(sym)
                 continue
             scale = np.trace(cov) / F
             for exponent in range(-16, 4):
                 reg = 10.0**exponent * scale
                 try:
-                    L = np.linalg.cholesky(cov + reg * np.eye(F))
+                    sym = 0.5 * (cov + cov.T) + reg * np.eye(F)
+                    L = np.linalg.cholesky(sym)
                     inv_L = np.linalg.inv(L)
                     self.inv_covariances[name] = inv_L.T @ inv_L
+                    # the Cholesky factor is what the variance path uses:
+                    # sum-of-squares of a triangular solve is non-negative
+                    # by construction, while f^T (L^-T L^-1) f loses PSD
+                    # to round-off for ill-conditioned covariances
+                    # (reference llpr/model.py:460-466 does the same)
+                    self.cholesky_factors[name] = L
                     break
                 except np.linalg.LinAlgError:
                     continue
@@ -188,12 +196,17 @@ class LLPRUncertaintyModel(ModelInterface):
             var = np.asarray(variances[name])
             if not len(r2):
                 continue
+            # relative variance floor: a rank-deficient covariance (tiny
+            # validation sets) must not blow the ratio up to inf
+            floor = max(float(var.max(initial=0.0)) * 1e-12, 1e-30)
+            var = np.maximum(var, floor)
             if method == "ratio":
-                self.calibration[name] = float(np.mean(r2 / var))
+                value = float(np.mean(r2 / var))
             elif method == "crps":
-                self.calibration[name] = _crps_calibrate(r2, var)
+                value = _crps_calibrate(r2, var)
             else:
                 raise ValueError(f"unknown calibration method {method!r}")
+            self.calibration[name] = float(np.clip(value, 1e-12, 1e12))
 
     def _raw_variance(self, batch: SystemBatch, name: str) -> jnp.ndarray:
         feats = self.model.last_layer_features(self.model.params, batch, name)
@@ -202,6 +215,13 @@ class LLPRUncertaintyModel(ModelInterface):
             feats = sum_over_atoms(
                 feats, batch.system_index, batch.n_systems_padded, batch.atom_mask
             )
+        if name in self.cholesky_factors:
+            # v = L^-1 f^T; variance = sum_k v_k^2 >= 0 exactly
+            L = jnp.asarray(self.cholesky_factors[name], dtype=feats.dtype)
+            v = jax.scipy.linalg.solve_triangular(
+                L, feats.T, lower=True
+            )
+            return jnp.sum(v * v, axis=0)
         inv_cov = jnp.asarray(
             self.inv_covariances[name], dtype=feats.dtype
         )
@@ -300,6 +320,7 @@ class LLPRUncertaintyModel(ModelInterface):
             "wrapped": self.model.get_checkpoint(),
             "covariances": self.covariances,
             "inv_covariances": self.inv_covariances,
+            "cholesky_factors": self.cholesky_factors,
             "calibration": self.calibration,
             "ensemble_weights": self.ensemble_weights,
         }
@@ -310,6 +331,7 @@ class LLPRUncertaintyModel(ModelInterface):
         model = cls(checkpoint["hypers"], wrapped=wrapped)
         model.covariances = checkpoint["covariances"]
         model.inv_covariances = checkpoint["inv_covariances"]
+        model.cholesky_factors = checkpoint.get("cholesky_factors", {})
         model.calibration = checkpoint["calibration"]
         model.ensemble_weights = checkpoint["ensemble_weights"]
         model.init_params()

@@ -186,3 +186,62 @@ def test_llpr_ensemble_forces(tmp_path):
 
     g0 = np.asarray(jax.grad(lambda p: member_energy(p, 0))(batch.positions))
     np.testing.assert_allclose(grads[..., 0], g0, rtol=1e-4, atol=1e-6)
+
+
+def test_llpr_variance_nonnegative_and_calibration_recovers_noise(tmp_path):
+    """The variance path must be PSD-safe (sum of squares of a triangular
+    solve, reference llpr/model.py:460-466): rank-deficient covariances
+    (few samples, many features) must never yield negative variances, and
+    with targets = model + noise the calibrated sigma on a training frame
+    recovers the injected noise scale."""
+    base, dataset = _trained_base(tmp_path)
+
+    rng = np.random.default_rng(3)
+    noise = 0.05
+    systems, energies = [], []
+    from metatrain_tpu.containers import Labels, TensorBlock, TensorMap
+
+    for i in range(12):
+        s = make_molecule(5, seed=50 + i)
+        nbr = compute_neighbor_data(s, base.cutoff)
+        b = batch_from_systems([s], [nbr])
+        e = float(
+            np.asarray(
+                base.forward_eval(base.params, b, ["energy"])["energy"]
+                .block()
+                .values
+            )[0, 0]
+        )
+        systems.append(s)
+        energies.append(
+            TensorMap(
+                Labels.single(),
+                [
+                    TensorBlock(
+                        values=np.array([[e + rng.normal(0, noise)]]),
+                        samples=Labels.range("system", 1),
+                        components=(),
+                        properties=Labels.range("energy", 1),
+                    )
+                ],
+            )
+        )
+    train = Dataset(systems, {"energy": energies})
+
+    llpr = LLPRUncertaintyModel({}, wrapped=base)
+    llpr.init_params(None)
+    llpr.compute_covariance([train])
+    llpr.compute_inverse_covariance()
+    llpr.calibrate(train, method="ratio")
+
+    sigmas = []
+    for i in range(6):
+        nbr = compute_neighbor_data(systems[i], base.cutoff)
+        b = batch_from_systems([systems[i]], [nbr])
+        v = llpr._raw_variance(b, "energy") * llpr.calibration["energy"]
+        v = float(np.asarray(jax.device_get(v))[0])
+        assert v >= 0.0  # PSD by construction
+        sigmas.append(np.sqrt(v))
+    mean_sigma = float(np.mean(sigmas))
+    # in-distribution calibrated sigma tracks the injected noise scale
+    assert noise / 5 < mean_sigma < noise * 5
