@@ -44,44 +44,48 @@ def weights_f32(rng):
 
 
 def main():
+    # reserved-slot signature: (edges, center, cf)
     rng = np.random.default_rng(0)
     weights = weights_f32(rng)
     for dtype in (jnp.bfloat16,):
-        tokens = jnp.asarray(rng.normal(size=(A, T, D)), dtype=dtype)
+        edges = jnp.asarray(rng.normal(size=(A, T, D)), dtype=dtype)
+        center = jnp.asarray(rng.normal(size=(A, D)), dtype=dtype)
         cf = jnp.ones((A, T), jnp.float32)
 
         fused = jax.jit(
-            lambda t, b, w: fused_transformer_layer(t, b, w, H, SCALE)
+            lambda e, c, b, w: fused_transformer_layer(e, c, b, w, H, SCALE)
         )
-        secs = chain_time(fused, (tokens, cf, weights))
+        secs = chain_time(fused, (edges, center, cf, weights))
         report(f"fused layer fwd {dtype.__name__}", secs)
 
-        unfused = jax.jit(lambda t, b, w: _layer_math(t, b, w, H, SCALE))
-        secs = chain_time(unfused, (tokens, cf, weights))
+        unfused = jax.jit(
+            lambda e, c, b, w: _layer_math(e, c, b, w, H, SCALE)
+        )
+        secs = chain_time(unfused, (edges, center, cf, weights))
         report(f"unfused XLA layer fwd {dtype.__name__}", secs)
 
-        def grad_fused(t, b, w):
-            def loss(t, w):
-                e, c = fused_transformer_layer(t, b, w, H, SCALE)
-                return jnp.sum(e.astype(jnp.float32)) + jnp.sum(
-                    c.astype(jnp.float32)
+        def grad_fused(e, c, b, w):
+            def loss(e, w):
+                eo, co = fused_transformer_layer(e, c, b, w, H, SCALE)
+                return jnp.sum(eo.astype(jnp.float32)) + jnp.sum(
+                    co.astype(jnp.float32)
                 )
 
-            return jax.grad(loss, argnums=(0, 1))(t, w)
+            return jax.grad(loss, argnums=(0, 1))(e, w)
 
-        secs = chain_time(jax.jit(grad_fused), (tokens, cf, weights))
+        secs = chain_time(jax.jit(grad_fused), (edges, center, cf, weights))
         report(f"fused layer fwd+bwd {dtype.__name__}", secs)
 
-        def grad_unfused(t, b, w):
-            def loss(t, w):
-                e, c = _layer_math(t, b, w, H, SCALE)
-                return jnp.sum(e.astype(jnp.float32)) + jnp.sum(
-                    c.astype(jnp.float32)
+        def grad_unfused(e, c, b, w):
+            def loss(e, w):
+                eo, co = _layer_math(e, c, b, w, H, SCALE)
+                return jnp.sum(eo.astype(jnp.float32)) + jnp.sum(
+                    co.astype(jnp.float32)
                 )
 
-            return jax.grad(loss, argnums=(0, 1))(t, w)
+            return jax.grad(loss, argnums=(0, 1))(e, w)
 
-        secs = chain_time(jax.jit(grad_unfused), (tokens, cf, weights))
+        secs = chain_time(jax.jit(grad_unfused), (edges, center, cf, weights))
         report(f"unfused XLA layer fwd+bwd {dtype.__name__}", secs)
 
 
