@@ -89,3 +89,33 @@ def test_md_smoke():
     final = calc.run_md_nve(system, masses, timestep=0.1, n_steps=3)
     assert np.isfinite(final.positions).all()
     assert not np.allclose(final.positions, system.positions)
+
+
+def test_calculator_cached_batch_matches_fresh():
+    """The MD fast path (cached device batch + positions-only upload)
+    must agree exactly with a fresh Calculator on the same positions,
+    including across a skin-violation rebuild."""
+    model = _model()
+    calc = Calculator(model, skin=0.6)
+    system = make_molecule(10, seed=5)
+    rng = np.random.default_rng(11)
+
+    fresh = Calculator(model, skin=0.6)
+    moved = make_molecule(10, seed=5)
+    for step in range(6):
+        # one large kick in the middle forces a neighbor-list rebuild
+        scale = 0.5 if step == 3 else 0.02
+        moved.positions = moved.positions + rng.uniform(
+            -scale, scale, size=moved.positions.shape
+        )
+        out_cached = calc.compute(moved, forces=True)
+        # fresh calculator: no cache, new NL every call
+        fresh._vnl._data = None
+        fresh._last_batch = None
+        out_fresh = fresh.compute(moved, forces=True)
+        np.testing.assert_allclose(
+            out_cached["energy"], out_fresh["energy"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            out_cached["forces"], out_fresh["forces"], rtol=1e-4, atol=1e-6
+        )
