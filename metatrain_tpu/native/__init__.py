@@ -71,6 +71,15 @@ def get_library() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    lib.color_edges.restype = ctypes.c_longlong
+    lib.color_edges.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
     _LIB = lib
     return _LIB
 
@@ -109,3 +118,32 @@ def native_neighbor_pairs(
             )
         capacity *= 4
     raise RuntimeError("neighbor pair capacity growth failed")
+
+
+def native_color_edges(
+    centers: np.ndarray,
+    neighbors: np.ndarray,
+    n_atoms: int,
+    num_colors: int,
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Proper edge coloring of an undirected half list (C++ greedy +
+    Kempe-chain repair). Returns ``(colors, n_overflow)`` where
+    ``colors[e] in [0, num_colors)`` or ``-1`` for overflow edges, or
+    ``None`` when the native library (or a <=64-color budget) is
+    unavailable. Used by the colored-slot NEF layout
+    (``ops/neighbors.py``) that makes the reversed-edge permutation
+    slot-preserving."""
+    if num_colors < 1 or num_colors > 64:
+        return None
+    lib = get_library()
+    if lib is None or not hasattr(lib, "color_edges"):
+        return None
+    centers = np.ascontiguousarray(centers, dtype=np.int32)
+    neighbors = np.ascontiguousarray(neighbors, dtype=np.int32)
+    colors = np.empty(len(centers), dtype=np.int32)
+    overflow = lib.color_edges(
+        centers, neighbors, len(centers), int(n_atoms), int(num_colors), colors
+    )
+    if overflow < 0:
+        return None
+    return colors, int(overflow)

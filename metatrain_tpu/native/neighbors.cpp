@@ -232,4 +232,124 @@ long long neighbor_pairs_cell_list(
     return count;
 }
 
+// Greedy proper edge coloring with Kempe-chain repair.
+//
+// Input: the undirected half list (centers[i], neighbors[i]) of n_edges
+// edges over n_atoms atoms. Assigns each edge a color in [0, num_colors)
+// such that no two edges sharing an endpoint get the same color, or -1
+// (overflow). Self-image edges (centers[i] == neighbors[i], periodic
+// wrap-around pairs) always overflow: the colored reverse layout requires
+// the edge to occupy the same slot in two DIFFERENT windows.
+//
+// Purpose: with slot = color in the NEF layout, the reversed-edge
+// permutation becomes slot-preserving -- (a, m) -> (match_m(a), m) -- so
+// the device can gather reversed messages with banded per-color matmuls
+// instead of random row gathers (ops/pallas/color_gather.py).
+//
+// Greedy first-fit colors a geometric graph with max degree d using
+// ~d + O(1) colors; the Kempe-chain pass repairs most remaining edges
+// (Vizing-style alternating-path flip). Returns the overflow count.
+long long color_edges(const int32_t* centers, const int32_t* neighbors,
+                      long long n_edges, long long n_atoms, int num_colors,
+                      int32_t* out_colors) {
+    if (num_colors < 1 || num_colors > 64) return -2;
+    const uint64_t full_mask = (num_colors == 64)
+                                   ? ~0ull
+                                   : ((1ull << num_colors) - 1ull);
+
+    std::vector<uint64_t> used(n_atoms, 0);
+    // at[v * num_colors + c] = edge index colored c at atom v, or -1
+    std::vector<long long> at((size_t)n_atoms * num_colors, -1);
+
+    auto set_color = [&](long long e, int c) {
+        int32_t a = centers[e], b = neighbors[e];
+        out_colors[e] = c;
+        used[a] |= 1ull << c;
+        used[b] |= 1ull << c;
+        at[(size_t)a * num_colors + c] = e;
+        at[(size_t)b * num_colors + c] = e;
+    };
+    auto clear_color = [&](long long e) {
+        int c = out_colors[e];
+        int32_t a = centers[e], b = neighbors[e];
+        used[a] &= ~(1ull << c);
+        used[b] &= ~(1ull << c);
+        at[(size_t)a * num_colors + c] = -1;
+        at[(size_t)b * num_colors + c] = -1;
+        out_colors[e] = -1;
+    };
+
+    std::vector<long long> pending;
+    for (long long e = 0; e < n_edges; ++e) {
+        out_colors[e] = -1;
+        int32_t a = centers[e], b = neighbors[e];
+        if (a == b) continue;  // self-image: overflow by construction
+        uint64_t free_colors = full_mask & ~(used[a] | used[b]);
+        if (free_colors) {
+            set_color(e, __builtin_ctzll(free_colors));
+        } else {
+            pending.push_back(e);
+        }
+    }
+
+    long long overflow = 0;
+    for (long long e : pending) {
+        int32_t a = centers[e], b = neighbors[e];
+        uint64_t free_a = full_mask & ~used[a];
+        uint64_t free_b = full_mask & ~used[b];
+        if (!free_a || !free_b) {
+            ++overflow;  // an endpoint is saturated
+            continue;
+        }
+        uint64_t common = free_a & free_b;
+        if (common) {  // freed by an earlier Kempe flip
+            set_color(e, __builtin_ctzll(common));
+            continue;
+        }
+        // Kempe chain: colors x free at a, y free at b (x busy at b).
+        // Follow the alternating x/y path from b; if it does not return
+        // to a, flipping x<->y along it frees x at b.
+        int x = __builtin_ctzll(free_a);
+        int y = __builtin_ctzll(free_b);
+        // collect the path edges
+        std::vector<long long> path;
+        int want = x;  // next color to follow from b
+        long long v = b;
+        bool hit_a = false;
+        while (true) {
+            long long pe = at[(size_t)v * num_colors + want];
+            if (pe < 0) break;
+            path.push_back(pe);
+            long long u =
+                (centers[pe] == v) ? neighbors[pe] : centers[pe];
+            if (u == a) { hit_a = true; break; }
+            v = u;
+            want = (want == x) ? y : x;
+        }
+        if (hit_a) {
+            ++overflow;  // chain closes on a: genuine Vizing fan case;
+            continue;    // rare for geometric graphs -- leave to fixup
+        }
+        // flip colors along the path (clear all, then re-set swapped)
+        std::vector<int> new_colors(path.size());
+        for (size_t i = 0; i < path.size(); ++i) {
+            new_colors[i] = (out_colors[path[i]] == x) ? y : x;
+        }
+        for (long long pe : path) clear_color(pe);
+        bool ok = true;
+        for (size_t i = 0; i < path.size(); ++i) {
+            long long pe = path[i];
+            int c = new_colors[i];
+            int32_t pa = centers[pe], pb = neighbors[pe];
+            if (((used[pa] | used[pb]) >> c) & 1ull) { ok = false; break; }
+            set_color(pe, c);
+        }
+        if (!ok) { ++overflow; continue; }  // cannot happen on simple paths
+        // x is now free at both a and b
+        if (((used[a] | used[b]) >> x) & 1ull) { ++overflow; continue; }
+        set_color(e, x);
+    }
+    return overflow;
+}
+
 }  // extern "C"
