@@ -29,7 +29,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
-    from metatrain_tpu.containers import System, batch_from_systems, bucket_atoms, bucket_neighbors
+    from metatrain_tpu.containers import System, batch_from_systems, bucket_neighbors
     from metatrain_tpu.data.target_info import DatasetInfo, get_energy_target_info
     from metatrain_tpu.engine.evaluate import evaluate_model
     from metatrain_tpu.models.pet import PET
@@ -77,12 +77,19 @@ def main():
     model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    # ---- neighbor list (host, once — MD-style Verlet reuse) ------------------
-    nbr = compute_neighbor_data(system, cutoff=model.cutoff)
+    # ---- neighbor list (host, once — MD-style Verlet reuse; colored-slot
+    # NEF layout so the reversed-edge permutation runs on the MXU) ------------
+    nbr = compute_neighbor_data(system, cutoff=model.cutoff, colored=True)
+    # Atom padding: next multiple of 256 (the color-kernel block), NOT a
+    # geometric bucket — MD on a fixed system compiles exactly once either
+    # way, and a tight pad (a) skips 4.4% wasted rows in every kernel and
+    # (b) keeps the pad gap out of the periodic ring's circular index
+    # metric, so the colored-gather band selector can use the 1024 band
+    # (the geometric bucket's 544-row gap forced 1280 + big fixup lists).
     batch = batch_from_systems(
         [system],
         [nbr],
-        n_atoms_padded=bucket_atoms(n_atoms, 1.05),
+        n_atoms_padded=-(-n_atoms // 256) * 256,
         n_systems_padded=2,
         max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
         dtype=jnp.float32,

@@ -62,11 +62,11 @@ def build(dtype):
     )
     model = PET({}, dataset_info, compute_dtype=dtype)
     params = model.init_params(jax.random.PRNGKey(0))
-    nbr = compute_neighbor_data(system, cutoff=model.cutoff)
+    nbr = compute_neighbor_data(system, cutoff=model.cutoff, colored=True)
     batch = batch_from_systems(
         [system],
         [nbr],
-        n_atoms_padded=bucket_atoms(len(system), 1.05),
+        n_atoms_padded=-(-len(system) // 256) * 256,
         n_systems_padded=2,
         max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
         dtype=jnp.float32,
@@ -129,10 +129,19 @@ def main():
     A, M = batch.nbr_indices.shape
     edge_arr = jnp.ones((A, M, 128), dtype)
 
-    def rev(x, idx):
-        return reverse_edges(x, idx)
+    def rev(x, _):
+        return reverse_edges(
+            x,
+            {
+                "nbr_reverse": batch.nbr_reverse,
+                "color_band": batch.color_band,
+                "nbr_indices": batch.nbr_indices,
+                "nbr_fixup_src": batch.nbr_fixup_src,
+                "nbr_fixup_dst": batch.nbr_fixup_dst,
+            },
+        )
 
-    secs = chain_time(jax.jit(rev), (edge_arr, batch.nbr_reverse))
+    secs = chain_time(jax.jit(rev), (edge_arr, 0))
     report("reverse_edges gather (A,M,128)", secs)
 
 

@@ -35,6 +35,12 @@ class Calculator:
     :param target: energy target name (default: the model's first output).
     :param skin: Verlet skin distance for neighbor-list reuse.
     :param bucket_ratio: geometric padding ratio (compile count vs waste).
+    :param colored: colored-slot NEF layout (slot = edge color): makes the
+        reversed-edge permutation slot-preserving so PET's message
+        reversal runs as banded MXU matmuls (~3x faster at 10k atoms,
+        ``ops/pallas/color_gather.py``). Costs ~13 ms extra per neighbor
+        rebuild at 10k atoms; transparently falls back to the packed
+        layout when the native coloring library is unavailable.
     """
 
     def __init__(
@@ -44,6 +50,7 @@ class Calculator:
         skin: float = 0.5,
         bucket_ratio: float = 1.1,
         dtype=jnp.float32,
+        colored: bool = True,
     ):
         if isinstance(model, str):
             from .utils.io import load_model
@@ -55,7 +62,7 @@ class Calculator:
         self.skin = skin
         self.bucket_ratio = bucket_ratio
         self.dtype = dtype
-        self._vnl = VerletNeighborList(self.cutoff, skin)
+        self._vnl = VerletNeighborList(self.cutoff, skin, colored=colored)
         self._jitted = {}
 
         self._info_e = get_energy_target_info("eV")

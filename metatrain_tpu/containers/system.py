@@ -63,12 +63,19 @@ class System:
 
 @dataclasses.dataclass
 class NeighborData:
-    """Host-side NEF neighbor data for one system (see ops.neighbors)."""
+    """Host-side NEF neighbor data for one system (see ops.neighbors).
+
+    ``colored=True`` marks the colored-slot layout (slots assigned by
+    proper edge coloring, ``ops/neighbors.py``): the reversed edge of
+    (atom, slot) sits at the SAME slot of the neighbor atom for all but
+    a tiny overflow set, enabling the banded MXU permutation kernel
+    (``ops/pallas/color_gather.py``)."""
 
     indices: np.ndarray  # (n_atoms, max_nbrs) int32, padding -> own atom index
     shifts: np.ndarray  # (n_atoms, max_nbrs, 3) int32 cell shifts
     mask: np.ndarray  # (n_atoms, max_nbrs) bool
     reverse: np.ndarray  # (n_atoms, max_nbrs) int32 flat index of the ji edge
+    colored: bool = False
 
     @property
     def max_neighbors(self) -> int:
@@ -136,6 +143,13 @@ class SystemBatch:
     - ``nbr_mask`` (A, M) bool.
     - ``nbr_reverse`` (A, M) int32: flat index (into A*M) of the reversed
       ``j -> i`` edge; padding -> the edge's own flat index.
+    - ``nbr_fixup_src`` / ``nbr_fixup_dst`` (G, K) int32: per kernel
+      block, the edge rows whose reversal is NOT slot-preserving-in-band
+      under the colored NEF layout (empty when ``color_band == 0``):
+      global flat source rows / block-local destination rows, padding
+      ``dst == -1``. See ``ops/pallas/color_gather.py``.
+    - ``color_band`` (static int, pytree aux): circular atom-index band
+      bound for the colored reversed-edge kernel; 0 disables it.
     - ``extra``: dict of named per-system (S, ...) or per-atom (A, ...) data.
     """
 
@@ -153,6 +167,9 @@ class SystemBatch:
         nbr_mask: Array,
         nbr_reverse: Array,
         extra: Optional[Dict[str, Array]] = None,
+        nbr_fixup_src: Optional[Array] = None,
+        nbr_fixup_dst: Optional[Array] = None,
+        color_band: int = 0,
     ):
         self.positions = positions
         self.types = types
@@ -165,6 +182,10 @@ class SystemBatch:
         self.nbr_shifts = nbr_shifts
         self.nbr_mask = nbr_mask
         self.nbr_reverse = nbr_reverse
+        empty = jnp.zeros((0,), dtype=jnp.int32)
+        self.nbr_fixup_src = empty if nbr_fixup_src is None else nbr_fixup_src
+        self.nbr_fixup_dst = empty if nbr_fixup_dst is None else nbr_fixup_dst
+        self.color_band = int(color_band)
         self.extra = dict(extra or {})
 
     # -- pytree ------------------------------------------------------------
@@ -181,6 +202,8 @@ class SystemBatch:
         "nbr_shifts",
         "nbr_mask",
         "nbr_reverse",
+        "nbr_fixup_src",
+        "nbr_fixup_dst",
     )
 
     def tree_flatten(self):
@@ -188,13 +211,15 @@ class SystemBatch:
         children = tuple(getattr(self, f) for f in self._FIELDS) + tuple(
             self.extra[k] for k in extra_keys
         )
-        return children, extra_keys
+        return children, (extra_keys, self.color_band)
 
     @classmethod
-    def tree_unflatten(cls, extra_keys, children):
+    def tree_unflatten(cls, aux, children):
+        extra_keys, color_band = aux
         obj = object.__new__(cls)
         for name, child in zip(cls._FIELDS, children[: len(cls._FIELDS)]):
             setattr(obj, name, child)
+        obj.color_band = color_band
         obj.extra = dict(zip(extra_keys, children[len(cls._FIELDS):]))
         return obj
 
@@ -204,6 +229,7 @@ class SystemBatch:
         new = object.__new__(SystemBatch)
         for name in self._FIELDS:
             setattr(new, name, updates.pop(name, getattr(self, name)))
+        new.color_band = updates.pop("color_band", self.color_band)
         new.extra = updates.pop("extra", dict(self.extra))
         if updates:
             raise TypeError(f"unknown fields {sorted(updates)}")
@@ -294,6 +320,107 @@ def _gather_neighbor_positions(pos, nbr_indices, nbr_reverse):
     from ..ops.involution import nbr_gather
 
     return nbr_gather(pos, nbr_indices, nbr_reverse)
+
+
+def colored_fixups(
+    nbr_indices: np.ndarray,
+    nbr_reverse: np.ndarray,
+    feature_dim: int = 128,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Band bound + per-block fixup lists for the colored reversed-edge
+    kernel.
+
+    Host-side mirror of the kernel's window arithmetic
+    (``ops/pallas/color_gather.py``): a row (a, m) is kernel-servable iff
+    its reversal is slot-preserving (``reverse == indices * M + m``, the
+    colored-layout invariant) AND the matched atom lies in the circular
+    band window of a's block. Everything else -- coloring overflow,
+    periodic self-image pairs, band outliers -- goes on the fixup lists,
+    patched INSIDE the kernel by a per-block one-hot correction matmul
+    (an XLA row scatter costs ~2 ms flat at these array sizes; the
+    in-kernel patch is ~free).
+
+    Band selection minimizes a cost model over measured v5e rates: the
+    banded one-hot matmul scales with the window width W, the in-kernel
+    fixup matmul with the bucketed per-block fixup width K (so a wider
+    band that brings the fixup count down to the coloring-overflow floor
+    usually wins). Returns ``(band, fixup_src, fixup_dst)`` with shapes
+    (G, K): per kernel block, GLOBAL flat source rows and BLOCK-LOCAL
+    destination rows (``m * BA + a_local``); padding entries have
+    ``dst == -1`` (match nothing, patch nothing). ``band == 0`` means
+    the plain gather is estimated faster than every supported geometry
+    (caller falls back).
+    """
+    from ..ops.pallas.color_gather import (
+        BAND_BUCKETS,
+        GATHER_SECONDS_PER_ROW,
+        MATMUL_FLOPS_PER_SECOND,
+        kernel_geometry,
+        local_band_index,
+    )
+
+    A, M = nbr_indices.shape
+    nbr = nbr_indices.astype(np.int64)
+    col = np.arange(M, dtype=np.int64)[None, :]
+    slot_preserving = nbr_reverse.astype(np.int64) == nbr * M + col
+
+    a_idx = np.arange(A, dtype=np.int64)[:, None]
+    plain_cost = A * M * GATHER_SECONDS_PER_ROW
+    best = (plain_cost, 0, None)  # (cost, band, (geom, bad_rows))
+    for band in BAND_BUCKETS:
+        geom = kernel_geometry(A, band)
+        if geom is None:
+            continue
+        BA, mg, W = geom
+        if 2 * M * W * feature_dim * 2 > _color_vmem_budget():
+            continue  # bf16 band scratch would exceed the kernel's VMEM
+        a0 = (a_idx // BA) * BA  # block start per output atom
+        l = local_band_index(nbr, a0, mg, A, W, xp=np)
+        ok = slot_preserving & (l >= 0) & (l < W)
+        bad = np.nonzero(~ok.reshape(-1))[0]
+        K = _fixup_width(bad // (BA * M), A // BA)
+        cost = (
+            2.0 * M * A * (W + K) * feature_dim / MATMUL_FLOPS_PER_SECOND
+            + (A // BA) * K * GATHER_SECONDS_PER_ROW
+        )
+        if cost < best[0]:
+            best = (cost, band, (geom, bad))
+    if best[1] == 0:
+        return 0, np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int32)
+
+    _, band, ((BA, mg, W), rows) = best
+    G = A // BA
+    blocks = rows // (BA * M)
+    K = _fixup_width(blocks, G)
+    src = np.zeros((G, K), dtype=np.int32)
+    dst = np.full((G, K), -1, dtype=np.int32)
+    slot_in_block = np.zeros(G, dtype=np.int64)
+    a = rows // M
+    m = rows % M
+    dst_local = m * BA + (a - blocks * BA)
+    src_global = nbr_reverse.reshape(-1)[rows]
+    for g, d, s in zip(blocks, dst_local, src_global):
+        k = slot_in_block[g]
+        src[g, k] = s
+        dst[g, k] = d
+        slot_in_block[g] += 1
+    return band, src, dst
+
+
+def _fixup_width(blocks: np.ndarray, n_blocks: int) -> int:
+    """Bucketed per-block fixup list width: the max per-block count,
+    rounded up to a lane multiple so the in-kernel one-hot matmul stays
+    MXU-aligned and K (a static kernel parameter) is coarse-grained."""
+    if len(blocks) == 0:
+        return 0
+    max_count = int(np.bincount(blocks, minlength=max(n_blocks, 1)).max())
+    return _round_up(max(max_count, 128), 128)
+
+
+def _color_vmem_budget() -> int:
+    from ..ops.pallas.color_gather import _VMEM_BUDGET
+
+    return _VMEM_BUDGET
 
 
 def batch_from_systems(
@@ -408,6 +535,16 @@ def batch_from_systems(
                 off += len(system)
         extra[key] = arr
 
+    color_band = 0
+    fixup_src = fixup_dst = np.zeros((0,), np.int32)
+    if systems and all(n.colored for n in neighbors):
+        from ..ops.pallas.color_gather import MIN_ROWS
+
+        if A * M >= MIN_ROWS:
+            color_band, fixup_src, fixup_dst = colored_fixups(
+                nbr_indices, nbr_reverse
+            )
+
     def dev(x, dt=None):
         return jnp.asarray(x, dtype=dt)
 
@@ -424,6 +561,9 @@ def batch_from_systems(
         nbr_mask=dev(nbr_mask),
         nbr_reverse=dev(nbr_reverse),
         extra={k: dev(v) for k, v in extra.items()},
+        nbr_fixup_src=dev(fixup_src),
+        nbr_fixup_dst=dev(fixup_dst),
+        color_band=color_band,
     )
 
 

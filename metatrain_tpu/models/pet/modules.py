@@ -466,7 +466,7 @@ class CartesianTransformer(nn.Module):
         return out_node, out_edges
 
 
-def reverse_edges(edge_array, nbr_reverse):
+def reverse_edges(edge_array, batch_data):
     """Gather each edge's reversed (j -> i) partner: the message-passing
     primitive (reference ``nef.py:221-251`` + ``backend.py:556-566``).
 
@@ -477,10 +477,27 @@ def reverse_edges(edge_array, nbr_reverse):
     costs ~3x more on TPU (benchmarks/micro_edges.py) -- and whose JVP /
     batching rules keep forward-mode autodiff working.
 
-    The gather runs on the flat (A*M, ...) view: with M a multiple of 16
+    When the batch carries the colored NEF layout (``color_band > 0``),
+    the permutation instead runs as banded one-hot matmuls on the MXU
+    (``ops/pallas/color_gather.py``, bit-identical to the plain gather,
+    ~3x faster at the 10k-atom bench); otherwise the gather runs on the
+    flat (A*M, ...) view: with M a multiple of 16
     (``containers.bucket_neighbors``) the reshape is layout-free, so the
     gather is a pure aligned row permutation with no relayout copies.
     """
+    nbr_reverse = batch_data["nbr_reverse"]
+    band = batch_data.get("color_band", 0)
+    if band and edge_array.ndim == 3:
+        from ...ops.pallas.color_gather import colored_permute
+
+        return colored_permute(
+            edge_array,
+            nbr_reverse.reshape(-1),
+            batch_data["nbr_indices"],
+            batch_data["nbr_fixup_src"],
+            batch_data["nbr_fixup_dst"],
+            band=band,
+        )
     from ...ops.involution import permute_rows
 
     A, M = edge_array.shape[:2]
@@ -624,9 +641,7 @@ class PETBackbone(nn.Module):
                 if conditioning is not None:
                     out_node = out_node + conditioning
                 node_state = out_node
-                reversed_edges = reverse_edges(
-                    out_edges, batch_data["nbr_reverse"]
-                )
+                reversed_edges = reverse_edges(out_edges, batch_data)
                 from .fused_stages import combination_math
 
                 cat_example = jnp.concatenate(
@@ -669,9 +684,7 @@ class PETBackbone(nn.Module):
                     out_node = out_node + conditioning
                 node_features.append(out_node)
                 edge_features.append(out_edges)
-                reversed_edges = reverse_edges(
-                    out_edges, batch_data["nbr_reverse"]
-                )
+                reversed_edges = reverse_edges(out_edges, batch_data)
                 input_messages = 0.5 * (input_messages + reversed_edges)
 
         return node_features, edge_features

@@ -191,6 +191,8 @@ def pairs_to_nef(
     n_atoms: int,
     max_neighbors: Optional[int] = None,
     reverse_of: Optional[np.ndarray] = None,
+    slots: Optional[np.ndarray] = None,
+    colored: bool = False,
 ) -> NeighborData:
     """Scatter a flat full pair list into padded NEF arrays.
 
@@ -204,6 +206,10 @@ def pairs_to_nef(
     	list the partner index is known by construction (k <-> k + H),
         which skips the O(E log E) key-sort matching (~60 ms at 10k
         atoms -- the bulk of an MD-rate neighbor rebuild).
+    :param slots: optional explicit per-edge NEF slot assignment (aligned
+        with ``centers``); used by the colored layout where slot = edge
+        color. Must be collision-free per center.
+    :param colored: mark the result as colored-slot layout.
     """
     counts = np.bincount(centers, minlength=n_atoms).astype(np.int64)
     m_req = int(counts.max()) if n_atoms and len(centers) else 0
@@ -211,10 +217,19 @@ def pairs_to_nef(
     if m_req > M:
         raise ValueError(f"max_neighbors={M} < largest neighborhood {m_req}")
 
-    order = np.argsort(centers, kind="stable")
-    sorted_centers = centers[order]
-    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    slot = np.arange(len(centers), dtype=np.int64) - starts[sorted_centers]
+    if slots is None:
+        order = np.argsort(centers, kind="stable")
+        sorted_centers = centers[order]
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        slot = np.arange(len(centers), dtype=np.int64) - starts[sorted_centers]
+    else:
+        order = np.arange(len(centers), dtype=np.int64)
+        sorted_centers = centers
+        slot = np.asarray(slots, dtype=np.int64)
+        if len(slot) != len(centers):
+            raise ValueError("slots must align with the pair list")
+        if len(slot) and int(slot.max()) >= M:
+            raise ValueError("slot assignment exceeds max_neighbors")
 
     indices = np.tile(np.arange(n_atoms, dtype=np.int32)[:, None], (1, M))
     shift_arr = np.zeros((n_atoms, M, 3), dtype=np.int32)
@@ -223,6 +238,8 @@ def pairs_to_nef(
     indices[sorted_centers, slot] = neighbors[order].astype(np.int32)
     shift_arr[sorted_centers, slot] = shifts[order].astype(np.int32)
     mask[sorted_centers, slot] = True
+    if slots is not None and int(mask.sum()) != len(centers):
+        raise ValueError("colliding explicit slot assignment")
 
     # per-edge flat NEF position, in original pair-list order
     edge_flat = np.empty(len(centers), dtype=np.int64)
@@ -251,6 +268,7 @@ def pairs_to_nef(
         shifts=shift_arr,
         mask=mask,
         reverse=reverse.astype(np.int32),
+        colored=colored,
     )
 
 
@@ -275,12 +293,25 @@ def compute_neighbor_data(
     system: System,
     cutoff: float,
     max_neighbors: Optional[int] = None,
+    colored: bool = False,
 ) -> NeighborData:
     """Full NEF neighbor data for one system at ``cutoff``.
 
     Builds the full list by mirroring the half list so each edge's
     reversed partner is known by construction (k <-> k + H) -- no key
-    matching."""
+    matching.
+
+    With ``colored=True``, NEF slots are assigned by proper edge coloring
+    (C++ greedy + Kempe repair, ``native/neighbors.cpp:color_edges``): an
+    undirected edge occupies the SAME slot in both endpoint windows, so
+    the reversed-edge permutation becomes slot-preserving and the banded
+    MXU kernel applies (``ops/pallas/color_gather.py``). The emitted
+    width is then one below the final bucketed batch width (the batch
+    reserves the last, always-masked slot), i.e. pass the result through
+    ``batch_from_systems(max_neighbors=data.max_neighbors + 1)`` or let
+    ``bucket_neighbors`` round it. Falls back to the packed layout when
+    the native library is unavailable.
+    """
     c, n, sh = neighbor_pairs(
         system.positions, system.cell, system.pbc, cutoff, full_list=False
     )
@@ -291,9 +322,73 @@ def compute_neighbor_data(
     reverse_of = np.concatenate(
         [np.arange(H, 2 * H, dtype=np.int64), np.arange(H, dtype=np.int64)]
     )
+
+    if colored and H:
+        slots_and_width = _colored_slots(
+            c, n, centers, len(system), max_neighbors
+        )
+        if slots_and_width is not None:
+            slots, width = slots_and_width
+            return pairs_to_nef(
+                centers,
+                neighbors,
+                shifts,
+                len(system),
+                width,
+                reverse_of,
+                slots=slots,
+                colored=True,
+            )
+
     return pairs_to_nef(
         centers, neighbors, shifts, len(system), max_neighbors, reverse_of
     )
+
+
+def _colored_slots(
+    c: np.ndarray,
+    n: np.ndarray,
+    centers: np.ndarray,
+    n_atoms: int,
+    max_neighbors: Optional[int],
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Per-directed-edge slot assignment from a proper edge coloring of
+    the half list (slot = color; overflow edges to first-free slots).
+
+    Returns ``(slots, width)`` for the mirrored full list
+    ``concat([c->n, n->c])``, or None when coloring is unavailable. The
+    usable width is ``bucket_neighbors(m_req) - 1``: the batch bucket
+    keeps its reserved always-masked last slot on top.
+    """
+    from ..containers.system import bucket_neighbors
+    from ..native import native_color_edges
+
+    counts = np.bincount(centers, minlength=n_atoms)
+    m_req = int(counts.max()) if len(centers) else 0
+    if max_neighbors is not None:
+        width = max_neighbors
+    else:
+        width = bucket_neighbors(m_req, 1.0) - 1
+    if m_req > width or width > 64:
+        return None
+
+    result = native_color_edges(c, n, n_atoms, width)
+    if result is None:
+        return None
+    colors, _ = result
+    full_colors = np.concatenate([colors, colors]).astype(np.int64)
+
+    slots = np.empty(len(centers), dtype=np.int64)
+    ok = full_colors >= 0
+    slots[ok] = full_colors[ok]
+    used = np.zeros((n_atoms, width), dtype=bool)
+    used[centers[ok], full_colors[ok]] = True
+    for e in np.nonzero(~ok)[0]:
+        a = centers[e]
+        free = np.nonzero(~used[a])[0]
+        slots[e] = free[0]
+        used[a, free[0]] = True
+    return slots, width
 
 
 @dataclasses.dataclass
@@ -308,6 +403,7 @@ class VerletNeighborList:
 
     cutoff: float
     skin: float = 0.5
+    colored: bool = False
     _data: Optional[NeighborData] = None
     _positions0: Optional[np.ndarray] = None
     _cell0: Optional[np.ndarray] = None
@@ -320,7 +416,7 @@ class VerletNeighborList:
                 if disp.max(initial=0.0) < self.skin / 2.0:
                     return self._data
         data = compute_neighbor_data(
-            system, self.cutoff + self.skin, max_neighbors
+            system, self.cutoff + self.skin, max_neighbors, colored=self.colored
         )
         self._data = data
         self._positions0 = system.positions.copy()

@@ -1,0 +1,360 @@
+"""Colored reversed-edge permutation: banded one-hot matmuls on the MXU.
+
+PET's message reversal is an involutive permutation of (A*M, D) edge
+rows. XLA's gather pays a full HBM tile per random 256 B row (~5.9 ms
+per 140 MB at the 10k-atom bench, the single largest non-matmul cost of
+a force call). This module exploits two structural properties created by
+the host-side NEF builder (``ops/neighbors.py`` with ``colored=True``):
+
+- **slot preservation**: NEF slots are assigned by proper edge coloring
+  (C++ ``color_edges``), so edge (a, b) occupies the SAME slot m in both
+  windows and the reversal becomes ``out[a, m] = x[nbr_indices[a, m], m]``
+  -- no extra index arrays;
+- **bandedness**: for spatially-ordered atoms the matched atom is within
+  a bounded circular index distance (``band``), so a block of output
+  atoms only needs a contiguous band of input atoms.
+
+The kernel DMAs the color-major band contiguously and computes, per
+block of atoms, ONE batched one-hot matmul over the color axis:
+``(M, BA, W) @ (M, W, D)`` -- measured at ~163 TF/s on v5e
+(benchmarks/micro_color2.py), turning the permutation into ~2 ms of
+MXU work. Rows whose reversal is not slot-preserving-in-band (coloring
+overflow, periodic self-image pairs, band outliers -- <1% by
+construction) are patched afterwards by a tiny XLA row gather+scatter
+(the ``fixup`` lists, built at batch assembly in
+``containers/system.py:colored_fixups``).
+
+The one-hot matmul is EXACT (not approximate): each output row picks one
+band row with weight 1.0; bf16 inputs accumulate in f32 and round-trip
+bit-identically, and f32 inputs survive the MXU's split-accumulate
+passes exactly because the second factor is exactly 1.0 or 0.0. So the
+colored path equals ``x.reshape(A*M, D)[rev]`` bitwise for every row
+(masked slots self-map inside their own block's band).
+
+The op is a JAX primitive (same pattern as ``ops/involution``): the
+permutation is involutive, so JVP and autodiff transpose are the SAME
+op -- grad and grad-of-grad never materialize a scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.extend import core as jex_core
+from jax.interpreters import ad, batching, mlir
+
+
+# Rows below which the XLA gather wins (kernel launch + margin copies
+# dominate); also the threshold for enabling the colored layout at all.
+MIN_ROWS = 65536
+
+# Margin buckets: the band half-width is rounded up so kernel geometry
+# (and therefore compilation) stays coarse-grained, not per batch. Finer
+# than powers of two near the top: the VMEM band scratch scales with the
+# bucket (2*M*W*D), and at 10k-atom shapes the jump 1024 -> 2048 would
+# blow the budget while ~1536 suffices for periodic wrap margins.
+BAND_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 1792, 2048)
+_COLOR_CHUNK = 8
+# Band-scratch cap. The double-buffered band slab (2*M*W*D bytes) is the
+# dominant VMEM consumer but not the only one: the kernel's one-hot and
+# result temporaries add ~35-40 MB at bench shapes, and the whole scoped
+# allocation must stay under ``vmem_limit_bytes`` (120 MB). 80 MB here
+# keeps the total near ~105 MB at the largest supported geometry
+# (measured: mg=1536 scratch = 81.8 MB put the total 108 KB OVER the
+# 120 MB limit on v5e; mg=1280 -> 69.2 MB fits).
+_VMEM_BUDGET = 76 * 1024 * 1024
+
+# Measured v5e cost coefficients for the band-selection model
+# (benchmarks: one-hot matmul ~180 TF/s; XLA row scatter ~0.28 us/row;
+# XLA random row gather ~11 ns/row at 256 B rows). Selection picks the
+# band minimizing matmul-width cost + fixup-scatter cost, and reports
+# band 0 when the plain gather is estimated faster.
+SCATTER_SECONDS_PER_ROW = 0.28e-6
+GATHER_SECONDS_PER_ROW = 11e-9
+MATMUL_FLOPS_PER_SECOND = 175e12
+
+
+def kernel_geometry(A: int, band: int) -> Optional[Tuple[int, int, int]]:
+    """(BA, mg, W) for the banded kernel, or None if unsupported.
+
+    Shared by the device kernel and the host-side fixup detection in
+    ``containers/system.py`` -- both must agree exactly on the block
+    window placement: block g covers output atoms [g*BA, (g+1)*BA) and
+    reads extended rows [g*BA, g*BA + W), i.e. atoms
+    [(g*BA - mg) mod A, ...) circularly.
+    """
+    if band <= 0 or band > BAND_BUCKETS[-1]:
+        return None
+    mg = next(b for b in BAND_BUCKETS if b >= band)
+    BA = 256 if A % 256 == 0 else 128
+    if A % BA != 0 or A < BA or A < 2 * mg + BA:
+        return None
+    W = BA + 2 * mg
+    return BA, mg, W
+
+
+def local_band_index(nbr, a0_block, mg: int, A: int, W: int, xp=jnp):
+    """Band-local row of matched atom ``nbr`` for the block starting at
+    output atom ``a0_block`` (= g*BA). Mirrors the kernel's wrap
+    arithmetic exactly; the result is valid iff it lands in [0, W)
+    BEFORE the final clip (checked host-side, ``colored_fixups``)."""
+    l = nbr + mg - a0_block
+    l = xp.where(l < 0, l + A, l)
+    l = xp.where(l >= W, l - A, l)
+    return l
+
+
+# -- kernel ------------------------------------------------------------------
+
+
+def _kernel(
+    idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
+    *, A, M, D, W, mg, BA, K,
+):
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+
+    def start_dma(gi, slot):
+        pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(gi * BA, W), :], band.at[slot], sems.at[slot]
+        ).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0, 0)
+
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+    pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(g * BA, W), :], band.at[slot], sems.at[slot]
+    ).wait()
+
+    @pl.when(g + 1 < G)
+    def _():
+        start_dma(g + 1, 1 - slot)
+
+    l = local_band_index(idx_ref[:], g * BA, mg, A, W)  # (BA, M)
+    l = jnp.clip(l, 0, W - 1)
+    lT = jnp.swapaxes(l, 0, 1)  # (M, BA)
+
+    dtype = out_ref.dtype
+    band_slot = band.at[slot]  # (M, W, D) ref view of the active buffer
+    chunks = []
+    for c0 in range(0, M, _COLOR_CHUNK):
+        c1 = min(c0 + _COLOR_CHUNK, M)
+        cmp = jax.lax.broadcasted_iota(jnp.int32, (c1 - c0, BA, W), 2)
+        # NB: lax.slice, not lT[c0:c1] -- jnp basic indexing lowers via
+        # gather here, which Mosaic cannot lower inside a kernel
+        lc = jax.lax.slice(lT, (c0, 0), (c1, BA))
+        onehot = (cmp == lc[:, :, None]).astype(dtype)
+        res = jax.lax.dot_general(
+            onehot,
+            band_slot[c0:c1],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, BA, D)
+        chunks.append(res.astype(dtype))
+    res_all = jnp.concatenate(chunks, axis=0)  # (M, BA, D)
+
+    if K:
+        # in-kernel fixup: zero the non-servable rows and add their true
+        # values with a second one-hot matmul. An XLA row scatter costs
+        # ~2 ms FLAT at this array size (measured) -- this is free.
+        # dst_local entries index the block-local (M*BA) flat layout
+        # (m * BA + a_local); -1 padding matches nothing.
+        dst = dstloc_ref[0]  # (1, K) int32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (M * BA, K), 0)
+        onehot_fix = (rows == dst).astype(dtype)  # (M*BA, K)
+        keep = 1.0 - jnp.sum(
+            onehot_fix.astype(jnp.float32), axis=1, keepdims=True
+        ).astype(dtype)
+        corr = jax.lax.dot_general(
+            onehot_fix,
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)  # (M*BA, D)
+        res_flat = res_all.reshape(M * BA, D) * keep + corr
+        res_all = res_flat.reshape(M, BA, D)
+
+    out_ref[:] = jnp.swapaxes(res_all, 0, 1)
+
+
+def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpret: bool):
+    A, M, D = x.shape
+    BA, mg, W = kernel_geometry(A, band_width)
+    G = A // BA
+    GK, K = fixup_src.shape
+    if GK != G:
+        raise ValueError(
+            f"fixup lists built for {GK} blocks, kernel grid has {G} -- "
+            "band/geometry mismatch between batch assembly and kernel"
+        )
+
+    # color-major extended layout: [wrap-left | body | wrap-right], so the
+    # band of every block is one contiguous slab of rows per color
+    xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
+    x_ext = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
+
+    # patch values for the in-kernel fixup: a tiny XLA row gather
+    if K:
+        vals = jnp.take(
+            x.reshape(A * M, D), fixup_src.reshape(-1), axis=0
+        ).reshape(G, K, D)
+    else:
+        vals = jnp.zeros((G, 1, D), x.dtype)
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K
+        ),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, M, W, D), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        nbr_indices,
+        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
+        vals,
+        x_ext,
+    )
+
+
+# -- primitive ---------------------------------------------------------------
+
+colored_permute_p = jex_core.Primitive("colored_permute")
+
+
+def colored_permute(x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int):
+    """``x.reshape(A*M, D)[rev].reshape(A, M, D)`` via the banded colored
+    kernel (TPU) or a plain gather (other backends / band == 0).
+
+    :param x: (A, M, D) edge array.
+    :param rev: (A*M,) involutive flat permutation (fallback + fixup
+        source; padded slots self-map).
+    :param nbr_indices: (A, M) int32 neighbor atom per slot -- under the
+        colored layout this IS the matched atom per color.
+    :param fixup_src: (G, K) int32: per kernel block, the GLOBAL flat
+        rows (into A*M) whose values patch the block's non-servable
+        outputs; padding entries may point anywhere valid.
+    :param fixup_dst: (G, K) int32: the matching BLOCK-LOCAL output rows
+        in the kernel's (M*BA) color-major layout (``m * BA + a_local``);
+        padding entries are -1 (match nothing). The non-servable set is
+        symmetric under the involution, so the autodiff transpose uses
+        the same lists.
+    :param band: circular atom-index band bound (static); 0 disables the
+        kernel path.
+    """
+    return colored_permute_p.bind(
+        x, rev, nbr_indices, fixup_src, fixup_dst, band=int(band)
+    )
+
+
+def use_kernel(x_shape, dtype, band: int) -> bool:
+    """Whether the banded kernel path applies (shape/dtype/VMEM gates).
+    The decision must be trace-time static: it depends only on shapes and
+    the static band."""
+    if band <= 0:
+        return False
+    A, M, D = x_shape
+    if A * M < MIN_ROWS or D % 128 != 0 or M % _COLOR_CHUNK != 0:
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    geom = kernel_geometry(A, band)
+    if geom is None:
+        return False
+    _, _, W = geom
+    itemsize = jnp.dtype(dtype).itemsize
+    if 2 * M * W * D * itemsize > _VMEM_BUDGET:
+        return False
+    return True
+
+
+def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, interpret=None):
+    A, M, D = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret or not use_kernel(x.shape, x.dtype, band):
+        flat = x.reshape(A * M, D)
+        return jnp.take(flat, rev, axis=0).reshape(A, M, D)
+    return _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band, interpret=False)
+
+
+def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band):
+    return x.update(shape=x.shape, dtype=x.dtype)
+
+
+def _jvp(primals, tangents, *, band):
+    x, rev, idx, fsrc, fdst = primals
+    dx = tangents[0]
+    out = colored_permute(x, rev, idx, fsrc, fdst, band=band)
+    if type(dx) is ad.Zero:
+        return out, ad.Zero.from_primal_value(out)
+    dout = colored_permute(dx, rev, idx, fsrc, fdst, band=band)
+    return out, dout
+
+
+def _transpose(ct, x, rev, idx, fsrc, fdst, *, band):
+    if type(ct) is ad.Zero:
+        return ad.Zero.from_primal_value(x), None, None, None, None
+    # involution: the exact adjoint is the same permutation
+    return (
+        colored_permute(ct, rev, idx, fsrc, fdst, band=band),
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+def _batching(args, dims, *, band):
+    x, rev, idx, fsrc, fdst = args
+    if any(d is not None for d in dims[1:]):
+        raise NotImplementedError("batched permutation indices")
+    xdim = dims[0]
+    # fold the batch axis into D (trailing); D changes, so the kernel
+    # gate re-evaluates -- correctness is unaffected either way
+    x_moved = jnp.moveaxis(x, xdim, -1)  # (A, M, D, B)
+    A, M = idx.shape
+    merged = x_moved.reshape(A, M, -1)
+    out = colored_permute(merged, rev, idx, fsrc, fdst, band=band)
+    out = out.reshape(x_moved.shape)
+    return jnp.moveaxis(out, -1, xdim), xdim
+
+
+colored_permute_p.def_impl(functools.partial(_impl, interpret=None))
+colored_permute_p.def_abstract_eval(_abstract_eval)
+ad.primitive_jvps[colored_permute_p] = _jvp
+ad.primitive_transposes[colored_permute_p] = _transpose
+batching.primitive_batchers[colored_permute_p] = _batching
+mlir.register_lowering(
+    colored_permute_p,
+    mlir.lower_fun(
+        functools.partial(_impl, interpret=None), multiple_results=False
+    ),
+)

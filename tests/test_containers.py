@@ -201,7 +201,9 @@ def test_nbr_reverse_is_involution_and_vjp_matches():
     g = jnp.asarray(rng.normal(size=x.shape))
 
     def loss_custom(x):
-        return jnp.sum(reverse_edges(x, batch.nbr_reverse) * g)
+        return jnp.sum(
+            reverse_edges(x, {"nbr_reverse": batch.nbr_reverse}) * g
+        )
 
     def loss_generic(x):
         return jnp.sum(_reverse_edges_impl(x, batch.nbr_reverse) * g)
