@@ -58,7 +58,7 @@ MIN_ROWS = 65536
 # than powers of two near the top: the VMEM band scratch scales with the
 # bucket (2*M*W*D), and at 10k-atom shapes the jump 1024 -> 2048 would
 # blow the budget while ~1536 suffices for periodic wrap margins.
-BAND_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 1792, 2048)
+BAND_BUCKETS = (256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048)
 _COLOR_CHUNK = 8
 # Band-scratch cap. The double-buffered band slab (2*M*W*D bytes) is the
 # dominant VMEM consumer but not the only one: the kernel's one-hot and

@@ -247,6 +247,213 @@ def _layer_math(edges, center, cf, w: LayerWeights, num_heads: int, scale: float
     return edge_out, center_attn
 
 
+def _rank1_broadcast(col, row_vec):
+    """``col[:, :, None] * row_vec[:, None, :]`` as a depth-1 batched
+    matmul: (BA, T, 1) x (BA, 1, N) -> (BA, T, N). Mosaic crashes on
+    direct multi-lane-tile broadcasts (BA, T, 1) -> (BA, T, N>128), so
+    the outer product routes through the MXU instead (trivial FLOPs)."""
+    return jax.lax.dot_general(
+        col[:, :, None],
+        row_vec,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=col.dtype,
+    )
+
+
+def _layer_bwd_math(
+    edges, center, cf, w: LayerWeights, g_edge, g_center,
+    num_heads: int, scale: float, weight_grads: bool,
+):
+    """Hand-written backward of :func:`_layer_math` (mexp layout only).
+
+    Same mathematical function as ``jax.vjp(_layer_math)`` but
+    restructured for the MXU: every backward matmul runs in the compute
+    dtype (autodiff promotes cotangent-path matmuls to f32, costing 3-6
+    MXU passes each in bf16 runs), the unused ``ffn_out`` recompute is
+    skipped, and the softmax backward uses the
+    ``w * (dW - cf (x) colsum(dW * w))`` form whose only broadcast is a
+    depth-1 outer-product matmul (see :func:`_rank1_broadcast`).
+
+    Returns ``(d_edges, d_center, d_cf_f32, dw | None)``.
+    """
+    from .attention import _expand_heads, _fold_heads
+
+    BA, M, D = edges.shape
+    cd = edges.dtype
+    acc = jnp.promote_types(jnp.float32, cd)
+    head_dim = D // num_heads
+    H, T = num_heads, M
+    wc = LayerWeights(*(x.astype(cd) for x in w))
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (BA, M, 1), 1)
+    is_reserved = row == M - 1
+
+    # ---- forward recompute (everything the backward needs; no ffn_out) --
+    tokens = jnp.where(is_reserved, center.astype(cd)[:, None, :], edges)
+    eps = 1e-6
+    x1 = tokens.astype(acc)
+    r1 = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=-1, keepdims=True) + eps)
+    n1 = (x1 * r1 * wc.norm_attn).astype(cd)
+    qkv = _matmul_bias(
+        n1.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, cd
+    ).reshape(BA, M, 3 * D)
+    q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
+
+    cf_acc = cf.astype(acc)
+    q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, HT, D) cd
+    scores_t = jax.lax.dot_general(
+        k, q_exp,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, T_keys, HT)
+    e = jnp.exp(scores_t)
+    denom = jax.lax.dot_general(
+        cf_acc[:, None, :], e,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, 1, HT)
+    w_soft = e / denom  # f32 (BA, T_keys, HT)
+    weights = w_soft.astype(cd)
+    v_cf = v * cf[:, :, None].astype(cd)
+    out_exp = jax.lax.dot_general(
+        weights, v_cf,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, HT, D)
+    attn = _fold_heads(out_exp, H, T, head_dim).astype(cd)
+    attn_out = _matmul_bias(
+        attn.reshape(BA * M, D), wc.w_out, wc.b_out, cd
+    ).reshape(BA, M, D)
+    res = tokens + attn_out
+    x2 = res.astype(acc)
+    r2 = jax.lax.rsqrt(jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps)
+    h_norm = (x2 * r2 * wc.norm_mlp).astype(cd)
+    d_ff = wc.w_ffn_out.shape[0]
+    vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)  # f32
+    value, gate = vg[:, :d_ff], vg[:, d_ff:]
+    sig = jax.nn.sigmoid(gate)
+    ffn_h = (value * sig).astype(cd)
+
+    # ---- backward --------------------------------------------------------
+    # edge_out = where(reserved, 0, res + ffn_out)
+    g_eo = jnp.where(is_reserved, jnp.zeros((), g_edge.dtype), g_edge)
+    g_eo2d = g_eo.reshape(BA * M, D).astype(cd)
+    # ffn_out = ffn_h @ w_ffn_out + b_ffn_out
+    d_ffn_h = jax.lax.dot_general(
+        g_eo2d, wc.w_ffn_out,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+    )  # (BA*M, f) f32
+    # ffn_h = value * sigmoid(gate), value/gate in f32
+    d_value = d_ffn_h * sig
+    d_gate = d_ffn_h * value * sig * (1.0 - sig)
+    d_vg = jnp.concatenate([d_value, d_gate], axis=-1).astype(cd)
+    d_h = jax.lax.dot_general(
+        d_vg, wc.w_in,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+    ).reshape(BA, M, D)  # f32
+    # h_norm = rms_norm(res, norm_mlp): d_x = r*(g*s) - x * r^3/D * sum(g*s*x)
+    gs2 = d_h * (r2 * wc.norm_mlp.astype(acc))
+    d_res_norm = gs2 - x2 * (
+        r2 * r2 * jnp.sum(gs2 * x2, axis=-1, keepdims=True) / D
+    )
+    d_res = g_eo.astype(acc) + d_res_norm  # (BA, M, D) f32
+    # res = tokens + attn_out; center output taps attn_out[:, M-1]
+    d_attn_out = d_res + jnp.where(
+        is_reserved, g_center.astype(acc)[:, None, :], jnp.zeros((), acc)
+    )
+    d_attn = jax.lax.dot_general(
+        d_attn_out.reshape(BA * M, D).astype(cd), wc.w_out,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+    ).reshape(BA, M, D).astype(cd)
+    # attn = fold_heads(out_exp); adjoint = expand (mask, no scale)
+    d_out_exp = _expand_heads(d_attn, H, head_dim)  # (BA, HT, D) cd
+    d_weights = jax.lax.dot_general(
+        v_cf, d_out_exp,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, T_keys, HT) f32
+    d_v_cf = jax.lax.dot_general(
+        weights, d_out_exp,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, T_keys, D) f32
+    d_v = (d_v_cf * cf_acc[:, :, None]).astype(cd)
+    d_cf_v = jnp.sum(d_v_cf * v.astype(acc), axis=-1)  # (BA, T_keys)
+    # softmax backward: d_scores = w * (dW - cf (x) z), z = colsum(dW * w)
+    z = jnp.sum(d_weights * w_soft, axis=1, keepdims=True)  # (BA, 1, HT)
+    cfz = _rank1_broadcast(cf_acc, z)  # (BA, T_keys, HT)
+    d_scores = (w_soft * (d_weights - cfz)).astype(cd)
+    # d_cf from denom = sum_ht (-z/denom)*e = -sum_ht w_soft*z
+    d_cf_denom = -jax.lax.dot_general(
+        w_soft, z,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )[:, :, 0]  # (BA, T_keys)
+    d_k = jax.lax.dot_general(
+        d_scores, q_exp,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    ).astype(cd)  # (BA, T_keys, D)
+    d_q_exp = jax.lax.dot_general(
+        d_scores, k,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, HT, D) f32
+    d_q = (_fold_heads(d_q_exp, H, T, head_dim) * scale).astype(cd)
+    d_qkv = jnp.concatenate([d_q, d_k, d_v], axis=-1)  # (BA, M, 3D) cd
+    d_n1 = jax.lax.dot_general(
+        d_qkv.reshape(BA * M, 3 * D), wc.w_qkv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+    ).reshape(BA, M, D)  # f32
+    gs1 = d_n1 * (r1 * wc.norm_attn.astype(acc))
+    d_tokens_norm = gs1 - x1 * (
+        r1 * r1 * jnp.sum(gs1 * x1, axis=-1, keepdims=True) / D
+    )
+    d_tokens = d_res + d_tokens_norm
+    d_center = d_tokens[:, M - 1, :].astype(cd)
+    d_edges = jnp.where(
+        is_reserved, jnp.zeros((), acc), d_tokens
+    ).astype(cd)
+    d_cf = (d_cf_v + d_cf_denom).astype(jnp.float32)
+
+    if not weight_grads:
+        return d_edges, d_center, d_cf, None
+
+    def colsum(x2d):
+        return jnp.sum(x2d.astype(jnp.float32), axis=0)
+
+    def dot_rows(a2d, b2d):
+        return jax.lax.dot_general(
+            a2d, b2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    d_qkv2d = d_qkv.reshape(BA * M, 3 * D)
+    d_attn_out2d = d_attn_out.reshape(BA * M, D).astype(cd)
+    dw = LayerWeights(
+        norm_attn=jnp.sum(
+            (d_n1 * (x1 * r1)).astype(jnp.float32).reshape(BA * M, D), axis=0
+        ),
+        w_qkv=dot_rows(n1.reshape(BA * M, D), d_qkv2d),
+        b_qkv=colsum(d_qkv2d),
+        w_out=dot_rows(attn.reshape(BA * M, D), d_attn_out2d),
+        b_out=colsum(d_attn_out2d),
+        norm_mlp=jnp.sum(
+            (d_h * (x2 * r2)).astype(jnp.float32).reshape(BA * M, D), axis=0
+        ),
+        w_in=dot_rows(h_norm.reshape(BA * M, D), d_vg),
+        b_in=colsum(d_vg),
+        w_ffn_out=dot_rows(ffn_h, g_eo2d),
+        b_ffn_out=colsum(g_eo2d),
+    )
+    return d_edges, d_center, d_cf, dw
+
+
 def _fwd_kernel(edges_ref, center_ref, cf_ref, *rest, num_heads, scale):
     *weight_refs, edge_out_ref, center_out_ref = rest
     w = LayerWeights(*(ref[:] for ref in weight_refs))
@@ -274,7 +481,15 @@ def _bwd_kernel(
 
     w = LayerWeights(*(ref[:] for ref in weight_refs))
 
-    if weight_grads:
+    M, D = edges_ref.shape[1], edges_ref.shape[2]
+    if _use_mexp(M, D, num_heads):
+        d_edges, d_center, d_cf, dw = _layer_bwd_math(
+            edges_ref[:], center_ref[:], cf_ref[:], w,
+            g_edge_ref[:], g_center_ref[:], num_heads, scale, weight_grads,
+        )
+        if dw is None:
+            dw = ()
+    elif weight_grads:
         def f(edges, center, cf, weights):
             return _layer_math(edges, center, cf, weights, num_heads, scale)
 
@@ -306,10 +521,18 @@ def _bwd_kernel(
             ref[:] = ref[:] + val32
 
 
+import os
+
+
 def _block_atoms(T: int, backward: bool = False) -> int:
-    # benchmarks/micro_blocksweep.py at the bench shape (T=48)
+    # benchmarks/micro_blocksweep.py at the bench shape (T=48); the
+    # hand-written backward (_layer_bwd_math) has a much smaller VMEM
+    # footprint than the old vjp-traced backward, allowing BA=64
+    env = os.environ.get("MTT_FUSED_BA_BWD")
+    if backward and env:
+        return int(env)
     if T <= 48:
-        return 32 if backward else 128
+        return 64 if backward else 128
     if T <= 96:
         return 8
     return 4

@@ -161,3 +161,50 @@ def test_fused_layer_gradients_and_double_backward(A, M, D, F, H):
     np.testing.assert_allclose(
         np.asarray(gg), np.asarray(gg_ref), rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.parametrize(
+    "A,M,D,F,H", [(7, 16, 32, 16, 4), (9, 48, 128, 64, 8)]
+)
+@pytest.mark.parametrize("weight_grads", [True, False])
+def test_handwritten_bwd_matches_vjp(A, M, D, F, H, weight_grads):
+    """The hand-written backward (_layer_bwd_math) computes the same
+    function as jax.vjp of _layer_math."""
+    from metatrain_tpu.ops.pallas.fused_layer import _layer_bwd_math
+
+    rng = np.random.default_rng(11)
+    edges, center, cf = _random_inputs(rng, A, M, D)
+    w = _random_weights(rng, D, F)
+    scale = 0.3
+    g_edge = jnp.asarray(rng.normal(size=(A, M, D)), dtype=jnp.float32)
+    g_center = jnp.asarray(rng.normal(size=(A, D)), dtype=jnp.float32)
+
+    def f(edges, center, cf, weights):
+        return _layer_math(edges, center, cf, weights, H, scale)
+
+    _, vjp = jax.vjp(f, edges, center, cf, w)
+    d_edges_r, d_center_r, d_cf_r, dw_r = vjp((g_edge, g_center))
+
+    d_edges, d_center, d_cf, dw = _layer_bwd_math(
+        edges, center, cf, w, g_edge, g_center, H, scale, weight_grads
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_edges), np.asarray(d_edges_r), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_center), np.asarray(d_center_r), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_cf), np.asarray(d_cf_r), atol=3e-5, rtol=1e-4
+    )
+    if weight_grads:
+        for name, a, b in zip(dw_r._fields, dw, dw_r):
+            np.testing.assert_allclose(
+                np.asarray(a),
+                np.asarray(b),
+                atol=5e-5,
+                rtol=5e-4,
+                err_msg=f"weight grad {name}",
+            )
+    else:
+        assert dw is None
