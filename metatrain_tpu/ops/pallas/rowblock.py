@@ -132,6 +132,21 @@ def _forward_impl(math_fn, inputs, weights):
 _FWD_OPS = {}
 _BWD_OPS = {}
 
+# math_fn -> bwd_fn(inputs, weights, g, weight_grads) returning
+# (d_inputs tuple, d_weight_leaves list, [] when weight_grads=False).
+# Hand-written backwards avoid jax.vjp's f32-promoted cotangent matmuls
+# (3-6 MXU passes each in bf16 runs); registered via register_bwd.
+_HANDWRITTEN_BWD = {}
+
+
+def register_bwd(math_fn, bwd_fn):
+    """Register a hand-written backward for ``math_fn`` (used inside the
+    backward kernel instead of tracing ``jax.vjp``; the grad-of-grad
+    replay still differentiates the autodiff reference). ``bwd_fn`` must
+    compute the same mathematical function as ``jax.vjp(math_fn)``
+    (asserted by tests) and be pure-jnp Mosaic-lowerable."""
+    _HANDWRITTEN_BWD[math_fn] = bwd_fn
+
 
 def fused_rowblock(math_fn, inputs, weights):
     """Run ``math_fn`` over row blocks as one fused TPU kernel.
@@ -211,7 +226,10 @@ def _make_bwd_op(math_fn, weight_grads):
             ins = tuple(r[:] for r in in_refs)
             cot = tuple(r[:] for r in g_refs)
 
-            if weight_grads:
+            handwritten = _HANDWRITTEN_BWD.get(math_fn)
+            if handwritten is not None:
+                d_ins, d_w_leaves = handwritten(ins, w, cot, weight_grads)
+            elif weight_grads:
                 def f(ins, w):
                     return tuple(math_fn(ins, w))
 

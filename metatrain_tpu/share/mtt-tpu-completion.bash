@@ -1,34 +1,96 @@
-# bash completion for mtt-tpu (reference: share/metatrain-completion.bash)
-_mtt_tpu_completions() {
-    local cur prev commands
-    COMPREPLY=()
-    cur="${COMP_WORDS[COMP_CWORD]}"
-    prev="${COMP_WORDS[COMP_CWORD-1]}"
-    commands="train eval export"
+# Bash/zsh completion for the mtt-tpu CLI (python -m metatrain_tpu).
+# TPU-native analogue of the reference's completion script
+# (reference share/metatrain-completion.bash); matches the flags of
+# metatrain_tpu/__main__.py. Source this file from your shell rc:
+#   source .../metatrain_tpu/share/mtt-tpu-completion.bash
 
-    if [[ ${COMP_CWORD} -eq 1 ]]; then
-        COMPREPLY=( $(compgen -W "${commands}" -- "${cur}") )
-        return 0
-    fi
+_mtt_tpu()
+{
+  local cur_word="${COMP_WORDS[$COMP_CWORD]}"
+  local prev_word="${COMP_WORDS[$COMP_CWORD-1]}"
+  local module="${COMP_WORDS[1]}"
 
-    case "${COMP_WORDS[1]}" in
-        train)
-            case "${prev}" in
-                --restart) COMPREPLY=( $(compgen -W "auto" -f -- "${cur}") );;
-                -o|--output) COMPREPLY=( $(compgen -f -- "${cur}") );;
-                *) COMPREPLY=( $(compgen -f -X '!*.@(yaml|yml)' -- "${cur}") \
-                               $(compgen -W "--restart -o --output -r --override" -- "${cur}") );;
-            esac
-            ;;
-        eval)
-            COMPREPLY=( $(compgen -f -X '!*.@(mtt|ckpt|yaml|yml)' -- "${cur}") \
-                        $(compgen -W "-o --output -b --batch-size --check-consistency" -- "${cur}") )
-            ;;
-        export)
-            COMPREPLY=( $(compgen -f -X '!*.ckpt' -- "${cur}") \
-                        $(compgen -W "-o --output" -- "${cur}") )
-            ;;
-    esac
-    return 0
+  local yaml='!*@(.yml|.yaml)'
+  local ckpt='!*@(.ckpt|.mtt)'
+  local mtt='!*@(.mtt|.ckpt)'
+
+  case "$module" in
+    train)
+      case "${prev_word}" in
+        -h|--help|-o|--output|-r|--override)
+          COMPREPLY=( )
+          return 0
+          ;;
+        --restart)
+          COMPREPLY=( $( compgen -W "auto" -f -X "$ckpt" -- "${cur_word}") )
+          return 0
+          ;;
+        --profile)
+          COMPREPLY=( $(compgen -d -- "${cur_word}") )
+          return 0
+          ;;
+        *)
+          if [[ $COMP_CWORD -eq 2 ]]; then
+            COMPREPLY=( $(compgen -f -X "$yaml" -- "${cur_word}") )
+            return 0
+          fi
+          ;;
+      esac
+      local opts="-h --help -o --output --restart --profile -r --override"
+      COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
+      return 0
+      ;;
+    export)
+      case "${prev_word}" in
+        -h|--help|-o|--output)
+          COMPREPLY=( )
+          return 0
+          ;;
+        *)
+          if [[ $COMP_CWORD -eq 2 ]]; then
+            COMPREPLY=( $(compgen -f -X "$ckpt" -- "${cur_word}") )
+            return 0
+          fi
+          ;;
+      esac
+      local opts="-h --help -o --output"
+      COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
+      return 0
+      ;;
+    eval)
+      case "${prev_word}" in
+        -h|--help|-o|--output|-b|--batch-size|--check-consistency)
+          COMPREPLY=( )
+          return 0
+          ;;
+        --profile)
+          COMPREPLY=( $(compgen -d -- "${cur_word}") )
+          return 0
+          ;;
+        *)
+          if [[ $COMP_CWORD -eq 2 ]]; then
+            COMPREPLY=( $(compgen -f -X "$mtt" -- "${cur_word}") )
+            return 0
+          elif [[ $COMP_CWORD -eq 3 ]]; then
+            COMPREPLY=( $(compgen -f -X "$yaml" -- "${cur_word}") )
+            return 0
+          fi
+          ;;
+      esac
+      local opts="-h --help -o --output -b --batch-size --check-consistency --profile"
+      COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
+      return 0
+      ;;
+  esac
+
+  local opts="eval export train -h --help"
+  COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
+  return 0
 }
-complete -F _mtt_tpu_completions mtt-tpu
+
+if test -n "$ZSH_VERSION"; then
+  autoload -U +X compinit && compinit
+  autoload -U +X bashcompinit && bashcompinit
+fi
+
+complete -o bashdefault -F _mtt_tpu mtt-tpu
