@@ -607,7 +607,20 @@ def _fused_fwd(edges, center, cf, weights, num_heads, scale):
 def _bwd_math_reference(
     edges, center, cf, weights, g_edge, g_center, num_heads, scale
 ):
-    """Pure-XLA replay of the layer backward (for grad-of-grad)."""
+    """Pure-XLA replay of the layer backward (for grad-of-grad).
+
+    Uses the hand-written backward where it applies (same function,
+    cheaper: compute-dtype matmuls, no ffn_out recompute) so the
+    second-order sweep of force training differentiates the lean form;
+    autodiff vjp otherwise."""
+    M, D = edges.shape[1], edges.shape[2]
+    if _use_mexp(M, D, num_heads):
+        d_edges, d_center, d_cf, dw = _layer_bwd_math(
+            edges, center, cf, weights, g_edge, g_center,
+            num_heads, scale, True,
+        )
+        dw32 = LayerWeights(*(x.astype(jnp.float32) for x in dw))
+        return d_edges, d_center, d_cf, dw32
 
     def f(edges, center, cf, weights):
         return _layer_math(edges, center, cf, weights, num_heads, scale)

@@ -188,6 +188,17 @@ def _make_op(math_fn):
 
 
 def _bwd_math_reference(math_fn, inputs, weights, g):
+    handwritten = _HANDWRITTEN_BWD.get(math_fn)
+    if handwritten is not None:
+        # lean replay for grad-of-grad (same function as autodiff;
+        # compute-dtype matmuls)
+        d_inputs, d_w_leaves = handwritten(inputs, weights, g, True)
+        d_weights = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(weights),
+            [x.astype(jnp.float32) for x in d_w_leaves],
+        )
+        return tuple(d_inputs), d_weights
+
     def f(ins, w):
         return tuple(math_fn(ins, w))
 
