@@ -109,6 +109,95 @@ def _expand_heads_scaled(x, num_heads: int, head_dim: int, scale: float):
     )
 
 
+def _use_qside(T: int, D: int, num_heads: int) -> bool:
+    """The q-side grouped formulation additionally needs an even head
+    count so the two AV groups split D at a head boundary."""
+    return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
+
+
+def _ones_blockdiag(T: int, num_heads: int, head_dim: int, dtype):
+    """(H*T, H*hd) 0/1 matrix with ones_bd[h*T+tk, h*hd+j] = 1: right-
+    multiplying the q-side weights by it yields the per-head softmax
+    denominator broadcast over that head's feature columns."""
+    HT = T * num_heads
+    D = head_dim * num_heads
+    r = jax.lax.broadcasted_iota(jnp.int32, (HT, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (HT, D), 1)
+    return ((r // T) == (c // head_dim)).astype(dtype)
+
+
+def _window_attention_qside(q, k, v, cf, num_heads, scale):
+    """Window MHA in the q-side expanded layout: scores (BA, T_q, H*T_k).
+
+    Vs the kq-transposed mexp form (below): the score matmul stays at
+    full contraction depth, but the AV matmul ALSO runs at full depth by
+    contracting against the block-diagonal head expansion of V in two
+    head-group slices -- half the MACs of the mexp AV at ~3x its MXU
+    utilization -- and its output comes out pre-folded ((BA, T, D), no
+    fold_heads pass). The softmax normalizer rides the same matmul: the
+    rhs is [v_exp_group | ones-blockdiag_group], so columns D..2D of
+    each group's product are the per-head denominators broadcast over
+    head columns, and one elementwise divide finishes the softmax
+    (softmax(s + log cf) == cf*exp(s) / sum cf*exp(s), as in the mexp
+    path; padded/cut-off edges vanish smoothly).
+    """
+    BA, T, D = q.shape
+    H = num_heads
+    head_dim = D // H
+    HT = H * T
+    acc = jnp.promote_types(jnp.float32, q.dtype)
+    cd = q.dtype
+
+    k_exp = _expand_heads_scaled(k, H, head_dim, scale)  # (BA, HT, D)
+    scores = jax.lax.dot_general(
+        q, k_exp,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )  # (BA, T_q, H*T_k)
+    if acc == jnp.float64:
+        scores = scores - jnp.max(scores, axis=2, keepdims=True)
+    e = jnp.exp(scores)
+    # cf tiled per head along lanes, via a 0/1 matmul (a direct
+    # (BA, 1, T) -> (BA, T, HT) broadcast would cross lane tiles)
+    r = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 1)
+    tile01 = (r == (c % T)).astype(acc)
+    cf_tiled = jax.lax.dot_general(
+        cf.astype(acc)[:, None, :], tile01,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=acc,
+    )  # (BA, 1, HT)
+    e_cf = (e * cf_tiled).astype(cd)  # sublane broadcast
+
+    from .attention import _expand_heads
+
+    v_exp = _expand_heads(v, H, head_dim)  # (BA, HT, D) block-diagonal
+    ones_bd = _ones_blockdiag(T, H, head_dim, cd)  # (HT, D)
+    g = HT // 2
+    halves = []
+    for lo, hi, c0, c1 in ((0, g, 0, D // 2), (g, HT, D // 2, D)):
+        rhs = jnp.concatenate(
+            [v_exp[:, lo:hi, c0:c1], jnp.broadcast_to(
+                ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
+            )],
+            axis=-1,
+        )  # (BA, HT/2, D)
+        halves.append(
+            jax.lax.dot_general(
+                e_cf[:, :, lo:hi], rhs,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=acc,
+            )  # (BA, T, D): [:, :, :D/2] = num, [:, :, D/2:] = denom
+        )
+    num = jnp.concatenate(
+        [halves[0][:, :, : D // 2], halves[1][:, :, : D // 2]], axis=-1
+    )
+    den = jnp.concatenate(
+        [halves[0][:, :, D // 2 :], halves[1][:, :, D // 2 :]], axis=-1
+    )
+    return (num / den).astype(cd)
+
+
 def _window_attention_block(q, k, v, cf, num_heads, scale):
     """Per-block window MHA; kq-transposed M-expanded layout when T is
     sublane-aligned.
@@ -137,6 +226,8 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
     # caller runs the f64 fallback path (gradcheck-grade)
     acc = jnp.promote_types(jnp.float32, q.dtype)
     cf_acc = cf.astype(acc)
+    if _use_qside(T, D, num_heads):
+        return _window_attention_qside(q, k, v, cf, num_heads, scale)
     if _use_mexp(T, D, num_heads):
         H = num_heads
         q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, H*T, D)
@@ -300,27 +391,78 @@ def _layer_bwd_math(
     q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
 
     cf_acc = cf.astype(acc)
-    q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, HT, D) cd
-    scores_t = jax.lax.dot_general(
-        k, q_exp,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, T_keys, HT)
-    e = jnp.exp(scores_t)
-    denom = jax.lax.dot_general(
-        cf_acc[:, None, :], e,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, 1, HT)
-    w_soft = e / denom  # f32 (BA, T_keys, HT)
-    weights = w_soft.astype(cd)
-    v_cf = v * cf[:, :, None].astype(cd)
-    out_exp = jax.lax.dot_general(
-        weights, v_cf,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, HT, D)
-    attn = _fold_heads(out_exp, H, T, head_dim).astype(cd)
+    qside = _use_qside(T, D, num_heads)
+    if qside:
+        # q-side layout recompute (mirrors _window_attention_qside)
+        HT = H * T
+        k_exp = _expand_heads_scaled(k, H, head_dim, scale)
+        scores = jax.lax.dot_general(
+            q, k_exp,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, T_q, HT)
+        e = jnp.exp(scores)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 1)
+        tile01 = (rr == (cc % T)).astype(acc)
+        cf_tiled = jax.lax.dot_general(
+            cf_acc[:, None, :], tile01,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )  # (BA, 1, HT)
+        e_cf = (e * cf_tiled).astype(cd)
+        v_exp = _expand_heads(v, H, head_dim)
+        ones_bd = _ones_blockdiag(T, H, head_dim, cd)
+        gHT = HT // 2
+        groups = ((0, gHT, 0, D // 2), (gHT, HT, D // 2, D))
+        halves = []
+        for lo, hi, c0, c1 in groups:
+            rhs = jnp.concatenate(
+                [
+                    v_exp[:, lo:hi, c0:c1],
+                    jnp.broadcast_to(
+                        ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
+                    ),
+                ],
+                axis=-1,
+            )
+            halves.append(
+                jax.lax.dot_general(
+                    e_cf[:, :, lo:hi], rhs,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=acc,
+                )
+            )
+        num = jnp.concatenate(
+            [halves[0][:, :, : D // 2], halves[1][:, :, : D // 2]], axis=-1
+        )
+        den = jnp.concatenate(
+            [halves[0][:, :, D // 2 :], halves[1][:, :, D // 2 :]], axis=-1
+        )
+        out_soft = num / den  # f32 (BA, T, D)
+        attn = out_soft.astype(cd)
+    else:
+        q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, HT, D)
+        scores_t = jax.lax.dot_general(
+            k, q_exp,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, T_keys, HT)
+        e = jnp.exp(scores_t)
+        denom = jax.lax.dot_general(
+            cf_acc[:, None, :], e,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, 1, HT)
+        w_soft = e / denom  # f32 (BA, T_keys, HT)
+        weights = w_soft.astype(cd)
+        v_cf = v * cf[:, :, None].astype(cd)
+        out_exp = jax.lax.dot_general(
+            weights, v_cf,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, HT, D)
+        attn = _fold_heads(out_exp, H, T, head_dim).astype(cd)
     attn_out = _matmul_bias(
         attn.reshape(BA * M, D), wc.w_out, wc.b_out, cd
     ).reshape(BA, M, D)
@@ -367,42 +509,101 @@ def _layer_bwd_math(
         d_attn_out.reshape(BA * M, D).astype(cd), wc.w_out,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
-    ).reshape(BA, M, D).astype(cd)
-    # attn = fold_heads(out_exp); adjoint = expand (mask, no scale)
-    d_out_exp = _expand_heads(d_attn, H, head_dim)  # (BA, HT, D) cd
-    d_weights = jax.lax.dot_general(
-        v_cf, d_out_exp,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, T_keys, HT) f32
-    d_v_cf = jax.lax.dot_general(
-        weights, d_out_exp,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, T_keys, D) f32
-    d_v = (d_v_cf * cf_acc[:, :, None]).astype(cd)
-    d_cf_v = jnp.sum(d_v_cf * v.astype(acc), axis=-1)  # (BA, T_keys)
-    # softmax backward: d_scores = w * (dW - cf (x) z), z = colsum(dW * w)
-    z = jnp.sum(d_weights * w_soft, axis=1, keepdims=True)  # (BA, 1, HT)
-    cfz = _rank1_broadcast(cf_acc, z)  # (BA, T_keys, HT)
-    d_scores = (w_soft * (d_weights - cfz)).astype(cd)
-    # d_cf from denom = sum_ht (-z/denom)*e = -sum_ht w_soft*z
-    d_cf_denom = -jax.lax.dot_general(
-        w_soft, z,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )[:, :, 0]  # (BA, T_keys)
-    d_k = jax.lax.dot_general(
-        d_scores, q_exp,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    ).astype(cd)  # (BA, T_keys, D)
-    d_q_exp = jax.lax.dot_general(
-        d_scores, k,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc,
-    )  # (BA, HT, D) f32
-    d_q = (_fold_heads(d_q_exp, H, T, head_dim) * scale).astype(cd)
+    ).reshape(BA, M, D)  # f32
+    if qside:
+        # attn = num/den (per-element over D; den constant per head cols)
+        d_num = d_attn / den  # f32 (BA, T, D)
+        d_den = -(d_attn * out_soft) / den
+        d_e_cf_halves = []
+        d_v_cols = []
+        for lo, hi, c0, c1 in groups:
+            d_half = jnp.concatenate(
+                [d_num[:, :, c0:c1], d_den[:, :, c0:c1]], axis=-1
+            ).astype(cd)  # (BA, T, D)
+            rhs = jnp.concatenate(
+                [
+                    v_exp[:, lo:hi, c0:c1],
+                    jnp.broadcast_to(
+                        ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
+                    ),
+                ],
+                axis=-1,
+            )  # (BA, HT/2, D)
+            d_e_cf_halves.append(
+                jax.lax.dot_general(
+                    d_half, rhs,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=acc,
+                )  # (BA, T, HT/2), full-depth D contraction
+            )
+            d_v_exp_g = jax.lax.dot_general(
+                e_cf[:, :, lo:hi], d_num[:, :, c0:c1].astype(cd),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=acc,
+            )  # (BA, HT/2, D/2)
+            d_v_cols.append(
+                _fold_heads(d_v_exp_g, H // 2, T, head_dim)
+            )  # (BA, T, D/2)
+        d_e_cf = jnp.concatenate(d_e_cf_halves, axis=-1)  # (BA, T, HT) f32
+        d_v = jnp.concatenate(d_v_cols, axis=-1).astype(cd)
+        d_e = d_e_cf * cf_tiled  # sublane broadcast, f32
+        # d_cf: sum_tq d_e_cf * e per (b, ht), then un-tile over heads
+        d_cf_tiled = jnp.sum(d_e_cf * e, axis=1, keepdims=True)  # (BA,1,HT)
+        d_cf = jax.lax.dot_general(
+            d_cf_tiled, tile01,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )[:, 0, :].astype(jnp.float32)  # (BA, T)
+        d_scores = (d_e * e).astype(cd)
+        d_q = jax.lax.dot_general(
+            d_scores, k_exp,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        ).astype(cd)  # (BA, T, D), full-depth HT contraction
+        d_k_exp = jax.lax.dot_general(
+            d_scores, q,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, HT, D)
+        d_k = (_fold_heads(d_k_exp, H, T, head_dim) * scale).astype(cd)
+    else:
+        d_attn_c = d_attn.astype(cd)
+        # attn = fold_heads(out_exp); adjoint = expand (mask, no scale)
+        d_out_exp = _expand_heads(d_attn_c, H, head_dim)  # (BA, HT, D) cd
+        d_weights = jax.lax.dot_general(
+            v_cf, d_out_exp,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, T_keys, HT) f32
+        d_v_cf = jax.lax.dot_general(
+            weights, d_out_exp,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, T_keys, D) f32
+        d_v = (d_v_cf * cf_acc[:, :, None]).astype(cd)
+        d_cf_v = jnp.sum(d_v_cf * v.astype(acc), axis=-1)  # (BA, T_keys)
+        # softmax backward: d_scores = w * (dW - cf (x) z), z = colsum(dW*w)
+        z = jnp.sum(d_weights * w_soft, axis=1, keepdims=True)  # (BA,1,HT)
+        cfz = _rank1_broadcast(cf_acc, z)  # (BA, T_keys, HT)
+        d_scores = (w_soft * (d_weights - cfz)).astype(cd)
+        # d_cf from denom = sum_ht (-z/denom)*e = -sum_ht w_soft*z
+        d_cf_denom = -jax.lax.dot_general(
+            w_soft, z,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )[:, :, 0]  # (BA, T_keys)
+        d_cf = (d_cf_v + d_cf_denom).astype(jnp.float32)
+        d_k = jax.lax.dot_general(
+            d_scores, q_exp,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        ).astype(cd)  # (BA, T_keys, D)
+        d_q_exp = jax.lax.dot_general(
+            d_scores, k,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+        )  # (BA, HT, D) f32
+        d_q = (_fold_heads(d_q_exp, H, T, head_dim) * scale).astype(cd)
     d_qkv = jnp.concatenate([d_q, d_k, d_v], axis=-1)  # (BA, M, 3D) cd
     d_n1 = jax.lax.dot_general(
         d_qkv.reshape(BA * M, 3 * D), wc.w_qkv,
@@ -418,7 +619,6 @@ def _layer_bwd_math(
     d_edges = jnp.where(
         is_reserved, jnp.zeros((), acc), d_tokens
     ).astype(cd)
-    d_cf = (d_cf_v + d_cf_denom).astype(jnp.float32)
 
     if not weight_grads:
         return d_edges, d_center, d_cf, None
