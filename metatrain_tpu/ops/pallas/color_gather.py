@@ -112,30 +112,98 @@ def local_band_index(nbr, a0_block, mg: int, A: int, W: int, xp=jnp):
 # -- kernel ------------------------------------------------------------------
 
 
+def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start):
+    """Start (or wait for) the band DMA of block ``gi`` into ``band[slot]``.
+
+    Reads directly from the color-major (M, A, D) array: interior blocks
+    are one contiguous window per color; the first/last ``ceil(mg/BA)``
+    blocks wrap circularly and are served by TWO static-size copies
+    (DMA sizes must be trace-time constants, so each wrap block gets its
+    own ``pl.when`` branch -- the split point differs per block)."""
+    n_wrap = -(-mg // BA)
+    gi = jnp.asarray(gi, jnp.int32)
+
+    def act(copy):
+        copy.start() if start else copy.wait()
+
+    is_interior = jnp.logical_and(gi >= n_wrap, gi < G - n_wrap)
+
+    @pl.when(is_interior)
+    def _():
+        act(
+            pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(gi * BA - mg, W), :],
+                band.at[slot],
+                sems.at[slot, 0],
+            )
+        )
+
+    for gs in range(n_wrap):
+        s = mg - gs * BA  # rows wrapped around from the top end
+        if s <= 0:
+            continue
+
+        @pl.when(gi == gs)
+        def _(s=s):
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(A - s, s), :],
+                    band.at[slot, :, pl.ds(0, s), :],
+                    sems.at[slot, 0],
+                )
+            )
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(0, W - s), :],
+                    band.at[slot, :, pl.ds(s, W - s), :],
+                    sems.at[slot, 1],
+                )
+            )
+
+    for k in range(n_wrap):
+        over = mg - k * BA  # rows wrapped past the bottom end
+        if over <= 0:
+            continue
+
+        @pl.when(gi == G - 1 - k)
+        def _(over=over, k=k):
+            lo = (G - 1 - k) * BA - mg
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(lo, W - over), :],
+                    band.at[slot, :, pl.ds(0, W - over), :],
+                    sems.at[slot, 0],
+                )
+            )
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(0, over), :],
+                    band.at[slot, :, pl.ds(W - over, over), :],
+                    sems.at[slot, 1],
+                )
+            )
+
+
 def _kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
     *, A, M, D, W, mg, BA, K,
 ):
     g = pl.program_id(0)
     G = pl.num_programs(0)
-
-    def start_dma(gi, slot):
-        pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(gi * BA, W), :], band.at[slot], sems.at[slot]
-        ).start()
+    dma = functools.partial(
+        _band_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, W=W, G=G
+    )
 
     @pl.when(g == 0)
     def _():
-        start_dma(0, 0)
+        dma(0, 0, start=True)
 
     slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
-    pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(g * BA, W), :], band.at[slot], sems.at[slot]
-    ).wait()
+    dma(slot, g, start=False)
 
     @pl.when(g + 1 < G)
     def _():
-        start_dma(g + 1, 1 - slot)
+        dma(1 - slot, g + 1, start=True)
 
     l = local_band_index(idx_ref[:], g * BA, mg, A, W)  # (BA, M)
     l = jnp.clip(l, 0, W - 1)
@@ -195,10 +263,10 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
             "band/geometry mismatch between batch assembly and kernel"
         )
 
-    # color-major extended layout: [wrap-left | body | wrap-right], so the
-    # band of every block is one contiguous slab of rows per color
+    # color-major layout: the band of every block is one contiguous slab
+    # of rows per color; circular wrap is handled by the kernel's static
+    # per-block DMA branches (_band_dma) -- no extended copy in HBM
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
-    x_ext = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
 
     # patch values for the in-kernel fixup: a tiny XLA row gather
     if K:
@@ -229,7 +297,7 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
         out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, M, W, D), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -240,7 +308,7 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
         nbr_indices,
         fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
         vals,
-        x_ext,
+        xT,
     )
 
 
