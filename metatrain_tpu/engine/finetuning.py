@@ -30,6 +30,62 @@ def _is_head_path(path: Tuple) -> bool:
     return any(marker in flat for marker in HEAD_MARKERS)
 
 
+_HEAD_NAME_PREFIXES = ("node_head_", "edge_head_", "node_last_", "edge_last_")
+
+
+def inherit_heads(params, mapping):
+    """Copy head/last-layer parameters of existing targets into the
+    (freshly initialized) heads of new targets.
+
+    ``mapping`` maps new target names (keys) to existing source targets
+    (values), as in the reference (``pet/modules/finetuning.py:57-61``):
+    instead of random initialization, the new target's head starts from
+    the source head's weights. Matching is by module-name segment
+    (``node_head_<target>_<i>`` etc.); leaves whose source is missing or
+    shape-mismatched are left untouched.
+    """
+    if not mapping:
+        return params
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    by_path = {
+        tuple(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in leaves
+    }
+
+    def source_path(path_keys, dst_safe, src_safe):
+        out = []
+        hit = False
+        for seg in path_keys:
+            for prefix in _HEAD_NAME_PREFIXES:
+                if seg.startswith(prefix + dst_safe) and (
+                    len(seg) == len(prefix + dst_safe)
+                    or seg[len(prefix + dst_safe)] == "_"
+                ):
+                    seg = prefix + src_safe + seg[len(prefix + dst_safe):]
+                    hit = True
+                    break
+            out.append(seg)
+        return (tuple(out), hit)
+
+    new_by_path = dict(by_path)
+    for dst, src in mapping.items():
+        dst_safe = dst.replace(":", "_")
+        src_safe = src.replace(":", "_")
+        for path_keys, leaf in by_path.items():
+            src_keys, hit = source_path(path_keys, dst_safe, src_safe)
+            if not hit:
+                continue
+            src_leaf = by_path.get(src_keys)
+            if src_leaf is not None and src_leaf.shape == leaf.shape:
+                new_by_path[path_keys] = src_leaf.astype(leaf.dtype)
+    new_leaves = [
+        new_by_path[tuple(str(getattr(p, "key", p)) for p in path)]
+        for path, _ in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def trainable_mask(params, method: str):
     """Boolean pytree: True where the optimizer should update."""
     if method == "full":

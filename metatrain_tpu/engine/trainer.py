@@ -80,8 +80,14 @@ DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
     # SLURM_NTASKS > 1, utils/distributed/slurm.py:28-41)
     "data_parallel": "auto",
     # finetuning: {"read_from": ckpt|None, "method": full|heads|lora,
-    # "config": {"rank": r, "alpha": a}} (reference pet/modules/finetuning.py)
-    "finetune": {"read_from": None, "method": "full", "config": {}},
+    # "config": {"rank": r, "alpha": a}, "inherit_heads": {new: source}}
+    # (reference pet/modules/finetuning.py)
+    "finetune": {
+        "read_from": None,
+        "method": "full",
+        "config": {},
+        "inherit_heads": {},
+    },
 }
 
 
@@ -264,6 +270,14 @@ class NNTrainer(TrainerInterface):
         # ---- finetuning strategy: what trains, and through what forward --
         finetune = hp.get("finetune") or {}
         method = finetune.get("method", "full")
+        if finetune.get("inherit_heads") and self.opt_state is None:
+            # fresh finetune run: seed new targets' heads from existing
+            # ones (reference pet/modules/finetuning.py:57-61)
+            from .finetuning import inherit_heads
+
+            model.params = inherit_heads(
+                model.params, dict(finetune["inherit_heads"])
+            )
         lora_state: Optional[dict] = None
         forward_fn = model.forward
         train_params = model.params

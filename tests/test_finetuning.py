@@ -132,3 +132,60 @@ def test_lora_training_runs(tmp_path):
                 rank = np.linalg.matrix_rank(diff, tol=1e-5)
                 assert rank <= 2
     assert changed > 0
+
+
+def test_inherit_heads_copies_source_head_weights():
+    """inherit_heads seeds a new target's head/last layers from an
+    existing target's (reference pet/modules/finetuning.py:57-61)."""
+    from metatrain_tpu.data.target_info import get_energy_target_info
+    from metatrain_tpu.engine.finetuning import inherit_heads
+    from metatrain_tpu.models.pet import PET
+
+    systems = [make_molecule(5, seed=i) for i in range(2)]
+    types = sorted({int(t) for s in systems for t in s.types})
+    ds_info = DatasetInfo(
+        "angstrom",
+        types,
+        {
+            "energy": get_energy_target_info("eV"),
+            "mtt::u0": get_energy_target_info("eV"),
+        },
+    )
+    hypers = {
+        "cutoff": 4.0,
+        "d_pet": 16,
+        "d_head": 16,
+        "d_node": 16,
+        "d_feedforward": 16,
+        "num_heads": 2,
+        "num_attention_layers": 1,
+        "num_gnn_layers": 1,
+    }
+    model = PET(hypers, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    new_params = inherit_heads(params, {"mtt::u0": "energy"})
+
+    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_params)[0]
+    n_copied = n_head_dst = 0
+    by_path_new = {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in flat_new
+    }
+    for path, old_leaf in flat_old:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        new_leaf = by_path_new[key]
+        if "mtt__u0" in key:
+            n_head_dst += 1
+            src_key = key.replace("mtt__u0", "energy")
+            if src_key in by_path_new:
+                np.testing.assert_array_equal(
+                    np.asarray(new_leaf), np.asarray(by_path_new[src_key])
+                )
+                n_copied += 1
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(new_leaf), np.asarray(old_leaf)
+            )
+    assert n_head_dst > 0 and n_copied == n_head_dst
