@@ -71,6 +71,22 @@ def get_library() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    lib.pairs_to_nef_scatter.restype = ctypes.c_longlong
+    lib.pairs_to_nef_scatter.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
     lib.color_edges.restype = ctypes.c_longlong
     lib.color_edges.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -147,3 +163,50 @@ def native_color_edges(
     if overflow < 0:
         return None
     return colors, int(overflow)
+
+
+def native_pairs_to_nef(
+    centers: np.ndarray,
+    neighbors: np.ndarray,
+    shifts: np.ndarray,
+    reverse_of: np.ndarray,
+    n_atoms: int,
+    m_max: int,
+    slots: Optional[np.ndarray] = None,
+):
+    """NEF scatter in C++ (the hot half of ``ops/neighbors.pairs_to_nef``):
+    returns ``(indices, shifts, mask, reverse)`` padded arrays, or None
+    when the native library is unavailable. Raises on slot overflow or a
+    colliding explicit slot assignment (mirrors the numpy path)."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "pairs_to_nef_scatter"):
+        return None
+    E = len(centers)
+    centers = np.ascontiguousarray(centers, dtype=np.int32)
+    neighbors = np.ascontiguousarray(neighbors, dtype=np.int32)
+    shifts = np.ascontiguousarray(shifts, dtype=np.int32).reshape(E, 3)
+    reverse_of = np.ascontiguousarray(reverse_of, dtype=np.int64)
+    has_slots = slots is not None
+    if has_slots:
+        slots_arr = np.ascontiguousarray(slots, dtype=np.int64)
+        if len(slots_arr) != E:
+            raise ValueError("slots must align with the pair list")
+    else:
+        slots_arr = np.zeros(1, dtype=np.int64)
+    A, M = int(n_atoms), int(m_max)
+    indices = np.empty((A, M), dtype=np.int32)
+    shift_out = np.empty((A, M, 3), dtype=np.int32)
+    mask = np.empty((A, M), dtype=np.uint8)
+    reverse = np.empty((A, M), dtype=np.int32)
+    rc = lib.pairs_to_nef_scatter(
+        centers, neighbors, shifts.reshape(-1), reverse_of, slots_arr,
+        int(has_slots), E, A, M, indices, shift_out.reshape(-1),
+        mask.reshape(-1), reverse,
+    )
+    if rc == -1:
+        raise ValueError(f"max_neighbors={M} too small for the pair list")
+    if rc == -3:
+        raise ValueError("colliding explicit slot assignment")
+    if rc != 0:
+        return None
+    return indices, shift_out, mask.astype(bool), reverse

@@ -249,6 +249,51 @@ long long neighbor_pairs_cell_list(
 // Greedy first-fit colors a geometric graph with max degree d using
 // ~d + O(1) colors; the Kempe-chain pass repairs most remaining edges
 // (Vizing-style alternating-path flip). Returns the overflow count.
+// Scatter a flat directed edge list into padded NEF arrays (the hot
+// part of ops/neighbors.py:pairs_to_nef): per-center slot assignment
+// (sequential first-free, or explicit slots under the colored layout),
+// neighbor/shift/mask writes, and the reversed-edge flat index from the
+// mirror pairing ``reverse_of``. Padding: indices -> own atom, reverse
+// -> self. Returns 0, or -1 on slot overflow (slot >= M), or -3 on a
+// colliding explicit slot assignment.
+long long pairs_to_nef_scatter(
+    const int32_t* centers, const int32_t* neighbors, const int32_t* shifts,
+    const long long* reverse_of, const long long* slots, int has_slots,
+    long long n_edges, long long n_atoms, long long m_max,
+    int32_t* indices, int32_t* shift_out, uint8_t* mask, int32_t* reverse) {
+    const long long AM = n_atoms * m_max;
+    for (long long a = 0; a < n_atoms; ++a) {
+        for (long long m = 0; m < m_max; ++m) {
+            const long long f = a * m_max + m;
+            indices[f] = (int32_t)a;
+            reverse[f] = (int32_t)f;
+            mask[f] = 0;
+        }
+    }
+    for (long long f = 0; f < 3 * AM; ++f) shift_out[f] = 0;
+
+    std::vector<int32_t> counter;
+    if (!has_slots) counter.assign(n_atoms, 0);
+    std::vector<long long> edge_flat(n_edges);
+    for (long long e = 0; e < n_edges; ++e) {
+        const long long a = centers[e];
+        const long long s = has_slots ? slots[e] : (long long)counter[a]++;
+        if (s >= m_max) return -1;
+        const long long f = a * m_max + s;
+        if (has_slots && mask[f]) return -3;
+        indices[f] = neighbors[e];
+        shift_out[3 * f] = shifts[3 * e];
+        shift_out[3 * f + 1] = shifts[3 * e + 1];
+        shift_out[3 * f + 2] = shifts[3 * e + 2];
+        mask[f] = 1;
+        edge_flat[e] = f;
+    }
+    for (long long e = 0; e < n_edges; ++e) {
+        reverse[edge_flat[e]] = (int32_t)edge_flat[reverse_of[e]];
+    }
+    return 0;
+}
+
 long long color_edges(const int32_t* centers, const int32_t* neighbors,
                       long long n_edges, long long n_atoms, int num_colors,
                       int32_t* out_colors) {

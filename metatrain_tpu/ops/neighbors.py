@@ -217,6 +217,24 @@ def pairs_to_nef(
     if m_req > M:
         raise ValueError(f"max_neighbors={M} < largest neighborhood {m_req}")
 
+    if reverse_of is not None and len(centers):
+        # C++ fast path for the scatter + reverse-index construction
+        # (~2x the numpy path at MD-rebuild rates)
+        from ..native import native_pairs_to_nef
+
+        native = native_pairs_to_nef(
+            centers, neighbors, shifts, reverse_of, n_atoms, M, slots=slots
+        )
+        if native is not None:
+            indices_n, shifts_n, mask_n, reverse_n = native
+            return NeighborData(
+                indices=indices_n,
+                shifts=shifts_n,
+                mask=mask_n,
+                reverse=reverse_n,
+                colored=colored,
+            )
+
     if slots is None:
         order = np.argsort(centers, kind="stable")
         sorted_centers = centers[order]

@@ -127,3 +127,32 @@ def test_native_is_faster_at_scale():
     assert len(native[0]) == len(fallback[0])
     # native should win comfortably; loose factor to avoid CI flakiness
     assert t_native < t_kdtree
+
+
+def test_native_nef_scatter_matches_numpy(monkeypatch):
+    """The C++ pairs_to_nef_scatter equals the numpy scatter bit-for-bit
+    (both slot modes)."""
+    import metatrain_tpu.ops.neighbors as nbr_mod
+    from metatrain_tpu.ops.neighbors import compute_neighbor_data
+
+    rng = np.random.default_rng(5)
+    system = System(
+        positions=rng.uniform(0, 8, size=(64, 3)),
+        types=rng.choice([1, 6], size=64),
+        cell=np.eye(3) * 8.0,
+        pbc=np.ones(3, dtype=bool),
+    )
+    for colored in (False, True):
+        fast = compute_neighbor_data(system, cutoff=3.0, colored=colored)
+        import metatrain_tpu.native as native_mod
+
+        monkeypatch.setattr(
+            native_mod, "native_pairs_to_nef", lambda *a, **k: None
+        )
+        slow = compute_neighbor_data(system, cutoff=3.0, colored=colored)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(fast.indices, slow.indices)
+        np.testing.assert_array_equal(fast.shifts, slow.shifts)
+        np.testing.assert_array_equal(fast.mask, slow.mask)
+        np.testing.assert_array_equal(fast.reverse, slow.reverse)
+        assert fast.colored == slow.colored == colored
