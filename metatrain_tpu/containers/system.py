@@ -365,8 +365,12 @@ def colored_fixups(
     slot_preserving = nbr_reverse.astype(np.int64) == nbr * M + col
 
     a_idx = np.arange(A, dtype=np.int64)[:, None]
+    # circular offset of the matched atom from its block start; depends
+    # only on BA, so compute once per geometry, not per band: the band
+    # condition is then u < BA + mg  OR  u >= A - mg
+    u_by_ba: dict = {}
     plain_cost = A * M * GATHER_SECONDS_PER_ROW
-    best = (plain_cost, 0, None)  # (cost, band, (geom, bad_rows))
+    best = (plain_cost, 0, None)  # (cost, band, geom)
     for band in BAND_BUCKETS:
         geom = kernel_geometry(A, band)
         if geom is None:
@@ -374,36 +378,39 @@ def colored_fixups(
         BA, mg, W = geom
         if 2 * M * W * feature_dim * 2 > _color_vmem_budget():
             continue  # bf16 band scratch would exceed the kernel's VMEM
-        a0 = (a_idx // BA) * BA  # block start per output atom
-        l = local_band_index(nbr, a0, mg, A, W, xp=np)
-        ok = slot_preserving & (l >= 0) & (l < W)
-        bad = np.nonzero(~ok.reshape(-1))[0]
-        K = _fixup_width(bad // (BA * M), A // BA)
+        if BA not in u_by_ba:
+            a0 = (a_idx // BA) * BA
+            u_by_ba[BA] = ((nbr - a0) % A).astype(np.int32)
+        u = u_by_ba[BA]
+        ok = slot_preserving & ((u < BA + mg) | (u >= A - mg))
+        G = A // BA
+        per_block_bad = (~ok).reshape(G, BA * M).sum(axis=1)
+        K = _fixup_width_from_max(int(per_block_bad.max(initial=0)))
         cost = (
             2.0 * M * A * (W + K) * feature_dim / MATMUL_FLOPS_PER_SECOND
-            + (A // BA) * K * GATHER_SECONDS_PER_ROW
+            + G * K * GATHER_SECONDS_PER_ROW
         )
         if cost < best[0]:
-            best = (cost, band, (geom, bad))
+            best = (cost, band, geom)
     if best[1] == 0:
         return 0, np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int32)
 
-    _, band, ((BA, mg, W), rows) = best
+    _, band, (BA, mg, W) = best
+    u = u_by_ba[BA]
+    ok = slot_preserving & ((u < BA + mg) | (u >= A - mg))
+    rows = np.nonzero(~ok.reshape(-1))[0]
     G = A // BA
-    blocks = rows // (BA * M)
+    blocks = rows // (BA * M)  # nondecreasing (rows sorted)
     K = _fixup_width(blocks, G)
     src = np.zeros((G, K), dtype=np.int32)
     dst = np.full((G, K), -1, dtype=np.int32)
-    slot_in_block = np.zeros(G, dtype=np.int64)
     a = rows // M
     m = rows % M
-    dst_local = m * BA + (a - blocks * BA)
-    src_global = nbr_reverse.reshape(-1)[rows]
-    for g, d, s in zip(blocks, dst_local, src_global):
-        k = slot_in_block[g]
-        src[g, k] = s
-        dst[g, k] = d
-        slot_in_block[g] += 1
+    counts = np.bincount(blocks, minlength=G)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    k = np.arange(len(rows), dtype=np.int64) - starts[blocks]
+    src[blocks, k] = nbr_reverse.reshape(-1)[rows]
+    dst[blocks, k] = m * BA + (a - blocks * BA)
     return band, src, dst
 
 
@@ -414,6 +421,12 @@ def _fixup_width(blocks: np.ndarray, n_blocks: int) -> int:
     if len(blocks) == 0:
         return 0
     max_count = int(np.bincount(blocks, minlength=max(n_blocks, 1)).max())
+    return _fixup_width_from_max(max_count)
+
+
+def _fixup_width_from_max(max_count: int) -> int:
+    if max_count == 0:
+        return 0
     return _round_up(max(max_count, 128), 128)
 
 
