@@ -111,7 +111,10 @@ def _expand_heads_scaled(x, num_heads: int, head_dim: int, scale: float):
 
 def _use_qside(T: int, D: int, num_heads: int) -> bool:
     """The q-side grouped formulation additionally needs an even head
-    count so the two AV groups split D at a head boundary."""
+    count so the two AV groups split D at a head boundary.
+    ``MTT_QSIDE=0`` falls back to the kq-transposed form (A/B knob)."""
+    if os.environ.get("MTT_QSIDE", "1") == "0":
+        return False
     return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
 
 
