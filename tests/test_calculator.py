@@ -119,3 +119,20 @@ def test_calculator_cached_batch_matches_fresh():
         np.testing.assert_allclose(
             out_cached["forces"], out_fresh["forces"], rtol=1e-4, atol=1e-6
         )
+
+
+def test_ase_adapter_clear_error_without_ase():
+    """The ASE adapter module imports without ase and raises a clear
+    ImportError on construction (ase absent in this environment)."""
+    import importlib
+
+    mod = importlib.import_module("metatrain_tpu.ase_calculator")
+    if mod._HAVE_ASE:
+        import pytest
+
+        pytest.skip("ase installed; error path not reachable")
+    try:
+        mod.MetatrainTPUCalculator("nonexistent.mtt")
+        raise AssertionError("expected ImportError")
+    except ImportError as err:
+        assert "ase" in str(err)
