@@ -85,3 +85,29 @@ class MetatrainTPUCalculator(_ASECalculator):
                     stress[0, 1],
                 ]
             )
+
+
+def system_to_ase(system):
+    """Convert a :class:`metatrain_tpu.containers.System` to ``ase.Atoms``
+    (reference ``utils/data/system_to_ase.py``). Neighbor data and extra
+    fields are discarded."""
+    import ase
+
+    return ase.Atoms(
+        numbers=np.asarray(system.types),
+        positions=np.asarray(system.positions),
+        cell=np.asarray(system.cell),
+        pbc=list(np.asarray(system.pbc)),
+    )
+
+
+def ase_to_system(atoms):
+    """Convert an ``ase.Atoms`` to a :class:`metatrain_tpu.containers.System`."""
+    from .containers import System
+
+    return System(
+        positions=np.asarray(atoms.get_positions(), dtype=np.float64),
+        types=np.asarray(atoms.get_atomic_numbers(), dtype=np.int32),
+        cell=np.asarray(atoms.get_cell()[:], dtype=np.float64),
+        pbc=np.asarray(atoms.get_pbc(), dtype=bool),
+    )
