@@ -731,8 +731,10 @@ def _block_atoms(T: int, backward: bool = False) -> int:
     # benchmarks/micro_blocksweep.py at the bench shape (T=48); the
     # hand-written backward (_layer_bwd_math) has a much smaller VMEM
     # footprint than the old vjp-traced backward, allowing BA=64
-    env = os.environ.get("MTT_FUSED_BA_BWD")
-    if backward and env:
+    env = os.environ.get(
+        "MTT_FUSED_BA_BWD" if backward else "MTT_FUSED_BA_FWD"
+    )
+    if env:
         return int(env)
     if T <= 48:
         return 64 if backward else 128
