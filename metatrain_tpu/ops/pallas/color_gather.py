@@ -39,6 +39,7 @@ op -- grad and grad-of-grad never materialize a scatter.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -112,7 +113,7 @@ def local_band_index(nbr, a0_block, mg: int, A: int, W: int, xp=jnp):
 # -- kernel ------------------------------------------------------------------
 
 
-def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start):
+def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start, ext=False):
     """Start (or wait for) the band DMA of block ``gi`` into ``band[slot]``.
 
     Reads directly from the color-major (M, A, D) array: interior blocks
@@ -125,6 +126,16 @@ def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start):
 
     def act(copy):
         copy.start() if start else copy.wait()
+
+    if ext:  # extended-copy layout: every window is one plain slab
+        act(
+            pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(gi * BA, W), :],
+                band.at[slot],
+                sems.at[slot, 0],
+            )
+        )
+        return
 
     is_interior = jnp.logical_and(gi >= n_wrap, gi < G - n_wrap)
 
@@ -186,12 +197,12 @@ def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start):
 
 def _kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
-    *, A, M, D, W, mg, BA, K,
+    *, A, M, D, W, mg, BA, K, ext,
 ):
     g = pl.program_id(0)
     G = pl.num_programs(0)
     dma = functools.partial(
-        _band_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, W=W, G=G
+        _band_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, W=W, G=G, ext=ext
     )
 
     @pl.when(g == 0)
@@ -265,8 +276,12 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
 
     # color-major layout: the band of every block is one contiguous slab
     # of rows per color; circular wrap is handled by the kernel's static
-    # per-block DMA branches (_band_dma) -- no extended copy in HBM
+    # per-block DMA branches (_band_dma) -- no extended copy in HBM.
+    # MTT_COLOR_EXT=1 restores the extended-copy layout (A/B knob).
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
+    use_ext = os.environ.get("MTT_COLOR_EXT", "0") == "1"
+    if use_ext:
+        xT = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
 
     # patch values for the in-kernel fixup: a tiny XLA row gather
     if K:
@@ -278,7 +293,7 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K
+            _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K, ext=use_ext
         ),
         grid=(G,),
         in_specs=[
