@@ -98,9 +98,20 @@ class SoapBpnn(AtomisticNNModel):
                             "num_properties": len(block.properties),
                         }
                     )
+            elif info.is_cartesian and info.rank == 2:
+                # predicted as (l=0, s=1), (l=1, s=-1), (l=2, s=1) spherical
+                # parts, converted to 3x3 Cartesian with the CG intertwiner
+                # (reference soap_bpnn/model.py:1085-1102,1320)
+                for _, block in info.layout.items():
+                    specs.append(
+                        {
+                            "type": "cartesian_rank2",
+                            "num_properties": len(block.properties),
+                        }
+                    )
             else:
                 raise NotImplementedError(
-                    f"SOAP-BPNN target '{name}': Cartesian rank >= 2 targets "
+                    f"SOAP-BPNN target '{name}': Cartesian rank >= 3 targets "
                     "are not supported (use a spherical decomposition)"
                 )
             target_specs[name] = specs

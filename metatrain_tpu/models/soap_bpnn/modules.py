@@ -357,6 +357,34 @@ class SoapBpnnModule(nn.Module):
                         dtype=self.dtype,
                         name=f"last_layer_{safe}_{block_key}",
                     )(head_features, species_index)
+                elif spec["type"] == "cartesian_rank2":
+                    # rank-2 Cartesian: predict the (0,1), (1,-1), (2,1)
+                    # spherical parts and convert with the CG intertwiner
+                    # (reference soap_bpnn/model.py:1085-1102,1320-1355)
+                    from ...ops.cg import spherical_to_cartesian_rank2
+
+                    parts = []
+                    for lam, sigma in ((0, 1), (1, -1), (2, 1)):
+                        parts.append(
+                            TensorBasis(
+                                o3_lambda=lam,
+                                o3_sigma=sigma,
+                                max_angular=max_angular,
+                                num_properties=spec["num_properties"],
+                                add_lambda_basis=hp["add_lambda_basis"],
+                                dtype=self.dtype,
+                                name=(
+                                    f"tensor_basis_{safe}_{block_key}"
+                                    f"_l{lam}s{1 if sigma > 0 else 'm1'}"
+                                ),
+                            )(coeffs, head_features)
+                        )
+                    sph = jnp.concatenate(parts, axis=1)  # (A, 9, p)
+                    w_cart = jnp.asarray(
+                        spherical_to_cartesian_rank2(), dtype=sph.dtype
+                    )
+                    cart = jnp.einsum("ijM,aMp->aijp", w_cart, sph)
+                    per_block[block_key] = cart.reshape(cart.shape[0], -1)
                 else:  # equivariant block via the CG tensor basis
                     lam = spec["o3_lambda"]
                     out = TensorBasis(

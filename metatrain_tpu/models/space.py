@@ -218,6 +218,36 @@ class SpaceModule(nn.Module):
                         size, dtype=self.dtype, name=f"last_{safe}_{block_key}"
                     )(head)
                     continue
+                if spec["type"] == "cartesian_rank2":
+                    # rank-2 Cartesian: (0,1) + (1,-1) + (2,1) spherical
+                    # parts -> 3x3 via the CG intertwiner (reference
+                    # space/model.py:659-663,761)
+                    from ..ops.cg import spherical_to_cartesian_rank2
+
+                    parts = []
+                    for lam, sigma in ((0, 1), (1, -1), (2, 1)):
+                        sub = {
+                            "o3_lambda": lam,
+                            "o3_sigma": sigma,
+                            "num_properties": spec["num_properties"],
+                        }
+                        parts.append(
+                            _space_equivariant_readout(
+                                self,
+                                features,
+                                sub,
+                                lmax,
+                                f"equiv_{safe}_{block_key}_l{lam}"
+                                f"s{1 if sigma > 0 else 'm1'}",
+                            ).transpose(0, 2, 1)  # (A, 2lam+1, P)
+                        )
+                    sph = jnp.concatenate(parts, axis=1)  # (A, 9, P)
+                    w_cart = jnp.asarray(
+                        spherical_to_cartesian_rank2(), dtype=sph.dtype
+                    )
+                    cart = jnp.einsum("ijM,aMp->aijp", w_cart, sph)
+                    per_block[block_key] = cart.reshape(cart.shape[0], -1)
+                    continue
                 out = _space_equivariant_readout(
                     self,
                     features,
@@ -337,9 +367,26 @@ class SPACE(AtomisticNNModel):
                             "num_properties": len(block.properties),
                         }
                     )
+            elif info.is_cartesian and info.rank == 2:
+                # predicted as (0,1), (1,-1), (2,1) spherical parts and
+                # converted via the CG intertwiner (reference
+                # space/model.py:659-663,761); needs lmax >= 2 features
+                if lmax < 2:
+                    raise NotImplementedError(
+                        f"SPACE target '{name}': rank-2 Cartesian targets "
+                        f"need feature body order lmax >= 2 (got {lmax}; "
+                        "increase k_max_l)"
+                    )
+                for _, block in info.layout.items():
+                    specs.append(
+                        {
+                            "type": "cartesian_rank2",
+                            "num_properties": len(block.properties),
+                        }
+                    )
             else:
                 raise NotImplementedError(
-                    f"SPACE target '{name}': Cartesian rank >= 2 targets "
+                    f"SPACE target '{name}': Cartesian rank >= 3 targets "
                     "are not supported (use a spherical decomposition)"
                 )
             target_specs[name] = specs

@@ -141,3 +141,29 @@ def cg_paths(l_max: int) -> Dict[Tuple[int, int, int], np.ndarray]:
             for L in range(abs(l1 - l2), min(l1 + l2, l_max) + 1):
                 paths[(l1, l2, L)] = real_clebsch_gordan(l1, l2, L)
     return paths
+
+
+@lru_cache(maxsize=1)
+def spherical_to_cartesian_rank2() -> np.ndarray:
+    """Intertwiner ``W[i, j, M]`` of shape (3, 3, 9) mapping the
+    concatenated real-spherical components M of (l=0, l=1, l=2) to a 3x3
+    Cartesian tensor ``T_ij = sum_M W[i, j, M] s_M``.
+
+    Convention: real-SH m-order (-1, 0, 1) corresponds to (y, z, x)
+    (reference ``soap_bpnn/model.py:382-396``); equivariant architectures
+    predict the (0, 1), (1, -1), (2, 1) spherical parts of a rank-2
+    Cartesian target and convert with this matrix, so the output
+    transforms as ``R T R^T`` by construction.
+    """
+    # U[i, m]: Cartesian row i in (x, y, z) picks the real-SH m index
+    u = np.zeros((3, 3))
+    u[0, 2] = u[1, 0] = u[2, 1] = 1.0
+    w = np.zeros((3, 3, 9))
+    offset = 0
+    for L in (0, 1, 2):
+        cg = real_clebsch_gordan(1, 1, L)  # (3, 3, 2L+1)
+        w[:, :, offset : offset + 2 * L + 1] = np.einsum(
+            "im,jn,mnp->ijp", u, u, cg
+        )
+        offset += 2 * L + 1
+    return w

@@ -304,7 +304,7 @@ class ArchitectureTests:
     @pytest.fixture(
         scope="class",
         params=["per_atom_scalar", "multi_property", "cartesian_rank1",
-                "spherical_l2"],
+                "cartesian_rank2", "spherical_l2"],
     )
     def typed_dataset(self, request):
         kind = request.param
@@ -330,6 +330,11 @@ class ArchitectureTests:
                 "cartesian", 1, "", "dipole", rank=1
             )
             values = [rng.normal(size=(1, 3, 1)) for _ in systems]
+        elif kind == "cartesian_rank2":
+            info = get_generic_target_info(
+                "cartesian", 1, "", "polarizability", rank=2
+            )
+            values = [rng.normal(size=(1, 3, 3, 1)) for _ in systems]
         else:  # spherical_l2
             info = get_generic_target_info(
                 "spherical",
@@ -421,6 +426,8 @@ class ArchitectureTests:
         p_rot = predict(rotated)
         if kind == "cartesian_rank1":
             expected = np.einsum("ij,jp->ip", rotation, p0)
+        elif kind == "cartesian_rank2":
+            expected = np.einsum("ij,jkp,lk->ilp", rotation, p0, rotation)
         elif kind == "spherical_l2":
             expected = np.einsum("ij,jp->ip", real_wigner_d(rotation, 2), p0)
         else:

@@ -39,9 +39,11 @@ class TestSoapBpnn(ArchitectureTests):
     supports_forces = True
     supported_target_types = (
         "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
-        "spherical_l2",
+        "cartesian_rank2", "spherical_l2",
     )
-    equivariant_target_types = ("cartesian_rank1", "spherical_l2")
+    equivariant_target_types = (
+        "cartesian_rank1", "cartesian_rank2", "spherical_l2"
+    )
 
 
 class TestSoapBpnnAlchemical(ArchitectureTests):
@@ -82,9 +84,12 @@ class TestSPACE(ArchitectureTests):
         "per_atom_scalar",
         "multi_property",
         "cartesian_rank1",
+        "cartesian_rank2",
         "spherical_l2",
     )
-    equivariant_target_types = ("cartesian_rank1", "spherical_l2")
+    equivariant_target_types = (
+        "cartesian_rank1", "cartesian_rank2", "spherical_l2"
+    )
 
 
 class TestDPA3(ArchitectureTests):
