@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     evaluate.add_argument("-b", "--batch-size", type=int, default=16)
     evaluate.add_argument("--check-consistency", action="store_true")
     evaluate.add_argument(
+        "--warm-up",
+        type=int,
+        default=1,
+        metavar="N",
+        help="number of untimed warm-up batches before the timed pass",
+    )
+    evaluate.add_argument(
         "--profile",
         default=None,
         metavar="DIR",
@@ -58,8 +65,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     export = sub.add_parser("export", help="export a checkpoint")
-    export.add_argument("checkpoint")
+    export.add_argument(
+        "checkpoint",
+        help="checkpoint path, URL, or hf://<org>/<repo>/<file> reference",
+    )
     export.add_argument("-o", "--output", default="model.mtt")
+    export.add_argument(
+        "-m",
+        "--metadata",
+        default=None,
+        help="YAML file with metadata to merge into the exported model",
+    )
+    export.add_argument(
+        "-r",
+        "--revision",
+        "-b",
+        "--branch",
+        dest="revision",
+        default=None,
+        help="HF-Hub revision/branch for hf:// checkpoint references",
+    )
+    export.add_argument(
+        "--token",
+        default=None,
+        help="HF-Hub access token (defaults to $HF_TOKEN)",
+    )
     return parser
 
 
@@ -126,11 +156,24 @@ def main(argv=None) -> int:
                         output_path=args.output,
                         batch_size=args.batch_size,
                         check_consistency=args.check_consistency,
+                        warm_up=args.warm_up,
                     )
             elif args.command == "export":
                 from .cli.export import export_model
 
-                export_model(args.checkpoint, args.output)
+                metadata = None
+                if args.metadata:
+                    import yaml
+
+                    with open(args.metadata) as f:
+                        metadata = yaml.safe_load(f)
+                export_model(
+                    args.checkpoint,
+                    args.output,
+                    metadata=metadata,
+                    revision=args.revision,
+                    hf_token=args.token,
+                )
         except Exception:
             error_log = output_dir / "error.log"
             with open(error_log, "w") as f:

@@ -82,6 +82,7 @@ def eval_model(
     output_path: Optional[str] = None,
     batch_size: int = 16,
     check_consistency: bool = False,
+    warm_up: int = 1,
 ) -> Dict[str, float]:
     """Full eval command: load model, read dataset, evaluate, write outputs."""
     model = load_model(model_path, context="export")
@@ -129,10 +130,8 @@ def eval_model(
             check_batch_consistency(
                 batch.systems, model.requested_neighbor_cutoff() or 5.0
             )
-    if batch_list:
-        jax.block_until_ready(
-            eval_step(model.params, batch_list[0])[1]
-        )
+    for batch in batch_list[: max(warm_up, 1)]:
+        jax.block_until_ready(eval_step(model.params, batch)[1])
 
     per_atom_times = []
     start_total = time.perf_counter()

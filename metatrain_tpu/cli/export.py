@@ -168,8 +168,16 @@ def export_model(
     checkpoint_path: str,
     output_path: str = "model.mtt",
     metadata: Optional[Dict[str, Any]] = None,
+    revision: Optional[str] = None,
+    hf_token: Optional[str] = None,
 ) -> None:
-    """Export from a checkpoint file (applies version migrations)."""
+    """Export from a checkpoint file, URL, or HF-Hub reference (applies
+    version migrations; reference ``cli/export.py:159-224``)."""
+    from ..utils.io import resolve_model_path
+
+    checkpoint_path = resolve_model_path(
+        checkpoint_path, revision=revision, token=hf_token
+    )
     model = model_from_checkpoint(checkpoint_path, context="export")
     raw = load_checkpoint_file(checkpoint_path)
     if raw.get("best_params") is not None:

@@ -42,8 +42,12 @@ _mtt_tpu()
       ;;
     export)
       case "${prev_word}" in
-        -h|--help|-o|--output)
+        -h|--help|-o|--output|-r|--revision|-b|--branch|--token)
           COMPREPLY=( )
+          return 0
+          ;;
+        -m|--metadata)
+          COMPREPLY=( $(compgen -f -X "$yaml" -- "${cur_word}") )
           return 0
           ;;
         *)
@@ -53,13 +57,13 @@ _mtt_tpu()
           fi
           ;;
       esac
-      local opts="-h --help -o --output"
+      local opts="-h --help -o --output -m --metadata -r --revision -b --branch --token"
       COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
       return 0
       ;;
     eval)
       case "${prev_word}" in
-        -h|--help|-o|--output|-b|--batch-size|--check-consistency)
+        -h|--help|-o|--output|-b|--batch-size|--check-consistency|--warm-up)
           COMPREPLY=( )
           return 0
           ;;
@@ -77,7 +81,7 @@ _mtt_tpu()
           fi
           ;;
       esac
-      local opts="-h --help -o --output -b --batch-size --check-consistency --profile"
+      local opts="-h --help -o --output -b --batch-size --check-consistency --warm-up --profile"
       COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
       return 0
       ;;

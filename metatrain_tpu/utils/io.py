@@ -104,14 +104,18 @@ def _cache_dir() -> Path:
     return path
 
 
-def resolve_model_path(path: str) -> str:
+def resolve_model_path(
+    path: str, revision: str = None, token: str = None
+) -> str:
     """Resolve a local path, ``http(s)://`` / ``file://`` URL, or
     HuggingFace Hub reference (``hf://<repo_id>/<filename>`` or a
     huggingface.co URL) to a local file, downloading into the cache
     (reference ``cli/export.py:203-211`` + ``utils/io.py:135-188``).
 
-    Authentication: a token from ``$HF_TOKEN`` is sent as a Bearer header
-    for huggingface.co downloads.
+    :param revision: HF-Hub branch/revision for ``hf://`` references
+        (reference ``cli/export.py -r/--revision``); default ``main``.
+    :param token: HF access token; falls back to ``$HF_TOKEN``. Sent as a
+        Bearer header for huggingface.co downloads.
     """
     import hashlib
     import os
@@ -119,7 +123,7 @@ def resolve_model_path(path: str) -> str:
 
     path = str(path)
     if path.startswith("hf://"):
-        # hf://<org>/<repo>/<filename...>  (main revision)
+        # hf://<org>/<repo>/<filename...>
         parts = path[len("hf://") :].split("/")
         if len(parts) < 3:
             raise ValueError(
@@ -128,7 +132,8 @@ def resolve_model_path(path: str) -> str:
         repo_id = "/".join(parts[:2])
         filename = "/".join(parts[2:])
         path = (
-            f"https://huggingface.co/{repo_id}/resolve/main/{filename}"
+            f"https://huggingface.co/{repo_id}/resolve/"
+            f"{revision or 'main'}/{filename}"
         )
     if path.startswith("file://"):
         return path[len("file://") :]
@@ -140,7 +145,7 @@ def resolve_model_path(path: str) -> str:
     if target.exists():
         return str(target)
     request = urllib.request.Request(path)
-    token = os.environ.get("HF_TOKEN")
+    token = token or os.environ.get("HF_TOKEN")
     if token and "huggingface.co" in path:
         request.add_header("Authorization", f"Bearer {token}")
     with urllib.request.urlopen(request) as response, open(

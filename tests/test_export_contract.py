@@ -167,3 +167,12 @@ def test_resolve_hf_reference_builds_url(monkeypatch, tmp_path):
     )
     assert captured["auth"] == "Bearer tok123"
     assert Path(local).read_bytes() == b"payload"
+
+    # explicit revision + token override (CLI -r/--revision, --token)
+    resolve_model_path(
+        "hf://some-org/some-repo/other.mtt", revision="v2", token="tok456"
+    )
+    assert captured["url"] == (
+        "https://huggingface.co/some-org/some-repo/resolve/v2/other.mtt"
+    )
+    assert captured["auth"] == "Bearer tok456"
