@@ -22,22 +22,36 @@ def is_slurm_job() -> bool:
 
 
 def slurm_world() -> Optional[dict]:
-    """Process-group description from SLURM env vars, or None.
+    """Process-group description from the environment, or None.
 
     Mirrors reference ``slurm.py:10-79``: world size from
     ``SLURM_NTASKS``, rank from ``SLURM_PROCID``, coordinator from the
-    first host of ``SLURM_JOB_NODELIST``.
+    first host of ``SLURM_JOB_NODELIST``. For non-SLURM launchers the
+    ``MTT_NUM_PROCESSES`` / ``MTT_PROCESS_ID`` /
+    ``MTT_COORDINATOR_ADDRESS`` variables override (and suffice on
+    their own).
     """
-    ntasks = int(os.environ.get("SLURM_NTASKS", "1"))
+    ntasks = int(
+        os.environ.get(
+            "MTT_NUM_PROCESSES", os.environ.get("SLURM_NTASKS", "1")
+        )
+    )
     if ntasks <= 1:
         return None
+    coordinator = os.environ.get("MTT_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        coordinator = expand_first_host(
+            os.environ.get("SLURM_JOB_NODELIST", "localhost")
+        )
     return {
         "num_processes": ntasks,
-        "process_id": int(os.environ.get("SLURM_PROCID", "0")),
-        "local_rank": int(os.environ.get("SLURM_LOCALID", "0")),
-        "coordinator": expand_first_host(
-            os.environ.get("SLURM_JOB_NODELIST", "localhost")
+        "process_id": int(
+            os.environ.get(
+                "MTT_PROCESS_ID", os.environ.get("SLURM_PROCID", "0")
+            )
         ),
+        "local_rank": int(os.environ.get("SLURM_LOCALID", "0")),
+        "coordinator": coordinator,
     }
 
 
@@ -71,8 +85,11 @@ def initialize_distributed(port: int = 39591) -> dict:
     world = slurm_world()
     if world is None:
         return {"num_processes": 1, "process_id": 0, "local_rank": 0}
+    coordinator = world["coordinator"]
+    if ":" not in coordinator:
+        coordinator = f"{coordinator}:{port}"
     jax.distributed.initialize(
-        coordinator_address=f"{world['coordinator']}:{port}",
+        coordinator_address=coordinator,
         num_processes=world["num_processes"],
         process_id=world["process_id"],
     )

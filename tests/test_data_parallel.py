@@ -173,3 +173,12 @@ def test_slurm_world_from_env(monkeypatch):
 
     monkeypatch.setenv("SLURM_NTASKS", "1")
     assert slurm_world() is None
+
+    # non-SLURM launcher: MTT_* overrides suffice on their own
+    monkeypatch.setenv("MTT_NUM_PROCESSES", "2")
+    monkeypatch.setenv("MTT_PROCESS_ID", "1")
+    monkeypatch.setenv("MTT_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    world = slurm_world()
+    assert world["num_processes"] == 2
+    assert world["process_id"] == 1
+    assert world["coordinator"] == "10.0.0.1:1234"
