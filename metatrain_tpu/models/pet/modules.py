@@ -357,7 +357,6 @@ class CartesianTransformer(nn.Module):
 
     d_pet: int
     d_node: int
-    d_head_dim_total: int  # kept for clarity; equals d_pet
     num_heads: int
     d_feedforward: int
     num_attention_layers: int
@@ -604,7 +603,6 @@ class PETBackbone(nn.Module):
             layer_cls(
                 d_pet=d_pet,
                 d_node=d_node,
-                d_head_dim_total=d_pet,
                 num_heads=hp["num_heads"],
                 d_feedforward=hp["d_feedforward"],
                 num_attention_layers=hp["num_attention_layers"],

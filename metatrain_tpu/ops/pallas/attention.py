@@ -64,74 +64,6 @@ def _block_atoms_mexp(T: int, D: int, num_heads: int, dtype, backward: bool) -> 
     return int(min(ba, 128)) // 8 * 8
 
 
-def _attention_fwd_kernel_v2(
-    q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scale: float
-):
-    """Head-expanded formulation: one full-D-contraction matmul computes
-    the scores of ALL heads at once.
-
-    With per-head masks m_h (1 on head h's slice of D), define
-    K_exp[b, u*H+h, :] = k[b, u, :] * m_h. Then
-
-        S'[b, t, u*H+h] = sum_D q[b,t,D] K_exp[b,u*H+h,D]
-                        = sum_{d in head h} q k = scores[b,h,t,u],
-
-    i.e. a single (BA, T, D) x (BA, D, T*H) batched matmul with a
-    128-wide contraction -- MXU-shaped -- instead of H small
-    hd-contraction matmuls. The output contraction uses the same
-    expansion: V_exp[b, u*H+h, :] = v[b,u,:] * m_h gives
-    O[b,t,:] = sum_{uH+h} W'[b,t,uH+h] V_exp[b,uH+h,:], which routes each
-    output column d to its own head's weights.
-    """
-    BA, T, D = q_ref.shape
-    H = num_heads
-    head_dim = D // H
-
-    # (H, D) head masks as an iota comparison (2D iota is TPU-safe)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
-    head_mask = (col // head_dim == row).astype(q_ref.dtype)  # (H, D)
-
-    k = k_ref[:]  # (BA, T, D)
-    v = v_ref[:]
-    q = q_ref[:]
-    bias = bias_ref[:].astype(jnp.float32)  # (BA, T)
-
-    # expand: (BA, T, H, D) -> (BA, T*H, D)
-    k_exp = (k[:, :, None, :] * head_mask[None, None, :, :]).reshape(
-        BA, T * H, D
-    )
-    v_exp = (v[:, :, None, :] * head_mask[None, None, :, :]).reshape(
-        BA, T * H, D
-    )
-
-    scores = jax.lax.dot_general(
-        q,
-        k_exp,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BA, T, T*H)
-    scores = scores * scale
-    # bias depends on the key token u: broadcast over heads
-    bias_exp = jnp.repeat(bias, H, axis=1)  # (BA, T*H) keyed as u*H+h
-    scores = scores + bias_exp[:, None, :]
-
-    # softmax per (b, t, h) over u: reshape to expose the head axis
-    s4 = scores.reshape(BA, T, T, H)
-    s4 = s4 - jnp.max(s4, axis=2, keepdims=True)
-    exp = jnp.exp(s4)
-    weights4 = exp / jnp.sum(exp, axis=2, keepdims=True)
-    weights = weights4.reshape(BA, T, T * H).astype(v.dtype)
-
-    out = jax.lax.dot_general(
-        weights,
-        v_exp,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BA, T, D)
-    out_ref[:] = out.astype(out_ref.dtype)
-
-
 def _head_col_mask(h: int, D: int, head_dim: int, dtype):
     """(1, 1, D) mask selecting head ``h``'s feature columns."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
