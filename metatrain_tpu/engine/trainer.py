@@ -91,6 +91,39 @@ DEFAULT_TRAINER_HYPERS: Dict[str, Any] = {
 }
 
 
+def _validate_species_weight_map(spec: Any, what: str) -> None:
+    """Early validation of per-target weight maps (reference InputTests,
+    ``utils/testing/input.py``): ``{target: scalar}`` or
+    ``{target: {atomic_number: value}}``; species keys must be integers
+    (``"H"`` is rejected like the reference's pydantic schema) and all
+    values numeric. A string (checkpoint path to load) passes through."""
+    if not spec or isinstance(spec, str):
+        return
+    if not isinstance(spec, dict):
+        raise ValueError(f"'{what}' must be a mapping, got {type(spec).__name__}")
+    for target, value in spec.items():
+        if isinstance(value, dict):
+            for z, weight in value.items():
+                if isinstance(z, bool) or not isinstance(z, int):
+                    try:
+                        int(str(z))
+                    except ValueError:
+                        raise ValueError(
+                            f"'{what}' for target '{target}': species keys "
+                            f"must be atomic numbers (integers), got {z!r}"
+                        ) from None
+                if not isinstance(weight, (int, float)):
+                    raise ValueError(
+                        f"'{what}' for target '{target}': value for species "
+                        f"{z} must be a number, got {type(weight).__name__}"
+                    )
+        elif not isinstance(value, (int, float)) or isinstance(value, bool):
+            raise ValueError(
+                f"'{what}' for target '{target}' must be a number or a "
+                f"{{atomic_number: value}} mapping, got {type(value).__name__}"
+            )
+
+
 class NNTrainer(TrainerInterface):
     """Gradient-descent trainer shared by all NN architectures."""
 
@@ -101,6 +134,10 @@ class NNTrainer(TrainerInterface):
         full = copy.deepcopy(self.DEFAULT_HYPERS)
         full.update(hypers or {})
         super().__init__(full)
+        _validate_species_weight_map(full["atomic_baseline"], "atomic_baseline")
+        _validate_species_weight_map(
+            full.get("fixed_scaling_weights", {}), "fixed_scaling_weights"
+        )
         self.epoch: int = 0
         self.opt_state: Any = None
         self.best_metric: float = float("inf")

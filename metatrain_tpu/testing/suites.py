@@ -506,6 +506,69 @@ class ArchitectureTests:
                 rows = list(csv.DictReader(f))
             assert np.isfinite(float(rows[-1]["train loss"]))
 
+    # -- InputTests (reference ``utils/testing/input.py``) -------------------
+
+    def test_atomic_baseline_accepted(self, arch_module):
+        """Valid fixed atomic baselines are accepted by the trainer."""
+        trainer_cls = arch_module.__trainer__
+        if "atomic_baseline" not in getattr(trainer_cls, "DEFAULT_HYPERS", {}):
+            pytest.skip("trainer does not use atomic_baseline")
+        trainer_cls({"atomic_baseline": {"energy": {1: 1.0, 6: 0.0, 8: 3000.0}}})
+        trainer_cls({"atomic_baseline": {"energy": 0.0}})
+
+    def test_atomic_baseline_error(self, arch_module):
+        """Symbolic species keys are rejected with a clear error
+        (reference ``input.py:67``: 'Input should be a valid integer')."""
+        trainer_cls = arch_module.__trainer__
+        if "atomic_baseline" not in getattr(trainer_cls, "DEFAULT_HYPERS", {}):
+            pytest.skip("trainer does not use atomic_baseline")
+        with pytest.raises(ValueError, match="atomic numbers"):
+            trainer_cls({"atomic_baseline": {"energy": {"H": 300.0}}})
+
+    # -- ExportedTests (reference ``utils/testing/exported.py``) -------------
+
+    def test_exported_dtype_conversion(self, arch_module, dataset_and_info,
+                                       tmp_path):
+        """An exported model evaluates in every supported compute dtype
+        with consistent energies (the ``.to(dtype=...)`` contract)."""
+        dataset, ds_info = dataset_and_info
+        model_cls = arch_module.__model__
+        model = model_cls(self.minimal_model_hypers, ds_info)
+        model.init_params(jax.random.PRNGKey(0))
+
+        from ..cli.export import export_model_object, load_exported_model
+
+        path = str(tmp_path / "model.mtt")
+        export_model_object(model, None, path)
+        loaded = load_exported_model(path)
+
+        system = dataset[0].system
+        batch = self._batch(model, [system])
+        reference_values = None
+        for dtype in type(model).__supported_dtypes__:
+            try:
+                converted = model_cls(
+                    self.minimal_model_hypers, ds_info, compute_dtype=dtype
+                )
+            except TypeError:
+                pytest.skip("architecture has a fixed compute dtype")
+            converted.params = loaded.params
+            values = np.asarray(
+                converted.forward(converted.params, batch, ["energy"])[
+                    "energy"
+                ]
+                .block(0)
+                .values,
+                dtype=np.float64,
+            )
+            assert np.isfinite(values).all()
+            if reference_values is None:
+                reference_values = values
+            else:
+                np.testing.assert_allclose(
+                    values, reference_values, rtol=0.05, atol=0.05
+                )
+
     # -- CheckpointTests ------------------------------------------------------------
 
     def test_checkpoint_roundtrip(self, arch_module, dataset_and_info, tmp_path):
