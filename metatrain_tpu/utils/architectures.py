@@ -5,6 +5,14 @@ discovered by name, imported dynamically, and must expose ``__model__``
 and ``__trainer__`` module attributes plus a ``DEFAULT_HYPERS`` dict
 (the reference derives defaults from ``documentation.py`` TypedDicts;
 here each architecture module declares them directly).
+
+External architectures plug in two ways (the analogue of the reference's
+convention-based directory discovery, which only scans in-package dirs):
+
+- :func:`register_architecture` adds a name -> module mapping at runtime;
+- an unknown name that contains a dot is treated as a dotted module path
+  and imported directly (``architecture: {name: my_pkg.my_arch}``),
+  registering itself on success.
 """
 
 from __future__ import annotations
@@ -31,8 +39,33 @@ ARCHITECTURES: Dict[str, str] = {
 }
 
 
+def register_architecture(name: str, module_path: str) -> None:
+    """Register an external architecture under ``name``.
+
+    The module must expose ``__model__`` / ``__trainer__`` (and usually
+    ``DEFAULT_HYPERS``), exactly like the in-package architectures.
+    """
+    ARCHITECTURES[name] = module_path
+
+
+def _try_external(name: str):
+    """Import an unregistered dotted name as a module path, or None."""
+    if "." not in name:
+        return None
+    try:
+        module = importlib.import_module(name)
+    except ImportError:
+        return None
+    if hasattr(module, "__model__") and hasattr(module, "__trainer__"):
+        register_architecture(name, name)
+        return module
+    return None
+
+
 def check_architecture_name(name: str) -> None:
     if name in ARCHITECTURES:
+        return
+    if _try_external(name) is not None:
         return
     close = difflib.get_close_matches(name, ARCHITECTURES.keys(), cutoff=0.4)
     hint = f" Did you mean '{close[0]}'?" if close else ""
