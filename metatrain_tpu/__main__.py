@@ -142,6 +142,7 @@ def main(argv=None) -> int:
                         output_dir=".",
                         checkpoint_dir=str(output_dir),
                         restart_from=restart,
+                        output_name=args.output,
                     )
             elif args.command == "eval":
                 from .cli.eval import eval_model

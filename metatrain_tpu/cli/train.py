@@ -48,6 +48,7 @@ def train_model(
     output_dir: str = ".",
     checkpoint_dir: str = ".",
     restart_from: Optional[str] = None,
+    output_name: str = "model.mtt",
 ) -> None:
     # multi-host: bootstrap jax.distributed from the SLURM environment
     # BEFORE any backend use (reference auto-enables DDP when
@@ -160,7 +161,7 @@ def train_model(
 
     from .export import export_model_object
 
-    export_path = Path(output_dir) / "model.mtt"
+    export_path = Path(output_dir) / output_name
     export_model_object(model, trainer, str(export_path))
     logger.info("Exported model to %s", export_path)
 

@@ -521,10 +521,38 @@ class AtomisticNNModel(ModelInterface):
                 f"{set(merged.atomic_types) - set(self.atomic_types)}"
             )
         new = type(self)(self.hypers, merged, self.compute_dtype)
-        new.params = self.params
+        if set(merged.targets) - set(self.dataset_info.targets):
+            # new targets bring new head parameters: initialize the merged
+            # model fresh and overlay the trained leaves (reference
+            # finetune context: new-target heads freshly initialized,
+            # pet/model.py:207-265)
+            fresh = new.init_params(jax.random.PRNGKey(0))
+            new.params = _overlay_params(fresh, self.params)
+        else:
+            new.params = self.params
         new.composition = self.composition.restart(merged)
         new.scaler = self.scaler.restart(merged)
         return new
+
+
+def _overlay_params(fresh, trained):
+    """Overlay trained parameter leaves onto a freshly initialized tree:
+    matching paths (same shape) take the trained value; paths only in
+    ``fresh`` (new-target heads) keep their fresh initialization; paths
+    only in ``trained`` (stale targets) are dropped."""
+    if not isinstance(fresh, dict) or not isinstance(trained, dict):
+        return (
+            trained
+            if getattr(fresh, "shape", None) == getattr(trained, "shape", None)
+            else fresh
+        )
+    out = {}
+    for key, fresh_value in fresh.items():
+        if key in trained:
+            out[key] = _overlay_params(fresh_value, trained[key])
+        else:
+            out[key] = fresh_value
+    return out
 
 
 def _flatten_features(raw: Dict[str, Any], batch_data: Dict[str, Any]):

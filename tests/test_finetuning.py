@@ -189,3 +189,58 @@ def test_inherit_heads_copies_source_head_weights():
                 np.asarray(new_leaf), np.asarray(old_leaf)
             )
     assert n_head_dst > 0 and n_copied == n_head_dst
+
+
+def test_restart_with_new_target_initializes_fresh_heads():
+    """Finetuning onto a dataset with a NEW target: restart() must give
+    the merged model fresh head parameters for the new target while
+    keeping every trained leaf (the bug surfaced by
+    examples/finetune_pretrained.py: params were copied verbatim, so the
+    new head had no parameters at all)."""
+    from metatrain_tpu.data.target_info import get_energy_target_info
+
+    _, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    new_info = DatasetInfo(
+        "angstrom",
+        ds_info.atomic_types,
+        {"mtt::energy2": get_energy_target_info("eV")},
+    )
+    merged_model = model.restart(new_info)
+    assert set(merged_model.output_shapes) == {"energy", "mtt::energy2"}
+
+    # trained leaves preserved
+    old_flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    new_flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            merged_model.params
+        )[0]
+    }
+    n_preserved = 0
+    for key, leaf in old_flat.items():
+        assert key in new_flat, f"trained leaf {key} dropped"
+        np.testing.assert_array_equal(
+            np.asarray(new_flat[key]), np.asarray(leaf)
+        )
+        n_preserved += 1
+    assert n_preserved > 0
+    # and the new target's head exists and evaluates
+    new_heads = [k for k in new_flat if "energy2" in k]
+    assert new_heads, "no fresh parameters for the new target"
+
+    from metatrain_tpu.containers import batch_from_systems
+    from metatrain_tpu.ops.neighbors import compute_neighbor_data
+
+    s = make_molecule(5, seed=99)
+    nbr = compute_neighbor_data(s, cutoff=4.0)
+    batch = batch_from_systems([s], [nbr])
+    out = merged_model.forward(
+        merged_model.params, batch, ["energy", "mtt::energy2"]
+    )
+    assert np.isfinite(np.asarray(out["mtt::energy2"].block(0).values)).all()
