@@ -73,6 +73,51 @@ class Dataset:
         return np.array([len(s) for s in self.systems], dtype=np.int64)
 
 
+class DatasetView:
+    """Lazy index view over any dataset-like object (in-memory or
+    disk-backed): keeps the base's laziness through train/val/test
+    splitting (reference ``Subset`` semantics)."""
+
+    def __init__(self, base, indices: Sequence[int]):
+        self.base = base
+        self.indices = np.asarray(list(indices), dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, index: int) -> Sample:
+        return self.base[int(self.indices[index])]
+
+    def select(self, indices: Sequence[int]) -> "DatasetView":
+        return DatasetView(self.base, [self.indices[i] for i in indices])
+
+    @property
+    def atom_counts(self) -> np.ndarray:
+        return np.asarray(self.base.atom_counts)[self.indices]
+
+    @property
+    def systems(self) -> List[System]:
+        return [self[i].system for i in range(len(self))]
+
+    @property
+    def targets(self) -> Dict[str, List[TensorMap]]:
+        names = getattr(self.base, "target_names", None)
+        if names is None:
+            names = list(self.base.targets.keys())
+        return {
+            name: [self[i].targets[name] for i in range(len(self))]
+            for name in names
+        }
+
+    @property
+    def extra_data(self) -> Dict[str, List[TensorMap]]:
+        base_extra = getattr(self.base, "extra_data", {})
+        return {
+            name: [self[i].extra_data.get(name) for i in range(len(self))]
+            for name in base_extra
+        }
+
+
 def get_dataset(
     config: Dict[str, Any],
 ) -> Tuple[Dataset, Dict[str, TargetInfo]]:
@@ -86,7 +131,15 @@ def get_dataset(
     systems_cfg = config["systems"]
     if isinstance(systems_cfg, str):
         systems_cfg = {"read_from": systems_cfg}
-    systems = read_systems(systems_cfg["read_from"])
+    read_from = str(systems_cfg["read_from"])
+
+    # disk-backed datasets carry systems AND targets in one source
+    # (reference DiskDataset/MemmapDataset dispatch, get_dataset.py:12)
+    disk = _open_disk_dataset(read_from, config.get("targets", {}))
+    if disk is not None:
+        return disk
+
+    systems = read_systems(read_from)
 
     targets, target_infos = read_targets(systems, config.get("targets", {}))
 
@@ -98,6 +151,39 @@ def get_dataset(
     dataset = Dataset(systems, targets, extra_data)
     dataset.extra_infos = extra_infos  # type: ignore[attr-defined]
     return dataset, target_infos
+
+
+def _open_disk_dataset(read_from: str, target_config: Dict[str, Any]):
+    """Open a ``.zip`` DiskDataset or a memmap directory, or None for
+    file formats handled by the frame readers. Target metadata is
+    inferred from the stored fields; an explicit ``targets:`` section
+    restricts (and must match) the stored target names."""
+    import os
+
+    from .disk import DiskDataset, MemmapDataset
+
+    if read_from.endswith(".zip"):
+        dataset = DiskDataset(read_from)
+    elif read_from.rstrip("/").endswith(".memmap") or (
+        os.path.isdir(read_from)
+        and os.path.exists(os.path.join(read_from, "ns.npy"))
+    ):
+        names = tuple(target_config.keys()) or ("energy",)
+        dataset = MemmapDataset(read_from, target_names=names)
+    else:
+        return None
+
+    infos = dataset.infer_target_infos()
+    if target_config:
+        missing = set(target_config) - set(infos)
+        if missing:
+            raise ValueError(
+                f"targets {sorted(missing)} not found in disk dataset "
+                f"{read_from!r} (stored targets: {sorted(infos)})"
+            )
+        infos = {name: infos[name] for name in target_config}
+    dataset.target_infos = infos
+    return dataset, infos
 
 
 def get_dataset_info(

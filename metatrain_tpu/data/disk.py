@@ -162,6 +162,15 @@ class DiskDataset:
             )
         return infos
 
+    @property
+    def extra_data(self) -> Dict:
+        return {}
+
+    def select(self, indices):
+        from .dataset import DatasetView
+
+        return DatasetView(self, indices)
+
 
 def _fields_to_tensormap(
     fields: Dict[str, np.ndarray], index: int, n_atoms: int
@@ -294,6 +303,26 @@ class MemmapDataset:
                 fields["positions_gradient"] = -np.asarray(self.forces[a:b])
             targets[name] = _fields_to_tensormap(fields, index, b - a)
         return Sample(system, targets)
+
+    def infer_target_infos(self) -> Dict[str, TargetInfo]:
+        infos = {}
+        for name in self._targets:
+            infos[name] = get_energy_target_info(
+                "eV",
+                add_position_gradients=(
+                    self.forces is not None and name == "energy"
+                ),
+            )
+        return infos
+
+    @property
+    def extra_data(self) -> Dict:
+        return {}
+
+    def select(self, indices):
+        from .dataset import DatasetView
+
+        return DatasetView(self, indices)
 
 
 def write_memmap_dataset(
