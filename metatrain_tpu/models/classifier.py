@@ -29,6 +29,9 @@ from ..utils.io import model_from_checkpoint, save_checkpoint_file
 
 
 DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    # checkpoint of the trained backbone to freeze (CLI path; the API
+    # can pass a live model as ``backbone`` instead)
+    "model_checkpoint": None,
     "num_hidden_layers": 2,
     "num_neurons_per_layer": 64,
 }

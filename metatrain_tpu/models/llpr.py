@@ -33,6 +33,9 @@ from ..utils.io import model_from_checkpoint, save_checkpoint_file
 
 
 DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
+    # checkpoint of the trained model to wrap (CLI path; the API can
+    # pass a live model as ``wrapped`` instead)
+    "model_checkpoint": None,
     "regularizer": None,  # None -> auto-scaled from the covariance trace
     "ensemble_size": 0,
     "batch_size": 8,
@@ -53,7 +56,7 @@ class LLPRUncertaintyModel(ModelInterface):
     ):
         full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
         full.update(hypers or {})
-        if wrapped is None and "model_checkpoint" in full:
+        if wrapped is None and full.get("model_checkpoint"):
             wrapped = model_from_checkpoint(
                 full["model_checkpoint"], context="export"
             )
