@@ -20,6 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mtt-tpu",
         description="TPU-native training and evaluation of atomistic ML models",
     )
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"mtt-tpu {__version__}"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     train = sub.add_parser("train", help="train a model from an options file")
