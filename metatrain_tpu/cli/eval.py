@@ -89,10 +89,15 @@ def eval_model(
 
     dataset_config = expand_dataset_config(options)
     dataset, target_infos = get_dataset(dataset_config)
+    # membership by name only (``.targets`` on disk-backed datasets would
+    # materialize every stored sample)
+    dataset_target_names = set(
+        getattr(dataset, "target_names", None) or dataset.targets
+    )
     target_infos = {
         name: info
         for name, info in model.supported_outputs().items()
-        if name in dataset.targets
+        if name in dataset_target_names
     } or target_infos
 
     collate = CollateFn(
@@ -130,7 +135,7 @@ def eval_model(
             check_batch_consistency(
                 batch.systems, model.requested_neighbor_cutoff() or 5.0
             )
-    for batch in batch_list[: max(warm_up, 1)]:
+    for batch in batch_list[:warm_up]:
         jax.block_until_ready(eval_step(model.params, batch)[1])
 
     per_atom_times = []

@@ -72,6 +72,27 @@ class Dataset:
     def atom_counts(self) -> np.ndarray:
         return np.array([len(s) for s in self.systems], dtype=np.int64)
 
+    @property
+    def target_names(self) -> List[str]:
+        return list(self.targets)
+
+
+def dataset_target_names(dataset) -> List[str]:
+    """Target names of any dataset-like object WITHOUT materializing
+    disk-backed targets (their ``.targets`` property reads every sample)."""
+    names = getattr(dataset, "target_names", None)
+    if names is not None:
+        return list(names)
+    return list(dataset.targets)
+
+
+def iter_samples(dataset):
+    """Stream samples one at a time (O(1 sample) memory on disk-backed
+    datasets; the fitting passes use this instead of ``.systems`` /
+    ``.targets``, which materialize everything)."""
+    for i in range(len(dataset)):
+        yield dataset[i]
+
 
 class DatasetView:
     """Lazy index view over any dataset-like object (in-memory or
@@ -100,13 +121,15 @@ class DatasetView:
         return [self[i].system for i in range(len(self))]
 
     @property
+    def target_names(self) -> List[str]:
+        return dataset_target_names(self.base)
+
+    @property
     def targets(self) -> Dict[str, List[TensorMap]]:
-        names = getattr(self.base, "target_names", None)
-        if names is None:
-            names = list(self.base.targets.keys())
+        samples = [self[i] for i in range(len(self))]
         return {
-            name: [self[i].targets[name] for i in range(len(self))]
-            for name in names
+            name: [s.targets[name] for s in samples]
+            for name in self.target_names
         }
 
     @property
@@ -155,9 +178,14 @@ def get_dataset(
 
 def _open_disk_dataset(read_from: str, target_config: Dict[str, Any]):
     """Open a ``.zip`` DiskDataset or a memmap directory, or None for
-    file formats handled by the frame readers. Target metadata is
-    inferred from the stored fields; an explicit ``targets:`` section
-    restricts (and must match) the stored target names."""
+    file formats handled by the frame readers.
+
+    The stored format holds per-structure scalar targets with optional
+    position/strain gradient fields, so target metadata comes from the
+    stored fields; the ``targets:`` section may restrict the names and
+    override ``unit``/``quantity``, but a config requesting semantics the
+    format cannot carry (``per_atom``, equivariant ``type``) is an error,
+    not silently ignored."""
     import os
 
     from .disk import DiskDataset, MemmapDataset
@@ -181,6 +209,31 @@ def _open_disk_dataset(read_from: str, target_config: Dict[str, Any]):
                 f"targets {sorted(missing)} not found in disk dataset "
                 f"{read_from!r} (stored targets: {sorted(infos)})"
             )
+        for name, cfg in target_config.items():
+            cfg = cfg or {}
+            if cfg.get("per_atom"):
+                raise ValueError(
+                    f"target '{name}': disk datasets store per-structure "
+                    "scalar targets; per_atom targets are not supported "
+                    "by this format"
+                )
+            type_spec = cfg.get("type", "scalar")
+            if type_spec not in (None, "scalar") and not (
+                isinstance(type_spec, str) and type_spec == "scalar"
+            ):
+                raise ValueError(
+                    f"target '{name}': disk datasets store scalar targets; "
+                    f"type {type_spec!r} is not supported by this format"
+                )
+            info = infos[name]
+            if cfg.get("unit") or cfg.get("quantity"):
+                from .target_info import get_energy_target_info
+
+                infos[name] = get_energy_target_info(
+                    cfg.get("unit") or info.unit,
+                    add_position_gradients="positions" in info.gradients,
+                    add_strain_gradients="strain" in info.gradients,
+                )
         infos = {name: infos[name] for name in target_config}
     dataset.target_infos = infos
     return dataset, infos
@@ -193,7 +246,9 @@ def get_dataset_info(
 ) -> DatasetInfo:
     types: set = set()
     for ds in datasets:
-        types |= collect_atomic_types(ds.systems)
+        types |= collect_atomic_types(
+            sample.system for sample in iter_samples(ds)
+        )
     return DatasetInfo(
         length_unit=length_unit, atomic_types=sorted(types), targets=target_infos
     )
@@ -238,14 +293,24 @@ def get_stats(dataset: Dataset, dataset_info: DatasetInfo) -> str:
         f"max {int(counts.max(initial=0))} per structure)",
         f"Atomic types: {dataset_info.atomic_types}",
     ]
-    for name, maps in dataset.targets.items():
+    # streaming moments: one pass, O(1 sample) memory on disk datasets
+    names = dataset_target_names(dataset)
+    acc = {name: [0.0, 0.0, 0] for name in names}  # sum, sumsq, n
+    for sample in iter_samples(dataset):
+        for name in names:
+            values = np.asarray(
+                sample.targets[name].block(0).values
+            ).reshape(-1)
+            acc[name][0] += float(values.sum())
+            acc[name][1] += float((values**2).sum())
+            acc[name][2] += values.size
+    for name in names:
         info = dataset_info.targets.get(name)
         unit = f" [{info.unit}]" if info and info.unit else ""
-        values = np.concatenate(
-            [np.asarray(m.block(0).values).reshape(-1) for m in maps]
-        )
+        total, sumsq, n = acc[name]
+        mean = total / n if n else 0.0
+        std = np.sqrt(max(sumsq / n - mean**2, 0.0)) if n else 0.0
         lines.append(
-            f"Target '{name}'{unit}: mean {values.mean():.6g}, "
-            f"std {values.std():.6g}"
+            f"Target '{name}'{unit}: mean {mean:.6g}, std {std:.6g}"
         )
     return "\n".join(lines)

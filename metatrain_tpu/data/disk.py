@@ -299,10 +299,15 @@ class MemmapDataset:
         targets = {}
         for name, values in self._targets.items():
             fields = {"values": np.asarray([values[index]])}
-            if self.forces is not None and name == "energy":
+            if self.forces is not None and self._forces_target(name):
                 fields["positions_gradient"] = -np.asarray(self.forces[a:b])
             targets[name] = _fields_to_tensormap(fields, index, b - a)
         return Sample(system, targets)
+
+    def _forces_target(self, name: str) -> bool:
+        """``forces.bin`` belongs to the energy target: the one named
+        ``energy``, or the sole stored target."""
+        return name == "energy" or len(self._targets) == 1
 
     def infer_target_infos(self) -> Dict[str, TargetInfo]:
         infos = {}
@@ -310,7 +315,7 @@ class MemmapDataset:
             infos[name] = get_energy_target_info(
                 "eV",
                 add_position_gradients=(
-                    self.forces is not None and name == "energy"
+                    self.forces is not None and self._forces_target(name)
                 ),
             )
         return infos

@@ -517,29 +517,49 @@ def _max_neighbors_over_datasets(datasets, collate: CollateFn) -> int:
     """Largest NEF width over all systems (also warms the NL cache)."""
     from ..containers import bucket_neighbors
 
+    from ..data.dataset import iter_samples
+
     max_m = 1
     for dataset in datasets:
-        for system in dataset.systems:
-            max_m = max(max_m, collate.nl_cache(system).max_neighbors)
+        for sample in iter_samples(dataset):
+            max_m = max(
+                max_m, collate.nl_cache(sample.system).max_neighbors
+            )
     return bucket_neighbors(max_m)
 
 
-def _apply_removals_to_dataset(dataset: Dataset, transforms) -> Dataset:
-    """Host-side baseline removal over a whole dataset (for the scaler fit)."""
-    removed = [dataset[i] for i in range(len(dataset))]
-    for transform in transforms:
-        removed = transform(removed)
-    return Dataset(
-        [s.system for s in removed],
-        {
-            name: [s.targets[name] for s in removed]
-            for name in dataset.targets
-        },
-        {
-            name: [s.extra_data[name] for s in removed]
-            for name in dataset.extra_data
-        },
-    )
+class _RemovedView:
+    """Lazy per-sample baseline removal (for the scaler fit): keeps
+    disk-backed datasets out-of-core instead of materializing a removed
+    copy of the whole dataset."""
+
+    def __init__(self, dataset, transforms):
+        self.base = dataset
+        self.transforms = list(transforms)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index: int):
+        samples = [self.base[index]]
+        for transform in self.transforms:
+            samples = transform(samples)
+        return samples[0]
+
+    @property
+    def atom_counts(self):
+        return self.base.atom_counts
+
+    @property
+    def target_names(self):
+        from ..data.dataset import dataset_target_names
+
+        return dataset_target_names(self.base)
+
+
+def _apply_removals_to_dataset(dataset: Dataset, transforms) -> "_RemovedView":
+    """Baseline-removed view of a dataset (host-side, lazy)."""
+    return _RemovedView(dataset, transforms)
 
 
 def _build_loader(

@@ -98,10 +98,13 @@ class CompositionModel(ModelInterface):
 
             xtx = np.zeros((n_types, n_types), dtype=np.float64)
             xty: Optional[np.ndarray] = None
+            from ..data.dataset import dataset_target_names, iter_samples
+
             for dataset in datasets:
-                if name not in dataset.targets:
+                if name not in dataset_target_names(dataset):
                     continue
-                for system, tmap in zip(dataset.systems, dataset.targets[name]):
+                for sample in iter_samples(dataset):
+                    system, tmap = sample.system, sample.targets[name]
                     block = tmap.block(0)
                     values = np.asarray(block.values, dtype=np.float64)
                     counts = np.zeros(n_types)

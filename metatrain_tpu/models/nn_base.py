@@ -525,8 +525,12 @@ class AtomisticNNModel(ModelInterface):
             # new targets bring new head parameters: initialize the merged
             # model fresh and overlay the trained leaves (reference
             # finetune context: new-target heads freshly initialized,
-            # pet/model.py:207-265)
-            fresh = new.init_params(jax.random.PRNGKey(0))
+            # pet/model.py:207-265). The init key follows the run's
+            # global seeding (train CLI seeds numpy), so different seeds
+            # decorrelate the fresh heads while a fixed seed stays
+            # deterministic.
+            seed = int(np.random.randint(0, 2**31 - 1))
+            fresh = new.init_params(jax.random.PRNGKey(seed))
             new.params = _overlay_params(fresh, self.params)
         else:
             new.params = self.params
@@ -539,11 +543,16 @@ def _overlay_params(fresh, trained):
     """Overlay trained parameter leaves onto a freshly initialized tree:
     matching paths (same shape) take the trained value; paths only in
     ``fresh`` (new-target heads) keep their fresh initialization; paths
-    only in ``trained`` (stale targets) are dropped."""
+    only in ``trained`` (stale targets) are dropped. Structural
+    mismatches (dict vs leaf, different shapes) keep the fresh value."""
     if not isinstance(fresh, dict) or not isinstance(trained, dict):
+        if isinstance(fresh, dict) != isinstance(trained, dict):
+            return fresh
+        fresh_shape = getattr(fresh, "shape", None)
         return (
             trained
-            if getattr(fresh, "shape", None) == getattr(trained, "shape", None)
+            if fresh_shape is not None
+            and fresh_shape == getattr(trained, "shape", None)
             else fresh
         )
     out = {}

@@ -95,11 +95,13 @@ class Scaler(ModelInterface):
 
             sq = [np.zeros_like(s) for s in self.scales[name]]
             cnt = [np.zeros_like(s) for s in self.scales[name]]
+            from ..data.dataset import dataset_target_names, iter_samples
+
             for dataset in datasets:
-                if name not in dataset.targets:
+                if name not in dataset_target_names(dataset):
                     continue
-                for sample_i, tmap in enumerate(dataset.targets[name]):
-                    system = dataset.systems[sample_i]
+                for sample in iter_samples(dataset):
+                    system, tmap = sample.system, sample.targets[name]
                     for b, block in enumerate(tmap.blocks()):
                         values = np.asarray(block.values, dtype=np.float64)
                         P = values.shape[-1]

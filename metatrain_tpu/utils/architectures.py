@@ -54,8 +54,13 @@ def _try_external(name: str):
         return None
     try:
         module = importlib.import_module(name)
-    except ImportError:
-        return None
+    except ModuleNotFoundError as err:
+        # only "the plugin module path itself does not exist" means
+        # "not an architecture name"; a missing dependency INSIDE an
+        # existing plugin module must surface as the real error
+        if err.name and (name == err.name or name.startswith(err.name + ".")):
+            return None
+        raise
     if hasattr(module, "__model__") and hasattr(module, "__trainer__"):
         register_architecture(name, name)
         return module
