@@ -69,6 +69,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace of the evaluation into DIR",
     )
 
+    drive = sub.add_parser(
+        "drive", help="serve force calls to an i-PI server"
+    )
+    drive.add_argument("model", help="exported .mtt file or checkpoint")
+    drive.add_argument(
+        "template",
+        help="structure file giving the atom types in server order",
+    )
+    drive.add_argument("--address", default="localhost")
+    drive.add_argument("--port", type=int, default=31415)
+    drive.add_argument(
+        "--unix",
+        default=None,
+        metavar="NAME",
+        help="unix socket: a path, or a bare name for /tmp/ipi_<NAME>",
+    )
+
     export = sub.add_parser("export", help="export a checkpoint")
     export.add_argument(
         "checkpoint",
@@ -164,6 +181,20 @@ def main(argv=None) -> int:
                         check_consistency=args.check_consistency,
                         warm_up=args.warm_up,
                     )
+            elif args.command == "drive":
+                from .calculator import Calculator
+                from .data.readers import read_systems
+                from .ipi import run_driver
+
+                template = read_systems(args.template)[0]
+                run_driver(
+                    Calculator(args.model),
+                    template.types,
+                    address=args.address,
+                    port=args.port,
+                    unixsocket=args.unix,
+                    pbc=template.pbc,
+                )
             elif args.command == "export":
                 from .cli.export import export_model
 

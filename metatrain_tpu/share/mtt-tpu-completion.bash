@@ -40,6 +40,26 @@ _mtt_tpu()
       COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
       return 0
       ;;
+    drive)
+      case "${prev_word}" in
+        -h|--help|--address|--port|--unix)
+          COMPREPLY=( )
+          return 0
+          ;;
+        *)
+          if [[ $COMP_CWORD -eq 2 ]]; then
+            COMPREPLY=( $(compgen -f -X "$mtt" -- "${cur_word}") )
+            return 0
+          elif [[ $COMP_CWORD -eq 3 ]]; then
+            COMPREPLY=( $(compgen -f -- "${cur_word}") )
+            return 0
+          fi
+          ;;
+      esac
+      local opts="-h --help --address --port --unix"
+      COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
+      return 0
+      ;;
     export)
       case "${prev_word}" in
         -h|--help|-o|--output|-r|--revision|-b|--branch|--token)
@@ -87,7 +107,7 @@ _mtt_tpu()
       ;;
   esac
 
-  local opts="eval export train -h --help"
+  local opts="drive eval export train -h --help"
   COMPREPLY=( $(compgen -W "${opts}" -- "${cur_word}") )
   return 0
 }
