@@ -46,6 +46,11 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "k_max_l": [64, 32, 16],  # per-L channel budgets (defines max_ell)
     "num_message_passing": 2,
     "radial_scaling": {"rate": 1.0, "scale": 2.0, "exponent": 7.0},
+    # "bessel": one shared l=0-eigenstate embedding (num_radial wide);
+    # "le": per-l Laplacian-eigenstate basis j_l(z_ln r/rc) with counts
+    # set by the eigenvalue budget E_max (the reference physical-basis
+    # scheme, space/modules/physical_basis.py:9-76, with the LE spectrum)
+    "radial_basis": {"type": "bessel", "E_max": 20.0},
     "mlp_width": 64,
 }
 
@@ -83,13 +88,18 @@ class SpaceInteraction(nn.Module):
                     cg = jnp.asarray(real_clebsch_gordan(l1, l2, L), dtype=acc)
                     # per-path radial weights mapped into the *output*
                     # budget C_L: first project the l1 channels to C_L so
-                    # mismatched budgets couple cleanly
+                    # mismatched budgets couple cleanly. With the LE
+                    # basis, the edge's SH order l2 selects its own
+                    # radial family (R_{n l2} pairs with Y_{l2}).
+                    radial_l2 = (
+                        radial[l2] if isinstance(radial, list) else radial
+                    )
                     w = nn.Dense(
                         self.k_max_l[L],
                         use_bias=False,
                         dtype=self.dtype,
                         name=f"radial_{l1}_{l2}_{L}",
-                    )(radial)  # (A, M, C_L)
+                    )(radial_l2)  # (A, M, C_L)
                     h_proj = nn.Dense(
                         self.k_max_l[L],
                         use_bias=False,
@@ -157,12 +167,38 @@ class SpaceModule(nn.Module):
             hp["radial_scaling"]["scale"],
             hp["radial_scaling"]["exponent"],
         )
-        radial = radial_basis(
-            distances, hp["cutoff"], hp["num_radial"], "bessel", hp["cutoff_width"]
-        ) * (scaling * batch_data["cutoff_factors"])[:, :, None]
-        radial = jnp.where(
-            batch_data["nbr_mask"][:, :, None], radial, 0.0
-        ).astype(self.dtype)
+        rb_cfg = hp.get("radial_basis") or {"type": "bessel"}
+        weight = scaling * batch_data["cutoff_factors"]
+        if rb_cfg.get("type") == "le":
+            from ..ops.radial import le_channel_budgets, le_radial_basis
+
+            n_max_l = le_channel_budgets(
+                float(rb_cfg.get("E_max", 20.0)), hp["cutoff"]
+            )[: lmax + 1]
+            if len(n_max_l) < lmax + 1:
+                raise ValueError(
+                    f"radial_basis.E_max={rb_cfg.get('E_max')} leaves no "
+                    f"radial functions for l={len(n_max_l)} (lmax={lmax}); "
+                    "raise E_max"
+                )
+            radial = [
+                jnp.where(
+                    batch_data["nbr_mask"][:, :, None],
+                    features * weight[:, :, None],
+                    0.0,
+                ).astype(self.dtype)
+                for features in le_radial_basis(
+                    distances, hp["cutoff"], n_max_l, hp["cutoff_width"]
+                )
+            ]
+        else:
+            shared = radial_basis(
+                distances, hp["cutoff"], hp["num_radial"], "bessel",
+                hp["cutoff_width"],
+            ) * weight[:, :, None]
+            radial = jnp.where(
+                batch_data["nbr_mask"][:, :, None], shared, 0.0
+            ).astype(self.dtype)
         unit = batch_data["edge_vectors"] / jnp.maximum(
             distances, 1e-10
         )[:, :, None]

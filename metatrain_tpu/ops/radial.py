@@ -62,3 +62,104 @@ def radial_basis(
         raise ValueError(f"unknown radial basis {kind!r}")
     fc = cosine_cutoff(r, cutoff, cutoff_width)
     return basis * fc[..., None]
+
+
+# ---- Laplacian-eigenstate (LE) basis: per-l spherical Bessel j_l --------
+
+from functools import lru_cache  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def spherical_bessel_zeros(l: int, n_zeros: int) -> tuple:
+    """First ``n_zeros`` positive zeros z_ln of the spherical Bessel
+    function j_l, by bisection between sign changes (z_0n = n pi exactly;
+    higher-l zeros interlace, so a pi-step scan brackets each)."""
+    from scipy.optimize import brentq
+    from scipy.special import spherical_jn
+
+    if l == 0:
+        return tuple(np.pi * np.arange(1, n_zeros + 1))
+    zeros = []
+    # j_l's first zero lies above l + 2 (approx); scan in pi/8 steps
+    x = l + 1.0
+    step = np.pi / 8
+    previous = spherical_jn(l, x)
+    while len(zeros) < n_zeros:
+        x_next = x + step
+        current = spherical_jn(l, x_next)
+        if previous == 0.0:
+            zeros.append(x)
+        elif previous * current < 0:
+            zeros.append(brentq(lambda t: spherical_jn(l, t), x, x_next))
+        x, previous = x_next, current
+    return tuple(zeros[:n_zeros])
+
+
+def le_channel_budgets(e_max: float, cutoff: float, l_cap: int = 12):
+    """Per-l radial counts n_max_l from an eigenvalue cutoff:
+    E_ln = (z_ln / rc)^2 <= E_max (the reference SPACE physical-basis
+    budget scheme, ``space/modules/physical_basis.py:9-76``; here with
+    the Laplacian-eigenstate spectrum). Returns a list over l, truncated
+    at the last l with a non-empty basis."""
+    budgets = []
+    for l in range(l_cap + 1):
+        count = 0
+        zeros = spherical_bessel_zeros(l, 64)
+        for z in zeros:
+            if (z / cutoff) ** 2 <= e_max:
+                count += 1
+        if count == 0:
+            break
+        budgets.append(count)
+    return budgets
+
+
+def le_radial_basis(
+    r: jnp.ndarray, cutoff: float, n_max_l, cutoff_width: float = 0.5
+):
+    """Laplacian-eigenstate radial basis: per-l lists of features.
+
+    ``R_ln(r) = N_ln j_l(z_ln r / rc)`` with ``N_ln = sqrt(2) /
+    (rc^{3/2} |j_{l+1}(z_ln)|)`` so that ``int_0^rc R_ln^2 r^2 dr = 1``
+    (the eigenstates of the Laplacian in a ball with Dirichlet walls --
+    the reference's spliner evaluates a numerically-precomputed variant
+    of this family). A smooth cutoff multiplies every feature.
+
+    :param n_max_l: per-l feature counts (see :func:`le_channel_budgets`).
+    :return: list over l of (..., n_max_l[l]) arrays.
+    """
+    from scipy.special import spherical_jn
+
+    fc = cosine_cutoff(r, cutoff, cutoff_width)
+    safe_r = jnp.maximum(r, 1e-10)
+    out = []
+    for l, n_max in enumerate(n_max_l):
+        zeros = np.asarray(spherical_bessel_zeros(l, n_max))
+        norms = np.sqrt(2.0) / (
+            cutoff**1.5 * np.abs(spherical_jn(l + 1, zeros))
+        )
+        x = zeros * (safe_r[..., None] / cutoff)  # (..., n_max)
+        out.append(
+            _spherical_jl(l, x)
+            * jnp.asarray(norms, dtype=r.dtype)
+            * fc[..., None]
+        )
+    return out
+
+
+def _spherical_jl(l: int, x: jnp.ndarray) -> jnp.ndarray:
+    """j_l(x) by the closed-form ascending recurrence (stable for the
+    small l used here; x is bounded away from 0)."""
+    x = jnp.maximum(x, 1e-10)
+    j0 = jnp.sin(x) / x
+    if l == 0:
+        return j0
+    j1 = jnp.sin(x) / (x * x) - jnp.cos(x) / x
+    if l == 1:
+        return j1
+    j_prev, j_curr = j0, j1
+    for n in range(1, l):
+        j_prev, j_curr = j_curr, (2 * n + 1) / x * j_curr - j_prev
+    return j_curr

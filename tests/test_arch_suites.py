@@ -92,6 +92,19 @@ class TestSPACE(ArchitectureTests):
     )
 
 
+class TestSPACELEBasis(ArchitectureTests):
+    """SPACE with the Laplacian-eigenstate per-l radial basis (the
+    physical-basis budget scheme)."""
+
+    architecture = "experimental.space"
+    minimal_model_hypers = dict(
+        TestSPACE.minimal_model_hypers,
+        radial_basis={"type": "le", "E_max": 25.0},
+    )
+    supports_forces = True
+    supported_target_types = ("scalar",)
+
+
 class TestDPA3(ArchitectureTests):
     architecture = "experimental.dpa3"
     minimal_model_hypers = {
