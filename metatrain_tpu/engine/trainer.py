@@ -35,6 +35,7 @@ from ..data.samplers import (
     CombinedDataLoader,
     DataLoader,
     MaxAtomBatchSampler,
+    PrefetchingLoader,
 )
 from ..data.target_info import TargetInfo
 from ..models.composition import CompositionModel, train_or_load_composition_model
@@ -283,6 +284,12 @@ class NNTrainer(TrainerInterface):
                 num_processes=jax.process_count(),
                 process_id=jax.process_index(),
             )
+        # overlap host-side collation (NL reads, padding, transforms) with
+        # device execution — the role DataLoader workers play in the
+        # reference (``utils/data/dataset.py:1145-1205``), thread-based
+        # here (the C++ neighbor builder releases the GIL)
+        train_loader = PrefetchingLoader(train_loader)
+        val_loader = PrefetchingLoader(val_loader)
 
         # ---- parameters & optimizer ----------------------------------------
         if model.params is None:
