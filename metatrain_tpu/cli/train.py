@@ -77,37 +77,64 @@ def train_model(
 
     dtype = _PRECISION_DTYPES[options["base_precision"]]
 
-    # ---- datasets -------------------------------------------------------
-    train_dataset, target_infos = get_dataset(options["training_set"])
-    length_unit = options["training_set"]["systems"].get("length_unit", "")
+    # ---- datasets (single section or a list of sections; reference
+    # multi-dataset training via CombinedDataLoader) -----------------------
+    train_confs = options["training_set"]
+    if not isinstance(train_confs, list):
+        train_confs = [train_confs]
+    train_datasets = []
+    target_infos: Dict[str, Any] = {}
+    for conf in train_confs:
+        dataset, infos = get_dataset(conf)
+        train_datasets.append(dataset)
+        target_infos.update(infos)
+    length_unit = train_confs[0]["systems"].get("length_unit", "")
 
     val_conf = options["validation_set"]
     test_conf = options["test_set"]
+    val_datasets: list = []
+    test_datasets: list = []
     if isinstance(val_conf, (int, float)):
         test_fraction = (
             float(test_conf) if isinstance(test_conf, (int, float)) else 0.0
         )
-        train_dataset, val_dataset, test_dataset = train_val_test_split(
-            train_dataset,
-            val_fraction=float(val_conf),
-            test_fraction=test_fraction,
-            seed=seed,
-        )
+        split_trains = []
+        for dataset in train_datasets:
+            train_part, val_part, test_part = train_val_test_split(
+                dataset,
+                val_fraction=float(val_conf),
+                test_fraction=test_fraction,
+                seed=seed,
+            )
+            split_trains.append(train_part)
+            val_datasets.append(val_part)
+            test_datasets.append(test_part)
+        train_datasets = split_trains
     else:
-        val_dataset, _ = get_dataset(val_conf)
-        if isinstance(test_conf, (int, float)):
-            test_dataset = Dataset([], {n: [] for n in train_dataset.targets})
-        else:
-            test_dataset, _ = get_dataset(test_conf)
+        for conf in val_conf if isinstance(val_conf, list) else [val_conf]:
+            val_datasets.append(get_dataset(conf)[0])
+        if not isinstance(test_conf, (int, float)):
+            for conf in (
+                test_conf if isinstance(test_conf, list) else [test_conf]
+            ):
+                test_datasets.append(get_dataset(conf)[0])
 
     dataset_info = get_dataset_info(
-        [train_dataset, val_dataset], target_infos, length_unit
+        train_datasets + val_datasets, target_infos, length_unit
     )
-    logger.info("Training dataset:\n%s", get_stats(train_dataset, dataset_info))
-    if len(val_dataset):
+    for i, dataset in enumerate(train_datasets):
+        tag = f" #{i}" if len(train_datasets) > 1 else ""
         logger.info(
-            "Validation dataset:\n%s", get_stats(val_dataset, dataset_info)
+            "Training dataset%s:\n%s", tag, get_stats(dataset, dataset_info)
         )
+    for i, dataset in enumerate(val_datasets):
+        if len(dataset):
+            tag = f" #{i}" if len(val_datasets) > 1 else ""
+            logger.info(
+                "Validation dataset%s:\n%s",
+                tag,
+                get_stats(dataset, dataset_info),
+            )
 
     checkpoint_dir = Path(checkpoint_dir)
     if is_main_process():
@@ -143,11 +170,12 @@ def train_model(
         from ..utils.wandb_logging import WandbLogger
 
         trainer.wandb_logger = WandbLogger(options["wandb"], options)
+    real_vals = [ds for ds in val_datasets if len(ds)]
     trainer.train(
         model=model,
         dtype=dtype,
-        train_datasets=[train_dataset],
-        val_datasets=[val_dataset] if len(val_dataset) else [train_dataset],
+        train_datasets=train_datasets,
+        val_datasets=real_vals if real_vals else train_datasets,
         checkpoint_dir=str(checkpoint_dir),
     )
 
@@ -168,16 +196,18 @@ def train_model(
     # ---- final eval on train/val/test --------------------------------------
     from .eval import evaluate_datasets
 
-    for split_name, dataset in (
-        ("train", train_dataset),
-        ("validation", val_dataset),
-        ("test", test_dataset),
+    for split_name, datasets in (
+        ("train", train_datasets),
+        ("validation", val_datasets),
+        ("test", test_datasets),
     ):
-        if not len(dataset):
-            continue
-        metrics = evaluate_datasets(model, dataset, dataset_info)
-        for key, value in metrics.items():
-            logger.info("%s %s: %.6g", split_name, key, value)
+        for i, dataset in enumerate(datasets):
+            if not len(dataset):
+                continue
+            tag = f" #{i}" if len(datasets) > 1 else ""
+            metrics = evaluate_datasets(model, dataset, dataset_info)
+            for key, value in metrics.items():
+                logger.info("%s%s %s: %.6g", split_name, tag, key, value)
 
 
 def find_latest_checkpoint(outputs_root: str = "outputs") -> Optional[str]:

@@ -216,10 +216,20 @@ def validate_base_options(options: Dict[str, Any]) -> Dict[str, Any]:
         raise MetatrainConfigError(str(err)) from err
 
     out = validated.model_dump()
-    out["training_set"] = expand_dataset_config(out["training_set"])
+    # list form: several dataset sections train together (reference
+    # canonical list expansion, ``utils/omegaconf.py:297``; batches
+    # interleave via CombinedDataLoader)
+    if isinstance(out["training_set"], list):
+        out["training_set"] = [
+            expand_dataset_config(section) for section in out["training_set"]
+        ]
+    else:
+        out["training_set"] = expand_dataset_config(out["training_set"])
     for key in ("validation_set", "test_set"):
         value = out[key]
-        if not isinstance(value, (int, float)):
+        if isinstance(value, list):
+            out[key] = [expand_dataset_config(section) for section in value]
+        elif not isinstance(value, (int, float)):
             out[key] = expand_dataset_config(value)
         elif not (0.0 <= float(value) < 1.0):
             raise MetatrainConfigError(

@@ -250,3 +250,56 @@ def test_eval_metrics_match_training_metrics(tmp_path):
         "energy RMSE (per atom)"
     ]
     np.testing.assert_allclose(eval_rmse, loop_rmse, rtol=1e-5)
+
+
+def test_multi_dataset_training(tmp_path, monkeypatch):
+    """training_set as a LIST of dataset sections trains on all of them
+    (reference canonical list expansion + CombinedDataLoader)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for d in range(2):
+        systems, infos = [], []
+        for i in range(8):
+            s = make_molecule(4 + i % 2, seed=10 * d + i)
+            systems.append(s)
+            infos.append({"energy": float(rng.normal())})
+        path = str(tmp_path / f"data{d}.xyz")
+        write_xyz(path, systems, info=infos)
+        paths.append(path)
+
+    options = {
+        "seed": 0,
+        "architecture": {
+            "name": "soap_bpnn",
+            "model": {
+                "soap": {"max_angular": 1, "max_radial": 1,
+                         "cutoff": {"radius": 4.0}},
+                "bpnn": {"num_hidden_layers": 1, "num_neurons_per_layer": 4},
+            },
+            "training": {"num_epochs": 1, "batch_size": 4},
+        },
+        "training_set": [
+            {
+                "systems": {"read_from": p, "length_unit": "angstrom"},
+                "targets": {"energy": {"key": "energy", "unit": "eV"}},
+            }
+            for p in paths
+        ],
+        "validation_set": 0.25,
+        "test_set": 0.0,
+    }
+    options_path = tmp_path / "multi.yaml"
+    with open(options_path, "w") as f:
+        yaml.safe_dump(options, f)
+    monkeypatch.chdir(tmp_path)
+    from metatrain_tpu.__main__ import main
+
+    assert main(["train", str(options_path), "-o", "multi.mtt"]) == 0
+    assert (tmp_path / "multi.mtt").exists()
+    log = (
+        list((tmp_path / "outputs").glob("*/*/train.log"))[0].read_text()
+    )
+    assert "Training dataset #0" in log
+    assert "Training dataset #1" in log
