@@ -184,7 +184,19 @@ class LossTerm:
         return total, count
 
 
-_RESERVED = ("type", "weight", "reduction", "gradients", "sliding_factor")
+_RESERVED = (
+    "type", "weight", "reduction", "gradients", "sliding_factor",
+    "forces", "stress", "virial",
+)
+
+# user-facing gradient names in loss configs (reference
+# ``docs/src/concepts/loss-functions.rst``: forces/stress/virial nest
+# directly in the target's loss spec) -> internal gradient names
+_GRADIENT_ALIASES = {
+    "forces": "positions",
+    "stress": "strain",
+    "virial": "strain",
+}
 
 
 def _expand_spec(spec: Union[str, Dict[str, Any], None]) -> Dict[str, Any]:
@@ -192,11 +204,15 @@ def _expand_spec(spec: Union[str, Dict[str, Any], None]) -> Dict[str, Any]:
         spec = {}
     if isinstance(spec, str):
         spec = {"type": spec}
+    gradients = dict(spec.get("gradients", {}))
+    for alias, internal in _GRADIENT_ALIASES.items():
+        if alias in spec:
+            gradients[internal] = spec[alias]
     out = {
         "type": spec.get("type", "mse"),
         "weight": float(spec.get("weight", 1.0)),
         "reduction": spec.get("reduction", "mean"),
-        "gradients": dict(spec.get("gradients", {})),
+        "gradients": gradients,
     }
     out["extra"] = {k: v for k, v in spec.items() if k not in _RESERVED}
     return out

@@ -221,6 +221,20 @@ def test_loss_aggregator(xyz_dataset):
     val_w = weighted.compute(shifted, batch.targets)
     np.testing.assert_allclose(float(val_w), 3.5, rtol=1e-6)
 
+    # reference user-facing form: forces/stress nest in the target spec
+    # (docs/src/concepts/loss-functions.rst), both dict and shorthand
+    aliased = LossAggregator(
+        target_infos,
+        {"energy": {"type": "mse", "weight": 3.0, "forces": {"weight": 0.5}}},
+    )
+    np.testing.assert_allclose(
+        float(aliased.compute(shifted, batch.targets)), 3.5, rtol=1e-6
+    )
+    shorthand = LossAggregator(
+        target_infos, {"energy": {"type": "mse", "forces": "mae"}}
+    )
+    assert shorthand.terms["energy_grad_positions"].kind == "mae"
+
 
 def test_metrics_accumulator(xyz_dataset):
     path, *_ = xyz_dataset
