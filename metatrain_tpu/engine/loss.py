@@ -40,6 +40,23 @@ def _pointwise(kind: str, diff, **kw):
     raise ValueError(f"unknown loss type {kind!r}")
 
 
+# custom loss kinds (reference dev-docs/new-loss.rst extension point):
+# name -> fn(prediction_values, target_values, valid_mask, **kwargs)
+# returning (loss_sum, count); registered kinds are usable anywhere a
+# builtin kind is (per-target and per-gradient specs)
+_CUSTOM_LOSSES: Dict[str, Any] = {}
+
+
+def register_loss(kind: str, fn) -> None:
+    """Register a custom loss kind for use in loss configs.
+
+    :param fn: ``(pred_values, target_values, valid_mask, **kwargs) ->
+        (sum, count)``; ``valid_mask`` combines padding, NaN and extra
+        masks; return raw sums so distributed reduction stays exact.
+    """
+    _CUSTOM_LOSSES[kind] = fn
+
+
 def block_loss_terms(
     kind: str,
     prediction: TensorBlock,
@@ -64,6 +81,9 @@ def block_loss_terms(
         valid = jnp.logical_and(valid, sample_mask)
     if extra_mask is not None:
         valid = jnp.logical_and(valid, extra_mask.values.astype(bool))
+
+    if kind in _CUSTOM_LOSSES:
+        return _CUSTOM_LOSSES[kind](pred, tgt, valid, **kw)
 
     if kind == "shift_agnostic_mse":
         # remove the per-sample mean difference before the MSE: for targets

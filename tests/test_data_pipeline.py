@@ -277,3 +277,34 @@ def test_combined_dataloader(xyz_dataset):
     combined = CombinedDataLoader([l1, l2], shuffle=True, seed=0)
     assert len(combined) == len(l1) + len(l2)
     assert len(list(combined)) == len(combined)
+
+
+def test_custom_loss_registration(xyz_dataset):
+    """register_loss extension point (reference dev-docs/new-loss)."""
+    import jax.numpy as jnp
+
+    from metatrain_tpu.engine.loss import _CUSTOM_LOSSES, register_loss
+
+    def quartic(pred, tgt, valid, **kw):
+        diff = jnp.where(valid, pred - jnp.nan_to_num(tgt), 0.0)
+        return jnp.sum(diff**4), jnp.sum(valid.astype(diff.dtype))
+
+    register_loss("quartic", quartic)
+    try:
+        path, *_ = xyz_dataset
+        config = {
+            "systems": {"read_from": path},
+            "targets": {"energy": {"quantity": "energy", "key": "energy"}},
+        }
+        dataset, target_infos = get_dataset(config)
+        collate = CollateFn(cutoff=4.0, target_infos=target_infos)
+        batch = collate([dataset[i] for i in range(4)])
+        agg = LossAggregator(target_infos, {"energy": "quartic"})
+        shifted = {
+            "energy": batch.targets["energy"].map_values(lambda v: v + 2.0)
+        }
+        np.testing.assert_allclose(
+            float(agg.compute(shifted, batch.targets)), 16.0, rtol=1e-6
+        )
+    finally:
+        _CUSTOM_LOSSES.pop("quartic", None)
