@@ -288,10 +288,76 @@ class Scaler(ModelInterface):
         return self.params
 
     def forward(self, params, batch, outputs):
-        raise NotImplementedError("Scaler is applied via apply_scales")
+        """Return the fitted scales for the requested outputs, broadcast
+        over the batch samples (reference ``scaler/model.py:150-170``:
+        the standalone Scaler architecture's forward provides the
+        scales; in NN architectures the scaler acts via
+        :meth:`apply_scales` instead)."""
+        from ..containers import Labels
+
+        results: Dict[str, TensorMap] = {}
+        for name in outputs:
+            if name not in self.scales:
+                continue
+            info = self.dataset_info.targets[name]
+            R = self._rows(name)
+            blocks = []
+            for b, layout_block in enumerate(info.layout.blocks()):
+                factor = self._block_factor(name, b, True, True)  # (R, P)
+                comp_shape = tuple(
+                    len(c) for c in layout_block.components
+                )
+                if info.per_atom:
+                    A = batch.n_atoms_padded
+                    lookup = np.ones(
+                        (max(self.atomic_types) + 1, factor.shape[1])
+                    )
+                    for z, i in self._type_to_index.items():
+                        lookup[z] = factor[i]
+                    per_row = jnp.asarray(lookup)[
+                        jnp.clip(batch.types, 0, lookup.shape[0] - 1)
+                    ]  # (A, P)
+                    values = jnp.broadcast_to(
+                        per_row.reshape(
+                            (A,) + (1,) * len(comp_shape) + (-1,)
+                        ),
+                        (A,) + comp_shape + (factor.shape[1],),
+                    )
+                    samples = Labels(
+                        ["system", "atom"],
+                        jnp.stack(
+                            [
+                                batch.system_index,
+                                jnp.arange(A, dtype=jnp.int32),
+                            ],
+                            axis=1,
+                        ),
+                    )
+                    mask = batch.atom_mask
+                else:
+                    S = batch.n_systems_padded
+                    values = jnp.broadcast_to(
+                        jnp.asarray(factor[0]).reshape(
+                            (1,) * (1 + len(comp_shape)) + (-1,)
+                        ),
+                        (S,) + comp_shape + (factor.shape[1],),
+                    )
+                    samples = Labels.range("system", S)
+                    mask = batch.system_mask
+                blocks.append(
+                    TensorBlock(
+                        values=values,
+                        samples=samples,
+                        components=layout_block.components,
+                        properties=layout_block.properties,
+                        mask=mask,
+                    )
+                )
+            results[name] = TensorMap(info.layout.keys, blocks)
+        return results
 
     def supported_outputs(self) -> Dict[str, Any]:
-        return {}
+        return dict(self.dataset_info.targets)
 
     def get_checkpoint(self) -> Dict[str, Any]:
         return {
