@@ -88,6 +88,21 @@ def batch_errors(
     return out
 
 
+def _external_metric_name(key: str) -> str:
+    """Gradient metrics display under their common names
+    (reference ``utils/external_naming.py``: energy_positions_gradients
+    -> forces, energy_strain_gradients -> virial; other energy-like
+    targets get forces[target] / virial[target])."""
+    for suffix, common in (
+        ("_positions_gradients", "forces"),
+        ("_strain_gradients", "virial"),
+    ):
+        if key.endswith(suffix):
+            base = key[: -len(suffix)]
+            return common if base == "energy" else f"{common}[{base}]"
+    return key
+
+
 class ErrorAccumulator:
     """Host-side accumulator over batches; computes both RMSE and MAE."""
 
@@ -120,11 +135,12 @@ class ErrorAccumulator:
             suffix = (
                 "" if any(s in key for s in not_per_atom) else " (per atom)"
             )
+            shown = _external_metric_name(key)
             ct = max(ct, 1.0)
             if "RMSE" in metrics:
-                finalized[f"{key} RMSE{suffix}"] = float(np.sqrt(sq / ct))
+                finalized[f"{shown} RMSE{suffix}"] = float(np.sqrt(sq / ct))
             if "MAE" in metrics:
-                finalized[f"{key} MAE{suffix}"] = ab / ct
+                finalized[f"{shown} MAE{suffix}"] = ab / ct
         return finalized
 
 

@@ -255,7 +255,7 @@ def test_metrics_accumulator(xyz_dataset):
     np.testing.assert_allclose(out["energy RMSE (per atom)"], 2.0, rtol=1e-6)
     np.testing.assert_allclose(out["energy MAE (per atom)"], 2.0, rtol=1e-6)
     np.testing.assert_allclose(
-        out["energy_positions_gradients RMSE"], 2.0, rtol=1e-6
+        out["forces RMSE"], 2.0, rtol=1e-6
     )
 
     metrics = dict(out)
