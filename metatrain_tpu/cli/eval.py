@@ -73,7 +73,7 @@ def evaluate_datasets(
     for batch in loader:
         _, errors = eval_step(model.params, batch)
         accumulator.update_from_errors(jax.device_get(errors))
-    return accumulator.finalize(not_per_atom=["positions_gradients"])
+    return accumulator.finalize(not_per_atom=["positions_gradients", "strain_gradients"])
 
 
 def eval_model(
@@ -151,7 +151,7 @@ def eval_model(
         all_predictions.append((batch, predictions))
     total = time.perf_counter() - start_total
 
-    metrics = accumulator.finalize(not_per_atom=["positions_gradients"])
+    metrics = accumulator.finalize(not_per_atom=["positions_gradients", "strain_gradients"])
     for key, value in metrics.items():
         logger.info("%s: %.6g", key, value)
     if per_atom_times:

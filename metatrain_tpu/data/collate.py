@@ -53,18 +53,38 @@ jax.tree_util.register_pytree_node(
 
 
 class NeighborListCache:
-    """Per-system neighbor-data cache keyed on object identity."""
+    """Per-system neighbor-data cache keyed on object identity.
+
+    Entries hold a weakref to their system: a hit requires the stored
+    referent to still BE the queried object, so a recycled CPython id
+    (disk-backed datasets build a fresh ``System`` per access) can never
+    return another structure's neighbor lists, and dead entries are
+    purged so the cache stays bounded by live systems."""
 
     def __init__(self, cutoff: float):
+        import weakref
+
         self.cutoff = cutoff
-        self._cache: Dict[int, NeighborData] = {}
+        self._weakref = weakref.ref
+        self._cache: Dict[int, tuple] = {}  # id -> (weakref, NeighborData)
+        self._queries = 0
 
     def __call__(self, system: System) -> NeighborData:
         key = id(system)
-        data = self._cache.get(key)
-        if data is None:
-            data = compute_neighbor_data(system, self.cutoff)
-            self._cache[key] = data
+        entry = self._cache.get(key)
+        if entry is not None and entry[0]() is system:
+            return entry[1]
+        data = compute_neighbor_data(system, self.cutoff)
+        try:
+            ref = self._weakref(system)
+        except TypeError:  # not weakref-able: don't cache
+            return data
+        self._cache[key] = (ref, data)
+        self._queries += 1
+        if self._queries % 256 == 0:  # amortized purge of dead entries
+            self._cache = {
+                k: v for k, v in self._cache.items() if v[0]() is not None
+            }
         return data
 
 

@@ -225,8 +225,11 @@ def read_targets(
                     f"target '{name}' file {read_from!r} has "
                     f"{len(source_systems)} frames, expected {len(systems)}"
                 )
-        is_energy = config.get("quantity", "") == "energy" or name.startswith(
-            "energy"
+        # energy semantics come from the declared quantity (or the exact
+        # standard name with no overriding generic type) — a target merely
+        # NAMED energy_something keeps its configured generic type
+        is_energy = config.get("quantity", "") == "energy" or (
+            name == "energy" and "type" not in config
         )
         if is_energy:
             tensor_maps, info = read_energy_target(source_systems, config)

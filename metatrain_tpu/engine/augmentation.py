@@ -146,12 +146,26 @@ class O3Augmenter:
                     self.rng, improper=self.rng.random() < 0.5
                 )
             system = sample.system
+            # per-atom Cartesian-vector extras (e.g. FlashMD momenta,
+            # consumed as model INPUTS) must co-rotate with the geometry;
+            # scalars and non-vector data pass through
+            new_extra = {}
+            for key, value in system.extra.items():
+                arr = np.asarray(value)
+                if (
+                    arr.ndim == 2
+                    and arr.shape == (len(system), 3)
+                    and np.issubdtype(arr.dtype, np.floating)
+                ):
+                    new_extra[key] = arr @ rotation.T
+                else:
+                    new_extra[key] = value
             new_system = System(
                 positions=system.positions @ rotation.T,
                 types=system.types,
                 cell=system.cell @ rotation.T,
                 pbc=system.pbc,
-                extra=system.extra,
+                extra=new_extra,
             )
             new_targets: Dict[str, TensorMap] = {}
             for name, tmap in sample.targets.items():

@@ -166,12 +166,24 @@ class LossTerm:
         for idx in range(len(tgt_map)):
             pred_block = pred_map.blocks()[idx]
             tgt_block = tgt_map.blocks()[idx]
+            mask_block = (
+                mask_map.blocks()[idx] if mask_map is not None else None
+            )
             if self.gradient is not None:
                 if not tgt_block.has_gradient(self.gradient):
                     continue
                 pred_block = pred_block.gradient(self.gradient)
                 tgt_block = tgt_block.gradient(self.gradient)
-            extra_mask = mask_map.blocks()[idx] if mask_map is not None else None
+                # the mask for a gradient term is the mask's matching
+                # gradient block, not its value block (shape (A, 3, P)
+                # vs (S, P); cf. metrics.batch_errors)
+                mask_block = (
+                    mask_block.gradient(self.gradient)
+                    if mask_block is not None
+                    and mask_block.has_gradient(self.gradient)
+                    else None
+                )
+            extra_mask = mask_block
             s, c = block_loss_terms(
                 self.kind, pred_block, tgt_block, extra_mask, **self.extra_kwargs
             )
@@ -191,12 +203,24 @@ class LossTerm:
         for idx in range(len(tgt_map)):
             pred_block = pred_map.blocks()[idx]
             tgt_block = tgt_map.blocks()[idx]
+            mask_block = (
+                mask_map.blocks()[idx] if mask_map is not None else None
+            )
             if self.gradient is not None:
                 if not tgt_block.has_gradient(self.gradient):
                     continue
                 pred_block = pred_block.gradient(self.gradient)
                 tgt_block = tgt_block.gradient(self.gradient)
-            extra_mask = mask_map.blocks()[idx] if mask_map is not None else None
+                # the mask for a gradient term is the mask's matching
+                # gradient block, not its value block (shape (A, 3, P)
+                # vs (S, P); cf. metrics.batch_errors)
+                mask_block = (
+                    mask_block.gradient(self.gradient)
+                    if mask_block is not None
+                    and mask_block.has_gradient(self.gradient)
+                    else None
+                )
+            extra_mask = mask_block
             s, c = block_loss_terms(
                 self.kind, pred_block, tgt_block, extra_mask, **self.extra_kwargs
             )
@@ -255,11 +279,20 @@ class LossAggregator:
         per_target_config: Dict[str, Any] = {}
         if isinstance(config, str) or config is None:
             per_target_config = {name: config for name in targets}
-        elif set(config.keys()) & set(targets.keys()):
-            per_target_config = {name: config.get(name) for name in targets}
-        else:
-            # a single spec dict for all targets
+        elif any(key in _RESERVED for key in config):
+            # a single spec dict ({"type": ..., "weight": ...}) for all
+            # targets
             per_target_config = {name: config for name in targets}
+        else:
+            # per-target mapping: unknown names are a config error (a
+            # typo'd target would otherwise silently change semantics)
+            unknown = set(config) - set(targets)
+            if unknown:
+                raise ValueError(
+                    f"loss config names unknown target(s) "
+                    f"{sorted(unknown)}; dataset targets: {sorted(targets)}"
+                )
+            per_target_config = {name: config.get(name) for name in targets}
 
         self.terms: Dict[str, LossTerm] = {}
         self.metadata: Dict[str, Any] = {}

@@ -132,9 +132,13 @@ class ErrorAccumulator:
     ) -> Dict[str, float]:
         finalized: Dict[str, float] = {}
         for key, (sq, ab, ct) in self.information.items():
-            suffix = (
-                "" if any(s in key for s in not_per_atom) else " (per atom)"
+            # exact key or trailing-component match only: substring
+            # matching would mislabel targets whose names nest (e.g.
+            # 'energy' in 'energy_total')
+            is_total = any(
+                key == s or key.endswith("_" + s) for s in not_per_atom
             )
+            suffix = "" if is_total else " (per atom)"
             shown = _external_metric_name(key)
             ct = max(ct, 1.0)
             if "RMSE" in metrics:
@@ -148,17 +152,17 @@ def get_selected_metric(metric_dict: Dict[str, float], selected_metric: str) -> 
     """Best-model selection metric (reference ``metrics.py:433-465``)."""
     if selected_metric == "loss":
         return metric_dict["loss"]
-    if selected_metric == "rmse_prod":
+    if selected_metric in ("rmse_prod", "mae_prod"):
+        tag = "RMSE" if selected_metric == "rmse_prod" else "MAE"
+        values = [v for k, v in metric_dict.items() if tag in k]
+        if not values:
+            # no matching metrics (e.g. log_mae off): an empty product
+            # (1.0) would silently freeze best-model tracking at epoch 0;
+            # fall back to the loss instead
+            return metric_dict["loss"]
         prod = 1.0
-        for key, value in metric_dict.items():
-            if "RMSE" in key:
-                prod *= value
-        return prod
-    if selected_metric == "mae_prod":
-        prod = 1.0
-        for key, value in metric_dict.items():
-            if "MAE" in key:
-                prod *= value
+        for value in values:
+            prod *= value
         return prod
     raise ValueError(
         f"selected metric {selected_metric!r} not recognized; "

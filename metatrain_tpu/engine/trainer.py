@@ -258,12 +258,23 @@ class NNTrainer(TrainerInterface):
             )
             if hp["max_atoms_per_batch"]:
                 atoms_budget = hp["max_atoms_per_batch"] + max_struct
+                # atom-packed batches hold up to budget/min_struct systems
+                min_struct = min(
+                    (
+                        int(ds.atom_counts.min(initial=max_struct))
+                        for ds in train_datasets
+                        if len(ds)
+                    ),
+                    default=1,
+                )
+                max_systems = atoms_budget // max(min_struct, 1) + 1
             else:
                 atoms_budget = hp["batch_size"] * max_struct
+                max_systems = hp["batch_size"] + 1
             from ..containers import bucket_size
 
             fixed_A = bucket_size(atoms_budget)
-            fixed_S = bucket_size(hp["batch_size"] + 1, minimum=2)
+            fixed_S = bucket_size(max_systems, minimum=2)
             fixed_M = _max_neighbors_over_datasets(
                 train_datasets + val_datasets, train_collate
             )
@@ -335,9 +346,20 @@ class NNTrainer(TrainerInterface):
             cfg = finetune.get("config") or {}
             rank = int(cfg.get("rank", 4))
             alpha = float(cfg.get("alpha", 2 * rank))
-            adapters = init_lora_params(
-                model.params, rank, jax.random.PRNGKey(hp["seed"] + 1)
-            )
+            resume_adapters = getattr(self, "lora_adapters", None)
+            if resume_adapters is not None:
+                # restart: the snapshot stored MERGED weights plus the
+                # adapters; recover the frozen base (merge is additive)
+                adapters = jax.tree_util.tree_map(
+                    jnp.asarray, resume_adapters
+                )
+                model.params = apply_lora(
+                    model.params, adapters, -alpha, rank
+                )
+            else:
+                adapters = init_lora_params(
+                    model.params, rank, jax.random.PRNGKey(hp["seed"] + 1)
+                )
             forward_fn = make_lora_forward(model, adapters, alpha, rank)
             train_params = adapters
             lora_state = {"alpha": alpha, "rank": rank}
@@ -378,7 +400,7 @@ class NNTrainer(TrainerInterface):
             else None,
             wandb_logger=getattr(self, "wandb_logger", None),
         )
-        not_per_atom = ["positions_gradients"] + per_structure
+        not_per_atom = ["positions_gradients", "strain_gradients"] + per_structure
 
         start_epoch = self.epoch
         for epoch in range(start_epoch, hp["num_epochs"]):
@@ -472,14 +494,33 @@ class NNTrainer(TrainerInterface):
                 # the snapshot records the NEXT epoch to run, so a restart
                 # continues instead of repeating this epoch
                 self.epoch = epoch + 1
-                self.save_checkpoint(
-                    model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
-                )
+                if lora_state is not None:
+                    # snapshot MERGED weights (usable for eval/export)
+                    # plus the raw adapters (exact resume)
+                    from .finetuning import apply_lora
+
+                    self.lora_adapters = jax.device_get(train_params)
+                    base_params = model.params
+                    model.params = apply_lora(
+                        base_params,
+                        train_params,
+                        lora_state["alpha"],
+                        lora_state["rank"],
+                    )
+                    self.save_checkpoint(
+                        model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
+                    )
+                    model.params = base_params
+                else:
+                    self.save_checkpoint(
+                        model, checkpoint_dir / f"model_{epoch + 1}.ckpt"
+                    )
                 self.epoch = epoch
 
         if lora_state is not None:
             from .finetuning import apply_lora
 
+            self.lora_adapters = jax.device_get(train_params)
             model.params = apply_lora(
                 model.params, train_params, lora_state["alpha"], lora_state["rank"]
             )
@@ -500,6 +541,7 @@ class NNTrainer(TrainerInterface):
                 "best_metric": self.best_metric,
                 "best_params": self.best_params,
                 "best_epoch": self.best_epoch,
+                "lora_adapters": getattr(self, "lora_adapters", None),
             }
         )
         save_checkpoint_file(checkpoint, path)
@@ -514,6 +556,7 @@ class NNTrainer(TrainerInterface):
         trainer.best_metric = checkpoint.get("best_metric", float("inf"))
         trainer.best_params = checkpoint.get("best_params")
         trainer.best_epoch = checkpoint.get("best_epoch")
+        trainer.lora_adapters = checkpoint.get("lora_adapters")
         return trainer
 
 

@@ -117,3 +117,40 @@ def test_inversion_only_mode():
         [out] = augmenter([_energy_sample(system, rng)])
         ratio = out.system.positions / system.positions
         assert np.allclose(ratio, 1.0) or np.allclose(ratio, -1.0)
+
+
+def test_o3_rotates_per_atom_vector_extras():
+    """Per-atom (n, 3) float extras (FlashMD momenta) co-rotate with the
+    geometry (review finding: they passed through unrotated)."""
+    from metatrain_tpu.containers import System
+    from metatrain_tpu.data.dataset import Sample
+    from metatrain_tpu.engine.augmentation import O3Augmenter
+
+    rng = np.random.default_rng(0)
+    n = 5
+    system = System(
+        positions=rng.normal(size=(n, 3)),
+        types=np.full(n, 6),
+        cell=np.zeros((3, 3)),
+        pbc=np.zeros(3, dtype=bool),
+    )
+    momenta = rng.normal(size=(n, 3))
+    system.extra["momenta"] = momenta
+    system.extra["masses"] = np.ones(n)  # scalar column: untouched
+    system.extra["charge"] = np.asarray(1.0)
+
+    augmenter = O3Augmenter(seed=3)
+    (out,) = augmenter([Sample(system, {})])
+
+    # recover the applied rotation from the positions
+    rotation, *_ = np.linalg.lstsq(
+        system.positions, out.system.positions, rcond=None
+    )
+    np.testing.assert_allclose(
+        rotation.T @ rotation, np.eye(3), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        out.system.extra["momenta"], momenta @ rotation, atol=1e-10
+    )
+    np.testing.assert_allclose(out.system.extra["masses"], np.ones(n))
+    np.testing.assert_allclose(out.system.extra["charge"], 1.0)

@@ -244,3 +244,56 @@ def test_restart_with_new_target_initializes_fresh_heads():
         merged_model.params, batch, ["energy", "mtt::energy2"]
     )
     assert np.isfinite(np.asarray(out["mtt::energy2"].block(0).values)).all()
+
+
+def test_lora_checkpoint_roundtrip_preserves_adapters(tmp_path):
+    """Interval checkpoints during LoRA finetuning store MERGED weights
+    plus the raw adapters; loading gives the finetuned behavior and a
+    resumable trainer (review finding: adapters were lost)."""
+    import numpy as np
+
+    from metatrain_tpu.utils.io import (
+        model_from_checkpoint,
+        trainer_from_checkpoint,
+    )
+
+    dataset, ds_info = _dataset()
+    model = SoapBpnn(HYPERS, ds_info)
+    hypers = {
+        "num_epochs": 2,
+        "batch_size": 4,
+        "checkpoint_interval": 1,
+        "o3_augmentation": False,
+        "data_parallel": False,
+        "learning_rate": 1e-2,
+        "finetune": {"read_from": None, "method": "lora",
+                     "config": {"rank": 2}},
+    }
+    trainer = SoapBpnnTrainer(dict(hypers))
+    trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
+
+    ckpt = tmp_path / "model_1.ckpt"
+    assert ckpt.exists()
+    from metatrain_tpu.utils.io import load_checkpoint_file
+
+    raw = load_checkpoint_file(str(ckpt))
+    assert raw.get("lora_adapters"), "adapters missing from the snapshot"
+
+    # the snapshot's merged weights differ from a fresh base (training
+    # moved the adapters), and resuming restores the adapters
+    resumed_trainer = trainer_from_checkpoint(
+        str(ckpt), dict(hypers), context="restart"
+    )
+    assert resumed_trainer.lora_adapters is not None
+    resumed_model = model_from_checkpoint(str(ckpt), context="restart")
+    resumed_trainer.train(
+        resumed_model, jnp.float32, [dataset], [dataset], str(tmp_path / "b")
+    )
+    # uninterrupted-vs-resumed parity on the final parameters
+    for a, b in zip(
+        jax.tree_util.tree_leaves(model.params),
+        jax.tree_util.tree_leaves(resumed_model.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -148,3 +148,34 @@ def test_empty_and_single_atom():
     nbr = compute_neighbor_data(periodic, cutoff=2.5)
     expected = brute_force_pairs(periodic, 2.5)
     assert nbr.mask.sum() == len(expected)
+
+
+def test_neighbor_cache_never_serves_stale_entries():
+    """The collate NL cache must stay correct when systems are created
+    and freed per access (disk-backed datasets): recycled CPython ids
+    previously could alias another structure's lists."""
+    import gc
+
+    from metatrain_tpu.data.collate import NeighborListCache
+    from metatrain_tpu.ops.neighbors import compute_neighbor_data
+
+    cache = NeighborListCache(cutoff=4.0)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        n = 4 + i % 3
+        system = System(
+            positions=rng.uniform(-3, 3, size=(n, 3)),
+            types=np.full(n, 6),
+            cell=np.zeros((3, 3)),
+            pbc=np.zeros(3, dtype=bool),
+        )
+        cached = cache(system)
+        fresh = compute_neighbor_data(system, 4.0)
+        np.testing.assert_array_equal(
+            np.asarray(cached.indices), np.asarray(fresh.indices)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cached.mask), np.asarray(fresh.mask)
+        )
+        del system, cached, fresh
+        gc.collect()  # maximize id reuse between iterations
