@@ -370,14 +370,21 @@ def colored_fixups(
     # condition is then u < BA + mg  OR  u >= A - mg
     u_by_ba: dict = {}
     plain_cost = A * M * GATHER_SECONDS_PER_ROW
-    best = (plain_cost, 0, None)  # (cost, band, geom)
+    # two candidate sets: bands whose scratch fits the kernel VMEM budget
+    # at f32 (valid for every compute dtype) and at bf16 only. The
+    # runtime gate (color_gather.use_kernel) re-checks with the REAL
+    # dtype, so prefer an any-dtype band; fall back to a bf16-only band
+    # (the production configuration) when no stricter one fits.
+    best_any = (plain_cost, 0, None)  # (cost, band, geom)
+    best_bf16 = (plain_cost, 0, None)
     for band in BAND_BUCKETS:
         geom = kernel_geometry(A, band)
         if geom is None:
             continue
         BA, mg, W = geom
-        if 2 * M * W * feature_dim * 2 > _color_vmem_budget():
-            continue  # bf16 band scratch would exceed the kernel's VMEM
+        scratch_per_byte = 2 * M * W * feature_dim
+        if scratch_per_byte * 2 > _color_vmem_budget():
+            continue  # exceeds VMEM even in bf16
         if BA not in u_by_ba:
             a0 = (a_idx // BA) * BA
             u_by_ba[BA] = ((nbr - a0) % A).astype(np.int32)
@@ -390,8 +397,11 @@ def colored_fixups(
             2.0 * M * A * (W + K) * feature_dim / MATMUL_FLOPS_PER_SECOND
             + G * K * GATHER_SECONDS_PER_ROW
         )
-        if cost < best[0]:
-            best = (cost, band, geom)
+        if cost < best_bf16[0]:
+            best_bf16 = (cost, band, geom)
+        if scratch_per_byte * 4 <= _color_vmem_budget() and cost < best_any[0]:
+            best_any = (cost, band, geom)
+    best = best_any if best_any[1] else best_bf16
     if best[1] == 0:
         return 0, np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int32)
 

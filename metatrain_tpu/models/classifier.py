@@ -122,8 +122,8 @@ class Classifier(ModelInterface):
         )
         return {self.target_name: TensorMap(self.target_info.layout.keys, [block])}
 
-    def forward_eval(self, params, batch, outputs):
-        results = self.forward(params, batch, outputs)
+    def forward_eval(self, params, batch, outputs, selected_atoms=None):
+        results = self.forward(params, batch, outputs, selected_atoms)
         block = results[self.target_name].block(0)
         probabilities = jax.nn.softmax(block.values, axis=-1)
         new_block = TensorBlock(

@@ -193,8 +193,8 @@ class FlashMD(AtomisticNNModel):
             out.append(Sample(sample.system, new_targets, sample.extra_data))
         return out
 
-    def forward_eval(self, params, batch, outputs):
-        results = self.forward(params, batch, outputs)
+    def forward_eval(self, params, batch, outputs, selected_atoms=None):
+        results = self.forward(params, batch, outputs, selected_atoms)
         results = self.scaler.apply_scales(results, batch)
         if "positions" in results:
             results["positions"] = _add_per_atom(

@@ -148,8 +148,8 @@ class FlashMDSymplectic(AtomisticNNModel):
 
     # symplectic forward already predicts absolute positions/momenta: no
     # baselines or scaling are removed/applied
-    def forward_eval(self, params, batch, outputs):
-        return self.forward(params, batch, outputs)
+    def forward_eval(self, params, batch, outputs, selected_atoms=None):
+        return self.forward(params, batch, outputs, selected_atoms)
 
     def extra_removal_transforms(self):
         return []

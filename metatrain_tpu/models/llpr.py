@@ -85,22 +85,29 @@ class LLPRUncertaintyModel(ModelInterface):
             cutoff=self.model.requested_neighbor_cutoff() or 5.0,
             target_infos={},
         )
-        for name in self.target_names:
-            cov: Optional[np.ndarray] = None
-            for dataset in datasets:
-                loader = DataLoader(
-                    dataset,
-                    BatchSampler(
-                        len(dataset), self.hypers["batch_size"], shuffle=False
-                    ),
-                    collate,
-                )
-                for batch in loader:
+        # one pass over the data: collation (neighbor lists) dominates,
+        # so all targets' covariances accumulate from the same batch
+        covariances: Dict[str, Optional[np.ndarray]] = {
+            name: None for name in self.target_names
+        }
+        for dataset in datasets:
+            loader = DataLoader(
+                dataset,
+                BatchSampler(
+                    len(dataset), self.hypers["batch_size"], shuffle=False
+                ),
+                collate,
+            )
+            for batch in loader:
+                for name in self.target_names:
                     feats = self._structure_features(batch.systems, name)
                     feats = np.asarray(feats, dtype=np.float64)
-                    if cov is None:
-                        cov = np.zeros((feats.shape[1], feats.shape[1]))
-                    cov += feats.T @ feats
+                    if covariances[name] is None:
+                        covariances[name] = np.zeros(
+                            (feats.shape[1], feats.shape[1])
+                        )
+                    covariances[name] += feats.T @ feats
+        for name, cov in covariances.items():
             if cov is not None:
                 self.covariances[name] = cov
 

@@ -269,13 +269,9 @@ class AtomisticNNModel(ModelInterface):
         for output_name, target_name in ll_requests.items():
             features = raw[f"_ll_features::{target_name}"]
             if isinstance(features, tuple):  # PET: (node_list, edge_list)
-                node_list, edge_list = features
-                cf = batch_data["cutoff_factors"]
-                parts = []
-                for node_ll, edge_ll in zip(node_list, edge_list):
-                    parts.append(node_ll)
-                    parts.append(jnp.sum(edge_ll * cf[:, :, None], axis=1))
-                features = jnp.concatenate(parts, axis=-1)
+                features = _concat_node_edge_features(
+                    *features, batch_data["cutoff_factors"]
+                )
             results[output_name] = self._per_atom_feature_map(
                 features, batch, amask
             )
@@ -459,13 +455,9 @@ class AtomisticNNModel(ModelInterface):
         raw = self.module.apply(params, batch_data, (target_name,))
         features = raw[f"_ll_features::{target_name}"]
         if isinstance(features, tuple):  # PET: (node_list, edge_list)
-            node_list, edge_list = features
-            cf = batch_data["cutoff_factors"]
-            parts = []
-            for node_ll, edge_ll in zip(node_list, edge_list):
-                parts.append(node_ll)
-                parts.append(jnp.sum(edge_ll * cf[:, :, None], axis=1))
-            return jnp.concatenate(parts, axis=-1)
+            return _concat_node_edge_features(
+                *features, batch_data["cutoff_factors"]
+            )
         return features
 
     @property
@@ -564,6 +556,18 @@ def _overlay_params(fresh, trained):
     return out
 
 
+def _concat_node_edge_features(node_list, edge_list, cutoff_factors):
+    """PET-style feature concatenation: per-layer node features plus the
+    cutoff-weighted sum of edge features (reference pet/model.py
+    'feature' output). Single source of truth for the 'features' output,
+    last-layer features (LLPR covariances) and the aux outputs."""
+    parts = []
+    for node_f, edge_f in zip(node_list, edge_list):
+        parts.append(node_f)
+        parts.append(jnp.sum(edge_f * cutoff_factors[:, :, None], axis=1))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _flatten_features(raw: Dict[str, Any], batch_data: Dict[str, Any]):
     """Per-atom internal features from module results: SOAP-BPNN exposes
     ``_features`` (A, F); PET exposes node/edge feature lists that are
@@ -571,14 +575,10 @@ def _flatten_features(raw: Dict[str, Any], batch_data: Dict[str, Any]):
     ``pet/model.py`` 'feature' output)."""
     if "_features" in raw:
         return raw["_features"]
-    node_list = raw["_node_features"]
-    edge_list = raw["_edge_features"]
-    cf = batch_data["cutoff_factors"]
-    parts = []
-    for node_f, edge_f in zip(node_list, edge_list):
-        parts.append(node_f)
-        parts.append(jnp.sum(edge_f * cf[:, :, None], axis=1))
-    return jnp.concatenate(parts, axis=-1)
+    return _concat_node_edge_features(
+        raw["_node_features"], raw["_edge_features"],
+        batch_data["cutoff_factors"],
+    )
 
 
 def process_stress_like(

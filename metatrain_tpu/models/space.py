@@ -51,6 +51,12 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     # set by the eigenvalue budget E_max (the reference physical-basis
     # scheme, space/modules/physical_basis.py:9-76, with the LE spectrum)
     "radial_basis": {"type": "bessel", "E_max": 20.0},
+    # restrict message-passing paths to parity-preserving couplings
+    # ((-1)^(l1+l2) == (-1)^L) so features[L] are PROPER tensors and
+    # equivariance holds under improper rotations too (matches MACE's
+    # parity tracking). False reproduces the parity-mixed v1 behavior
+    # (pinned by v1-checkpoint migration).
+    "parity_strict": True,
     "mlp_width": 64,
 }
 
@@ -66,6 +72,7 @@ class SpaceInteraction(nn.Module):
 
     k_max_l: Sequence[int]
     num_radial: int
+    parity_strict: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,6 +92,10 @@ class SpaceInteraction(nn.Module):
             h_nbr = features[l1][nbr_idx]  # (A, M, C_l1, 2l1+1)
             for l2 in range(lmax + 1):
                 for L in range(abs(l1 - l2), min(l1 + l2, lmax) + 1):
+                    if self.parity_strict and (-1) ** (l1 + l2) != (-1) ** L:
+                        # parity-violating path: would mix pseudo-tensor
+                        # components into proper features
+                        continue
                     cg = jnp.asarray(real_clebsch_gordan(l1, l2, L), dtype=acc)
                     # per-path radial weights mapped into the *output*
                     # budget C_L: first project the l1 channels to C_L so
@@ -225,6 +236,7 @@ class SpaceModule(nn.Module):
             features = SpaceInteraction(
                 k_max_l=k_max_l,
                 num_radial=hp["num_radial"],
+                parity_strict=bool(hp.get("parity_strict", True)),
                 dtype=self.dtype,
                 name=f"interaction_{t}",
             )(features, edge_data)
@@ -275,6 +287,9 @@ class SpaceModule(nn.Module):
                                 lmax,
                                 f"equiv_{safe}_{block_key}_l{lam}"
                                 f"s{1 if sigma > 0 else 'm1'}",
+                                parity_strict=bool(
+                                    hp.get("parity_strict", True)
+                                ),
                             ).transpose(0, 2, 1)  # (A, 2lam+1, P)
                         )
                     sph = jnp.concatenate(parts, axis=1)  # (A, 9, P)
@@ -290,6 +305,7 @@ class SpaceModule(nn.Module):
                     spec,
                     lmax,
                     f"equiv_{safe}_{block_key}",
+                    parity_strict=bool(hp.get("parity_strict", True)),
                 )
                 if spec["type"] == "cartesian_rank1":
                     # real-SH order m=(-1,0,1) ~ (y,z,x) -> xyz
@@ -303,7 +319,8 @@ class SpaceModule(nn.Module):
         return results
 
 
-def _space_equivariant_readout(mod, features, spec, lmax, name):
+def _space_equivariant_readout(mod, features, spec, lmax, name,
+                               parity_strict=True):
     """Equivariant per-atom readout from SPACE's per-L proper-parity
     features (reference SPACE tensorial readout capability slot; same
     scheme as ``mace.EquivariantReadout``): direct per-channel linear on
@@ -323,7 +340,9 @@ def _space_equivariant_readout(mod, features, spec, lmax, name):
             P, use_bias=False, dtype=mod.dtype, name=f"{name}_{suffix}"
         )(x.transpose(0, 2, 1)).transpose(0, 2, 1)
 
-    proper = sigma == (-1) ** lam
+    # with parity-strict features, features[lam] is a PROPER tensor
+    # (sigma == +1); the legacy convention kept the v1 (mixed) behavior
+    proper = (sigma == 1) if parity_strict else (sigma == (-1) ** lam)
     if proper:
         return channel_linear(features[lam], "direct")
 
@@ -353,8 +372,20 @@ def _space_equivariant_readout(mod, features, spec, lmax, name):
 
 class SPACE(AtomisticNNModel):
     ARCHITECTURE_NAME = "experimental.space"
-    __checkpoint_version__ = 1
+    __checkpoint_version__ = 2
     __supported_dtypes__ = [jnp.float64, jnp.float32]
+
+    @classmethod
+    def upgrade_v1_v2(cls, checkpoint):
+        """v1 checkpoints predate parity-strict message passing: their
+        parameters include the parity-violating coupling paths and the
+        v1 readout branch selection — pin the hypers that reproduce that
+        structure."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault("parity_strict", False)
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint
 
     def __init__(self, hypers, dataset_info: DatasetInfo, compute_dtype=jnp.float32):
         full = copy.deepcopy(DEFAULT_MODEL_HYPERS)

@@ -44,9 +44,7 @@ def _phi_np(x):
     return sum(c * np.exp(-e * x) for c, e in zip(_PHI_COEFFS, _PHI_EXPONENTS))
 
 
-def _cosine_switch(r, cutoff, width):
-    scaled = (r - (cutoff - width)) / width
-    return 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(scaled, 0.0, 1.0)))
+from ..ops.radial import cosine_cutoff as _cosine_switch  # noqa: E402
 
 
 class ZBL:
@@ -65,11 +63,14 @@ class ZBL:
         self.dataset_info = dataset_info
         self.cutoff = float(cutoff)
         self.cutoff_width = float(cutoff_width)
-        # applies only to non-per-atom scalar energy targets
+        # applies only to non-per-atom scalar energy targets (the host
+        # removal subtracts per-SYSTEM totals)
         self.target_names = [
             name
             for name, info in dataset_info.targets.items()
-            if info.quantity == "energy" and info.is_scalar
+            if info.quantity == "energy"
+            and info.is_scalar
+            and not info.per_atom
         ]
 
     # -- device forward ---------------------------------------------------
@@ -149,7 +150,10 @@ class ZBL:
             system.positions, system.cell, system.pbc, self.cutoff, full_list=True
         )
         if len(centers) == 0:
-            return {"energy": 0.0, "forces": np.zeros((len(system), 3))}
+            return {
+                "energy": 0.0,
+                "position_gradient": np.zeros((len(system), 3)),
+            }
         r_vec = (
             system.positions[neighbors]
             - system.positions[centers]

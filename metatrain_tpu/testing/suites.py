@@ -419,20 +419,37 @@ class ArchitectureTests:
             return np.asarray(out["target"].block(0).values)[0]
 
         p0 = predict(system)
-        rotation = random_rotation(np.random.default_rng(5))
-        rotated = System(
-            system.positions @ rotation.T, system.types, system.cell, system.pbc
-        )
-        p_rot = predict(rotated)
-        if kind == "cartesian_rank1":
-            expected = np.einsum("ij,jp->ip", rotation, p0)
-        elif kind == "cartesian_rank2":
-            expected = np.einsum("ij,jkp,lk->ilp", rotation, p0, rotation)
-        elif kind == "spherical_l2":
-            expected = np.einsum("ij,jp->ip", real_wigner_d(rotation, 2), p0)
-        else:
-            expected = p0
-        np.testing.assert_allclose(p_rot, expected, rtol=1e-6, atol=1e-9)
+        rng = np.random.default_rng(5)
+        for improper in (False, True):
+            rotation = random_rotation(rng, improper=improper)
+            rotated = System(
+                system.positions @ rotation.T,
+                system.types,
+                system.cell,
+                system.pbc,
+            )
+            p_rot = predict(rotated)
+            det = float(np.linalg.det(rotation))
+            proper_part = rotation * det  # strip the inversion
+            if kind == "cartesian_rank1":
+                # a true (polar) vector transforms with R, inversion incl.
+                expected = np.einsum("ij,jp->ip", rotation, p0)
+            elif kind == "cartesian_rank2":
+                expected = np.einsum(
+                    "ij,jkp,lk->ilp", rotation, p0, rotation
+                )
+            elif kind == "spherical_l2":
+                # (lambda=2, sigma=1): inversion factor sigma*(-1)^lambda
+                # = +1, so only the proper part rotates the components
+                expected = np.einsum(
+                    "ij,jp->ip", real_wigner_d(proper_part, 2), p0
+                )
+            else:
+                expected = p0
+            np.testing.assert_allclose(
+                p_rot, expected, rtol=1e-6, atol=1e-9,
+                err_msg=f"improper={improper}",
+            )
 
     # -- Restart continuation (reference ``testing/training.py:193-370``) ----
 
@@ -505,6 +522,17 @@ class ArchitectureTests:
             with open(csv_path) as f:
                 rows = list(csv.DictReader(f))
             assert np.isfinite(float(rows[-1]["train loss"]))
+
+    def test_forward_eval_accepts_selected_atoms(self, model_and_params):
+        """Every forward/forward_eval takes the 4-positional-arg calling
+        convention wrappers use (LLPR passes selected_atoms positionally;
+        regression: FlashMD/classifier overrides dropped the param)."""
+        model, params = model_and_params
+        batch = self._batch(model, [_molecule(5, seed=7)])
+        name = next(iter(model.supported_outputs()))
+        fwd = getattr(model, "forward_eval", model.forward)
+        out = fwd(params, batch, [name], None)
+        assert name in out
 
     # -- InputTests (reference ``utils/testing/input.py``) -------------------
 

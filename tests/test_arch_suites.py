@@ -75,7 +75,9 @@ class TestSPACE(ArchitectureTests):
         "cutoff": 4.5,
         "num_radial": 3,
         "k_max_l": [8, 4, 4],
-        "num_message_passing": 1,
+        # 2 layers populate the L>0 features, exercising every coupling
+        # path (improper-rotation equivariance needs the parity filter)
+        "num_message_passing": 2,
         "mlp_width": 8,
     }
     supports_forces = True

@@ -127,3 +127,18 @@ def test_flashmd_training_smoke(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert np.isfinite(float(rows[-1]["train loss"]))
+
+
+def test_forward_eval_accepts_positional_selected_atoms():
+    """Wrappers (LLPR) call forward_eval with 4 positional args;
+    regression: the override dropped the selected_atoms parameter."""
+    dataset, ds_info = _md_dataset()
+    model = FlashMD(SMALL_HYPERS, ds_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+    system = dataset[0].system
+    nbr = compute_neighbor_data(system, model.cutoff)
+    batch = batch_from_systems(
+        [system], [nbr], extra_keys=["momenta", "masses"]
+    )
+    out = model.forward_eval(params, batch, ["positions"], None)
+    assert "positions" in out
