@@ -45,11 +45,15 @@ def _random_inputs(rng, A, M, D):
     return edges, center, cf
 
 
+@pytest.mark.parametrize("qside", ["0", "1"])
 @pytest.mark.parametrize(
     "A,M,D,F,H",
     [(21, 9, 32, 16, 4), (21, 8, 32, 16, 4), (9, 48, 128, 64, 8)],
 )
-def test_fused_kernel_matches_math(A, M, D, F, H):
+def test_fused_kernel_matches_math(A, M, D, F, H, qside, monkeypatch):
+    # both attention formulations (q-side grouped-AV and kq-transposed
+    # mexp) are live configurations: bench.py A/Bs them on hardware
+    monkeypatch.setenv("MTT_QSIDE", qside)
     rng = np.random.default_rng(0)
     edges, center, cf = _random_inputs(rng, A, M, D)
     weights = _random_weights(rng, D, F)
@@ -163,13 +167,16 @@ def test_fused_layer_gradients_and_double_backward(A, M, D, F, H):
     )
 
 
+@pytest.mark.parametrize("qside", ["0", "1"])
 @pytest.mark.parametrize(
     "A,M,D,F,H", [(7, 16, 32, 16, 4), (9, 48, 128, 64, 8)]
 )
 @pytest.mark.parametrize("weight_grads", [True, False])
-def test_handwritten_bwd_matches_vjp(A, M, D, F, H, weight_grads):
+def test_handwritten_bwd_matches_vjp(A, M, D, F, H, weight_grads, qside,
+                                     monkeypatch):
     """The hand-written backward (_layer_bwd_math) computes the same
-    function as jax.vjp of _layer_math."""
+    function as jax.vjp of _layer_math, in both attention layouts."""
+    monkeypatch.setenv("MTT_QSIDE", qside)
     from metatrain_tpu.ops.pallas.fused_layer import _layer_bwd_math
 
     rng = np.random.default_rng(11)
