@@ -86,6 +86,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="unix socket: a path, or a bare name for /tmp/ipi_<NAME>",
     )
 
+    defaults = sub.add_parser(
+        "defaults",
+        help="print an architecture's default hypers as an options-file "
+        "skeleton (reference utils/architectures.py YAML default writer)",
+    )
+    defaults.add_argument("architecture", nargs="?", default=None,
+                          help="architecture name; omit to list all")
+    defaults.add_argument(
+        "-o", "--output", default=None,
+        help="write the YAML skeleton to a file instead of stdout",
+    )
+
     export = sub.add_parser("export", help="export a checkpoint")
     export.add_argument(
         "checkpoint",
@@ -195,6 +207,35 @@ def main(argv=None) -> int:
                     unixsocket=args.unix,
                     pbc=template.pbc,
                 )
+            elif args.command == "defaults":
+                import yaml
+
+                from .utils.architectures import (
+                    available_architectures,
+                    get_default_hypers,
+                )
+
+                if args.architecture is None:
+                    print("\n".join(available_architectures()))
+                else:
+                    skeleton = {
+                        "architecture": {
+                            "name": args.architecture,
+                            **get_default_hypers(args.architecture),
+                        },
+                        "training_set": {
+                            "systems": {"read_from": "dataset.xyz"},
+                            "targets": {"energy": {"key": "energy"}},
+                        },
+                        "validation_set": 0.1,
+                        "test_set": 0.0,
+                    }
+                    text = yaml.safe_dump(skeleton, sort_keys=False)
+                    if args.output:
+                        with open(args.output, "w") as f:
+                            f.write(text)
+                    else:
+                        print(text, end="")
             elif args.command == "export":
                 from .cli.export import export_model
 

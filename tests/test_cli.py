@@ -303,3 +303,25 @@ def test_multi_dataset_training(tmp_path, monkeypatch):
     )
     assert "Training dataset #0" in log
     assert "Training dataset #1" in log
+
+
+def test_defaults_subcommand(tmp_path, capsys, monkeypatch):
+    """`mtt-tpu defaults` lists architectures; with a name it prints a
+    valid options skeleton whose hypers pass train-time validation."""
+    monkeypatch.chdir(tmp_path)
+    from metatrain_tpu.__main__ import main
+
+    assert main(["defaults"]) == 0
+    listing = capsys.readouterr().out.split()
+    assert "pet" in listing and "soap_bpnn" in listing
+
+    assert main(["defaults", "pet", "-o", "skeleton.yaml"]) == 0
+    with open("skeleton.yaml") as f:
+        skeleton = yaml.safe_load(f)
+    assert skeleton["architecture"]["name"] == "pet"
+    assert skeleton["architecture"]["model"]["cutoff"] == 4.5
+    assert "training_set" in skeleton
+
+    from metatrain_tpu.utils.config import validate_base_options
+
+    validate_base_options(skeleton)
