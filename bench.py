@@ -76,6 +76,11 @@ def main():
         if os.environ.get("MTT_BENCH_DTYPE", "bf16") == "f32"
         else jnp.bfloat16
     )
+    # Initialize under the hardware-validated kernel config: init traces
+    # the forward once, and a freshly-landed formulation that fails to
+    # lower on this chip must not kill the bench before the A/B loop
+    # (whose per-config try/except handles such failures) even runs.
+    os.environ.update({"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"})
     model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 

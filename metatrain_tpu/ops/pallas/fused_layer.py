@@ -179,10 +179,12 @@ def _window_attention_qside(q, k, v, cf, num_heads, scale):
     g = HT // 2
     halves = []
     for lo, hi, c0, c1 in ((0, g, 0, D // 2), (g, HT, D // 2, D)):
+        # slice BEFORE adding the batch axis: a mixed None+slice index
+        # lowers as a gather, which Mosaic cannot lower on real TPUs
+        bd = jax.lax.expand_dims(ones_bd[lo:hi, c0:c1], (0,))
         rhs = jnp.concatenate(
-            [v_exp[:, lo:hi, c0:c1], jnp.broadcast_to(
-                ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
-            )],
+            [v_exp[:, lo:hi, c0:c1],
+             jnp.broadcast_to(bd, (BA, hi - lo, c1 - c0))],
             axis=-1,
         )  # (BA, HT/2, D)
         halves.append(
