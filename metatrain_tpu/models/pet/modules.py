@@ -65,12 +65,14 @@ def _head_params(mod, name, d_head, example, dtype):
 
 def _run_stage(math_fn, inputs, weights):
     """Fused Pallas row-block kernel on TPU (f32/bf16); identical-math
-    XLA fallback elsewhere."""
+    XLA fallback elsewhere (and under ``MTT_PALLAS=0``)."""
+    from ...ops.pallas import pallas_enabled
     from ...ops.pallas.rowblock import fused_rowblock, reference_rowblock
 
-    if jax.default_backend() == "tpu" and inputs[0].dtype in (
-        jnp.float32,
-        jnp.bfloat16,
+    if (
+        pallas_enabled()
+        and jax.default_backend() == "tpu"
+        and inputs[0].dtype in (jnp.float32, jnp.bfloat16)
     ):
         return fused_rowblock(math_fn, inputs, weights)
     return reference_rowblock(math_fn, inputs, weights)
@@ -144,8 +146,11 @@ class AttentionBlock(nn.Module):
 
         # fused kernel on real TPUs only: the interpret-mode fallback is
         # far slower than plain XLA on CPU (tests exercise it directly)
+        from ...ops.pallas import pallas_enabled
+
         use_fused = (
             self.fused
+            and pallas_enabled()
             and jax.default_backend() == "tpu"
             and q.dtype in (jnp.float32, jnp.bfloat16)
         )
@@ -305,9 +310,12 @@ class FusedTransformerLayer(nn.Module):
         else:
             center_token = node_emb
 
-        use_kernel = jax.default_backend() == "tpu" and self.dtype in (
-            jnp.float32,
-            jnp.bfloat16,
+        from ...ops.pallas import pallas_enabled
+
+        use_kernel = (
+            pallas_enabled()
+            and jax.default_backend() == "tpu"
+            and self.dtype in (jnp.float32, jnp.bfloat16)
         )
         if use_kernel:
             edge_out, center_attn = fused_transformer_layer(

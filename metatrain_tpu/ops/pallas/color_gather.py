@@ -274,12 +274,14 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
             "band/geometry mismatch between batch assembly and kernel"
         )
 
-    # color-major layout: the band of every block is one contiguous slab
-    # of rows per color; circular wrap is handled by the kernel's static
-    # per-block DMA branches (_band_dma) -- no extended copy in HBM.
-    # MTT_COLOR_EXT=1 restores the extended-copy layout (A/B knob).
+    # Extended-copy layout by default: every block's band is one plain
+    # contiguous slab of the (M, A+2*mg, D) extended array. The wrap
+    # layout (MTT_COLOR_EXT=0, experimental) skips the HBM copy and
+    # serves wrap blocks with two static DMAs, but fails Mosaic lowering
+    # on real TPU (v5e, 2026-08 libtpu: MosaicError) -- the extended
+    # form is the hardware-validated default.
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
-    use_ext = os.environ.get("MTT_COLOR_EXT", "0") == "1"
+    use_ext = os.environ.get("MTT_COLOR_EXT", "1") != "0"
     if use_ext:
         xT = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
 
@@ -379,10 +381,16 @@ def use_kernel(x_shape, dtype, band: int) -> bool:
 
 
 def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, interpret=None):
+    from . import pallas_enabled
+
     A, M, D = x.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if interpret or not use_kernel(x.shape, x.dtype, band):
+    if (
+        interpret
+        or not pallas_enabled()
+        or not use_kernel(x.shape, x.dtype, band)
+    ):
         flat = x.reshape(A * M, D)
         return jnp.take(flat, rev, axis=0).reshape(A, M, D)
     return _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band, interpret=False)

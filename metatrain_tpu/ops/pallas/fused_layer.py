@@ -112,8 +112,13 @@ def _expand_heads_scaled(x, num_heads: int, head_dim: int, scale: float):
 def _use_qside(T: int, D: int, num_heads: int) -> bool:
     """The q-side grouped formulation additionally needs an even head
     count so the two AV groups split D at a head boundary.
-    ``MTT_QSIDE=0`` falls back to the kq-transposed form (A/B knob)."""
-    if os.environ.get("MTT_QSIDE", "1") == "0":
+
+    OFF by default: the q-side form fails Mosaic lowering on real TPU
+    (v5e, 2026-08 libtpu: ``Shape mismatch in input, indices and
+    output`` in ``_gather_lowering_rule``) for the full PET force call.
+    ``MTT_QSIDE=1`` opts in (experimental A/B knob); the default is the
+    hardware-validated kq-transposed form."""
+    if os.environ.get("MTT_QSIDE", "0") != "1":
         return False
     return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
 
@@ -254,7 +259,10 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
             preferred_element_type=acc,
         )  # (BA, 1, H*T)
         weights = (e / denom).astype(v.dtype)  # sublane broadcast
-        v_cf = v * cf[:, :, None].astype(v.dtype)  # single-lane-tile bcast
+        # minor-dim insertion must happen on the 32-bit cf_acc: Mosaic
+        # only supports non-no-op minor-dim reshapes for 32-bit types
+        # (bf16 cf here fails to lower on v5e)
+        v_cf = v * cf_acc[:, :, None].astype(v.dtype)  # single-lane bcast
         out_exp = jax.lax.dot_general(
             weights,
             v_cf,
@@ -461,7 +469,8 @@ def _layer_bwd_math(
         )  # (BA, 1, HT)
         w_soft = e / denom  # f32 (BA, T_keys, HT)
         weights = w_soft.astype(cd)
-        v_cf = v * cf[:, :, None].astype(cd)
+        # 32-bit minor-dim insertion (see forward): reshape cf_acc, not cf
+        v_cf = v * cf_acc[:, :, None].astype(cd)
         out_exp = jax.lax.dot_general(
             weights, v_cf,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
