@@ -8,19 +8,26 @@ coverage without TPU hardware (SURVEY.md section 4.3).
 
 import os
 
+# MTT_TEST_TPU=1 selects the on-chip lane (tests/tpu/): the real backend
+# is kept and f64 stays off (TPUs have no native f64). Everything else
+# runs on the simulated CPU mesh below.
+TPU_LANE = os.environ.get("MTT_TEST_TPU", "0") == "1"
+
 # NOTE: jax is preloaded at interpreter startup in this image (a .pth hook),
 # so JAX_PLATFORMS/JAX_ENABLE_X64 env vars are captured before conftest runs;
 # jax.config.update still works, and XLA_FLAGS is read lazily at backend init.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not TPU_LANE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
