@@ -6,9 +6,15 @@ atom-steps/sec per chip. Methodology mirrors the reference's eval timing
 harness (``cli/eval.py:219-310``): warm-up before timing, device sync
 around the timed region, per-atom normalization.
 
+The MD chain runs DEVICE-RESIDENT inside one jitted ``lax.scan`` (each
+step's positions depend on the previous step's energy AND forces), so
+the measurement times the chip, not per-call RPC dispatch through the
+dev tunnel. Two chain lengths are differenced to cancel the fixed
+dispatch+fetch cost of a single call.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the driver's ≥5x-vs-A100-torch target
-expressed as an absolute per-chip throughput floor (see TARGET below).
+``vs_baseline`` is measured against the driver's >=5x-vs-A100-torch
+target expressed as an absolute per-chip throughput floor (TARGET below).
 """
 
 import json
@@ -76,11 +82,12 @@ def main():
         if os.environ.get("MTT_BENCH_DTYPE", "bf16") == "f32"
         else jnp.bfloat16
     )
-    # Initialize under the hardware-validated kernel config: init traces
-    # the forward once, and a freshly-landed formulation that fails to
-    # lower on this chip must not kill the bench before the A/B loop
-    # (whose per-config try/except handles such failures) even runs.
-    os.environ.update({"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"})
+    # The library defaults ARE the hardware-validated kernel config
+    # (kq-transposed attention + extended-copy color bands); setdefault
+    # keeps an explicit user pin (e.g. MTT_QSIDE=1) in effect for the
+    # "pinned" escape hatch below while still guarding unset environments.
+    os.environ.setdefault("MTT_QSIDE", "0")
+    os.environ.setdefault("MTT_COLOR_EXT", "1")
     model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -115,49 +122,58 @@ def main():
         block = preds["energy"].block()
         return block.values, block.gradient("positions").values
 
-    # Chained timing: each step's positions depend on the previous step's
-    # ENERGY AND FORCES (non-zero coefficients, so XLA can neither fold the
+    # Each step's positions depend on the previous step's ENERGY AND
+    # FORCES (non-zero coefficients, so XLA can neither fold the
     # dependency nor dead-code-eliminate the force vjp), forcing strictly
-    # sequential device execution. Through the axon RPC tunnel
-    # block_until_ready is not a reliable fence and each fetch costs ~28 ms
-    # fixed, so the loop is timed at two lengths and differenced
-    # (methodology calibrated in benchmarks/timing_check.py).
+    # sequential execution inside the scan.
     def md_step_raw(params, positions):
         energy, forces = one_force_call(params, positions)
         dep = (jnp.sum(energy.astype(jnp.float32))
                + jnp.sum(forces.astype(jnp.float32))) * 1e-30
         return positions + dep.astype(positions.dtype)
 
-    def make_step_fn(tag):
+    def make_chain_fn(tag):
         """Per-config jit identity: the kernel-formulation env knobs are
         read at TRACE time, so each config gets its own function object
         (traced on first call under that config's env). No
         ``jax.clear_caches()``: every config's executable stays cached,
-        and the winner's full measurement reuses its compiled step."""
+        and the winner's full measurement reuses its compiled chains."""
 
-        def md_step(params, positions, _tag=tag):
-            return md_step_raw(params, positions)
+        def chain(params, positions, n, _tag=tag):
+            def body(pos, _):
+                return md_step_raw(params, pos), None
 
-        return jax.jit(md_step)
+            out, _ = jax.lax.scan(body, positions, None, length=n)
+            return out
 
-    def run(n, step):
-        pos = step(params, batch.positions)  # compile/warm
-        float(jnp.sum(pos))  # fetch = reliable fence
+        return jax.jit(chain, static_argnums=2)
+
+    def timed(chain, n):
+        """Wall time of one device-resident n-step chain (one dispatch,
+        one scalar fetch as the fence)."""
         start = time.perf_counter()
-        for _ in range(n):
-            pos = step(params, pos)
+        pos = chain(params, batch.positions, n)
         float(jnp.sum(pos))
         return time.perf_counter() - start
+
+    def per_call(chain, n1, n2):
+        """Differenced per-step time: two chain lengths cancel the fixed
+        dispatch+fetch cost. Both lengths are warmed (compiled) AND
+        fenced first -- an unfenced warm-up would still be executing
+        when the n1 timing starts, inflating t1 (negative diffs)."""
+        for n in (n1, n2):
+            float(jnp.sum(chain(params, batch.positions, n)))
+        t1, t2 = timed(chain, n1), timed(chain, n2)
+        return (t2 - t1) / (n2 - n1)
 
     # ---- kernel-config selection --------------------------------------------
     # The kernel formulation knobs (q-side vs kq-transposed attention; wrap
     # -DMA vs extended-copy color bands) are read at trace time. New
     # formulations land CPU-validated between TPU windows, so the bench
     # A/Bs every candidate on THIS chip: compile + short chained timing
-    # each (configs that fail to lower are skipped). The fastest config is
-    # then checked for force agreement against the hardware-validated
-    # "kq+ext" formulation (same math, different schedule: bf16 reduction-
-    # order noise only) before running the full measurement.
+    # each (configs that fail to lower are skipped). EVERY candidate that
+    # runs is checked for force agreement against the pure-XLA layer path
+    # (same math, no Pallas) before it can win.
     VALIDATED = ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"})  # r3
     candidates = [
         ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"}),
@@ -168,70 +184,87 @@ def main():
     if os.environ.get("MTT_BENCH_AB", "1") == "0":  # pinned-config escape
         candidates = [("pinned", dict())]
 
-    def forces_under(tag, env):
-        os.environ.update(env)
-
-        def force_fn(params, positions, _tag=tag):
-            return one_force_call(params, positions)
-
-        _, forces = jax.jit(force_fn)(params, batch.positions)
-        return np.asarray(forces, dtype=np.float64)
-
     # MTT_BENCH_SMOKE=1: minimal iteration counts for CPU smoke tests of
     # the harness logic (interpret-mode Pallas is ~1000x slower than TPU)
     smoke = os.environ.get("MTT_BENCH_SMOKE", "0") == "1"
-    N_AB = 1 if smoke else 8
+    AB_N1, AB_N2 = (1, 2) if smoke else (2, 10)
+
+    # ground-truth forces: MTT_PALLAS=0 routes every kernel through its
+    # identical-math XLA fallback with the SAME params (one compile,
+    # reused for every candidate's agreement check)
+    f_ref = None
+    prior_pallas = os.environ.get("MTT_PALLAS")
+    try:
+        os.environ["MTT_PALLAS"] = "0"
+
+        def force_xla(params, positions):
+            return one_force_call(params, positions)
+
+        _, f = jax.jit(force_xla)(params, batch.positions)
+        f_ref = np.asarray(f, dtype=np.float64)
+        f_scale = float(np.sqrt(np.mean(f_ref**2))) or 1.0
+    except Exception as err:  # pragma: no cover - hardware-specific
+        print(f"# XLA reference path failed ({type(err).__name__}); "
+              "force guard disabled", flush=True)
+    finally:
+        if prior_pallas is None:
+            del os.environ["MTT_PALLAS"]
+        else:
+            os.environ["MTT_PALLAS"] = prior_pallas
+
+    def force_deviation(tag):
+        """Relative RMS force deviation of the CURRENT env's kernel path
+        vs the pure-XLA ground truth (bf16 reduction-order noise only)."""
+        if f_ref is None:
+            return None
+        def force_fn(params, positions, _tag=tag):
+            return one_force_call(params, positions)
+        _, forces = jax.jit(force_fn)(params, batch.positions)
+        f = np.asarray(forces, dtype=np.float64)
+        return float(np.sqrt(np.mean((f - f_ref) ** 2))) / f_scale
+
+    DEV_BOUND = 5e-2
     # stop exploring configs when compile time piles up (fresh cache +
     # slow tunnel): always finishes at least one config
     ab_budget = float(os.environ.get("MTT_BENCH_AB_BUDGET", "900"))
     ab_start = time.perf_counter()
-    step_fns = {}
+    chain_fns = {}
     results = []
     for name, env in candidates:
         if results and time.perf_counter() - ab_start > ab_budget:
             print(f"# A/B budget exhausted; skipping {name}", flush=True)
             continue
         os.environ.update(env)
-        step_fns[name] = make_step_fn(name)
+        chain_fns[name] = make_chain_fn(name)
         try:
-            t = run(N_AB, step_fns[name]) / N_AB  # compile+warm untimed
-            results.append((t, name, dict(env)))
-            print(f"# config {name}: {t*1e3:.1f} ms/call", flush=True)
+            t = per_call(chain_fns[name], AB_N1, AB_N2)
+            dev = force_deviation(name)
+            dev_txt = "n/a" if dev is None else f"{dev:.2e}"
+            ok = dev is None or (np.isfinite(dev) and dev <= DEV_BOUND)
+            print(f"# config {name}: {t*1e3:.1f} ms/call, "
+                  f"force dev {dev_txt}{'' if ok else '  REJECTED'}",
+                  flush=True)
+            if ok:
+                results.append((t, name, dict(env)))
         except Exception as err:  # pragma: no cover - hardware-specific
             print(f"# config {name} failed ({type(err).__name__}); skipped",
                   flush=True)
-    if not results:  # nothing compiled: pin the validated config and hope
-        os.environ.update(VALIDATED[1])
-        step_fns[VALIDATED[0]] = make_step_fn(VALIDATED[0])
-        results = [(float("inf"), VALIDATED[0], dict(VALIDATED[1]))]
+    if not results:
+        # nothing compiled AND passed the guard: fail loudly -- a recorded
+        # number from an unvalidated path would be worse than no number
+        print("# FATAL: no kernel config compiled and passed the force "
+              "guard on this backend", flush=True)
+        sys.exit(1)
     results.sort(key=lambda r: r[0])
 
-    # force-agreement guard on the winner (skipped when the winner IS the
-    # validated config or agreement cannot be established)
     best_t, best_name, best_env = results[0]
-    validated_ran = any(r[1] == VALIDATED[0] for r in results)
-    if best_name not in (VALIDATED[0], "pinned") and validated_ran:
-        try:
-            f_ref = forces_under(VALIDATED[0], VALIDATED[1])
-            f_best = forces_under(best_name, best_env)
-            scale = float(np.sqrt(np.mean(f_ref**2))) or 1.0
-            dev = float(np.sqrt(np.mean((f_best - f_ref) ** 2))) / scale
-            if not np.isfinite(dev) or dev > 5e-2:
-                print(f"# config {best_name}: force deviation {dev:.3e} "
-                      "vs validated exceeds bound; using validated",
-                      flush=True)
-                best_name, best_env = VALIDATED[0], dict(VALIDATED[1])
-        except Exception as err:  # pragma: no cover
-            print(f"# force guard failed ({type(err).__name__}); "
-                  "keeping timing winner", flush=True)
     os.environ.update(best_env)
-    md_step = step_fns[best_name]
+    chain = chain_fns[best_name]
     print(f"# selected config: {best_name}", flush=True)
 
     n1, n2 = (1, 2) if smoke else (10, 40)
-    t1, t2 = run(n1, md_step), run(n2, md_step)
-    per_call = (t2 - t1) / (n2 - n1)
-    throughput = n_atoms / per_call  # atom-steps/sec/chip
+    per_step = per_call(chain, n1, n2)
+    throughput = n_atoms / per_step  # atom-steps/sec/chip
 
     # Baseline floor: torch PET on A100 at 10k atoms runs at roughly
     # ~6e4 atom-steps/s (O(150 ms)/force-call); the driver target is >=5x
