@@ -88,6 +88,14 @@ class DiskDatasetWriter:
 class DiskDataset:
     """Zip-backed dataset with lazy member reads.
 
+    Two member layouts are auto-detected:
+
+    - native: ``{i}/system.npz`` + ``{i}/{target}.npz`` (this module's
+      writer);
+    - **reference metatrain**: ``{i}/system.mta`` + ``{i}/{target}.mts``
+      (``/root/reference/src/metatrain/utils/data/dataset.py:624-799``)
+      — existing metatrain DiskDataset zips load as-is, no conversion.
+
     :param target_infos: target name -> TargetInfo (drives gradient
         reconstruction). Defaults to an energy target whose gradients are
         inferred from the stored fields.
@@ -106,11 +114,14 @@ class DiskDataset:
             io.BytesIO(self.zipf.read("metadata/atom_counts.npy"))
         )
         self._len = len(self._atom_counts)
+        self._reference_layout = any(n.endswith("/system.mta") for n in names)
+        suffix = ".mts" if self._reference_layout else ".npz"
+        sysname = "system.mta" if self._reference_layout else "system.npz"
         self.target_names = sorted(
             {
-                n.split("/")[1].removesuffix(".npz")
+                n.split("/", 1)[1].removesuffix(suffix)
                 for n in names
-                if "/" in n and not n.endswith("system.npz")
+                if "/" in n and not n.endswith(sysname)
                 and not n.startswith("metadata/")
             }
         )
@@ -140,6 +151,15 @@ class DiskDataset:
             return {k: data[k] for k in data.files}
 
     def __getitem__(self, index: int) -> Sample:
+        if self._reference_layout:
+            from .readers.mts import load_mta_bytes, load_mts_bytes
+
+            system = load_mta_bytes(self.zipf.read(f"{index}/system.mta"))
+            targets = {
+                name: load_mts_bytes(self.zipf.read(f"{index}/{name}.mts"))
+                for name in self.target_names
+            }
+            return Sample(system, targets)
         raw = self._load_npz(f"{index}/system.npz")
         system = System(raw["positions"], raw["types"], raw["cell"], raw["pbc"])
         targets: Dict[str, TensorMap] = {}
@@ -155,6 +175,9 @@ class DiskDataset:
         infos = {}
         for name, tmap in sample.targets.items():
             block = tmap.block(0)
+            if self._reference_layout and not _is_energy_layout(name, tmap):
+                infos[name] = _info_from_tensormap(tmap)
+                continue
             infos[name] = get_energy_target_info(
                 "eV",
                 add_position_gradients=block.has_gradient("positions"),
@@ -170,6 +193,37 @@ class DiskDataset:
         from .dataset import DatasetView
 
         return DatasetView(self, indices)
+
+
+def _is_energy_layout(name: str, tmap: TensorMap) -> bool:
+    """Whether a reference-layout target TensorMap is an energy: a
+    per-structure scalar with one property, either carrying energy
+    gradients or simply named ``energy``."""
+    if len(tmap) != 1:
+        return False
+    block = tmap.block(0)
+    if block.components or "atom" in block.samples.names:
+        return False
+    if np.asarray(block.values).shape[-1] != 1:
+        return False
+    return bool(block.gradients_list()) or name == "energy"
+
+
+def _info_from_tensormap(tmap: TensorMap) -> TargetInfo:
+    """Zero-sample TargetInfo layout matching an actual TensorMap's
+    structure (keys, sample names, components, properties, gradients)."""
+    from .target_info import _empty_block
+
+    blocks = []
+    for _, block in tmap.items():
+        nb = _empty_block(block.samples.names, block.components, block.properties)
+        for gname, grad in block.gradients():
+            nb.add_gradient(
+                gname,
+                _empty_block(grad.samples.names, grad.components, grad.properties),
+            )
+        blocks.append(nb)
+    return TargetInfo(TensorMap(tmap.keys, blocks))
 
 
 def _fields_to_tensormap(

@@ -218,6 +218,21 @@ def read_targets(
     for name, config in target_configs.items():
         source_systems = systems
         read_from = config.get("read_from")
+        # energy semantics come from the declared quantity (or the exact
+        # standard name with no overriding generic type) — a target merely
+        # NAMED energy_something keeps its configured generic type
+        is_energy = config.get("quantity", "") == "energy" or (
+            name == "energy" and "type" not in config
+        )
+        if read_from and read_from.endswith(".mts"):
+            # metatensor-serialized target: one joined TensorMap, split
+            # per system (reference readers/metatensor.py:31-113)
+            from .mts import read_mts_target
+
+            targets[name], infos[name] = read_mts_target(
+                read_from, config, len(systems), is_energy
+            )
+            continue
         if read_from:
             source_systems = read_systems(read_from)
             if len(source_systems) != len(systems):
@@ -225,12 +240,6 @@ def read_targets(
                     f"target '{name}' file {read_from!r} has "
                     f"{len(source_systems)} frames, expected {len(systems)}"
                 )
-        # energy semantics come from the declared quantity (or the exact
-        # standard name with no overriding generic type) — a target merely
-        # NAMED energy_something keeps its configured generic type
-        is_energy = config.get("quantity", "") == "energy" or (
-            name == "energy" and "type" not in config
-        )
         if is_energy:
             tensor_maps, info = read_energy_target(source_systems, config)
         else:

@@ -66,6 +66,8 @@ def write_predictions(
         _write_npz_predictions(path, batches_and_predictions)
     elif path.endswith(".zip"):
         _write_zip_predictions(path, batches_and_predictions)
+    elif path.endswith(".mts"):
+        _write_mts_predictions(path, batches_and_predictions, target_infos)
     elif path.endswith("/"):
         _write_memmap_predictions(path, batches_and_predictions)
     else:
@@ -137,6 +139,112 @@ def _write_xyz_predictions(path, batches_and_predictions):
             all_info.append(info)
             all_arrays.append(arrays)
     write_xyz(path, all_systems, per_atom_arrays=all_arrays, info=all_info)
+
+
+def _write_mts_predictions(path, batches_and_predictions, target_infos):
+    """metatensor-format output: one ``{stem}_{target}.mts`` file per
+    target, all systems joined with global ``system`` sample ids
+    (reference ``writers/metatensor.py`` MetatensorWriter). Readable by
+    the reference's ``mts.load`` directly."""
+    from ..containers import Labels, TensorBlock
+    from .readers.mts import save_mts
+
+    # accumulate per-target host values per system (masked, unpadded)
+    acc: Dict[str, List[Tuple[int, int, Dict[str, np.ndarray]]]] = {}
+    index = 0
+    for batch, predictions in batches_and_predictions:
+        systems, per_system = _split_batch_predictions(batch, predictions)
+        for system, preds in zip(systems, per_system):
+            for name, entry in preds.items():
+                acc.setdefault(name, []).append(
+                    (index, len(system), entry)
+                )
+            index += 1
+
+    stem = str(Path(path).with_suffix(""))
+    e_props = Labels(["energy"], np.zeros((1, 1), dtype=np.int32))
+    xyz = Labels(["xyz"], np.arange(3, dtype=np.int32).reshape(-1, 1))
+    strain_comps = [
+        Labels(["xyz_1"], np.arange(3, dtype=np.int32).reshape(-1, 1)),
+        Labels(["xyz_2"], np.arange(3, dtype=np.int32).reshape(-1, 1)),
+    ]
+    for name, entries in acc.items():
+        info = target_infos.get(name)
+        if info is not None and len(info.layout) > 1:
+            raise ValueError(
+                f"the .mts writer does not support multi-block targets "
+                f"yet (target {name!r} has {len(info.layout)} blocks)"
+            )
+        layout_block = info.layout.block(0) if info is not None else None
+        per_atom = bool(info.per_atom) if info is not None else False
+        comps = list(layout_block.components) if layout_block is not None else []
+        props = (
+            layout_block.properties if layout_block is not None else e_props
+        )
+        values_rows, sample_rows = [], []
+        grad_pos_rows, grad_pos_samples = [], []
+        grad_strain_rows, grad_strain_samples = [], []
+        for parent_row, (sys_i, n_atoms, entry) in enumerate(entries):
+            v = np.asarray(entry["values"], dtype=np.float64)
+            if per_atom:
+                v = v.reshape((n_atoms,) + tuple(len(c) for c in comps) + (-1,))
+                values_rows.append(v)
+                sample_rows.extend([sys_i, a] for a in range(n_atoms))
+            else:
+                v = v.reshape((1,) + tuple(len(c) for c in comps) + (-1,))
+                values_rows.append(v)
+                sample_rows.append([sys_i])
+            if "positions_grad" in entry:
+                g = np.asarray(
+                    entry["positions_grad"], dtype=np.float64
+                ).reshape(n_atoms, 3, -1)
+                grad_pos_rows.append(g)
+                grad_pos_samples.extend(
+                    [parent_row, sys_i, a] for a in range(n_atoms)
+                )
+            if "strain_grad" in entry:
+                g = np.asarray(
+                    entry["strain_grad"], dtype=np.float64
+                ).reshape(1, 3, 3, -1)
+                grad_strain_rows.append(g)
+                grad_strain_samples.append([parent_row])
+        block = TensorBlock(
+            values=np.concatenate(values_rows, axis=0),
+            samples=Labels(
+                ["system", "atom"] if per_atom else ["system"],
+                np.asarray(sample_rows, dtype=np.int32),
+            ),
+            components=comps,
+            properties=props,
+        )
+        if grad_pos_rows:
+            block.add_gradient(
+                "positions",
+                TensorBlock(
+                    values=np.concatenate(grad_pos_rows, axis=0),
+                    samples=Labels(
+                        ["sample", "system", "atom"],
+                        np.asarray(grad_pos_samples, dtype=np.int32),
+                    ),
+                    components=[xyz],
+                    properties=props,
+                ),
+            )
+        if grad_strain_rows:
+            block.add_gradient(
+                "strain",
+                TensorBlock(
+                    values=np.concatenate(grad_strain_rows, axis=0),
+                    samples=Labels(
+                        ["sample"],
+                        np.asarray(grad_strain_samples, dtype=np.int32),
+                    ),
+                    components=strain_comps,
+                    properties=props,
+                ),
+            )
+        keys = info.layout.keys if info is not None else Labels.single()
+        save_mts(TensorMap(keys, [block]), f"{stem}_{name}.mts")
 
 
 def _write_npz_predictions(path, batches_and_predictions):
