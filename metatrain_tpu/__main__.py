@@ -98,6 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the YAML skeleton to a file instead of stdout",
     )
 
+    import_torch = sub.add_parser(
+        "import-torch",
+        help="convert a torch metatrain PET checkpoint (.ckpt/.ckpt.gz) "
+        "into a native checkpoint",
+    )
+    import_torch.add_argument("checkpoint", help="torch checkpoint path")
+    import_torch.add_argument("-o", "--output", default="model_converted.ckpt")
+    import_torch.add_argument(
+        "--last",
+        action="store_true",
+        help="convert the last (not best) model weights",
+    )
+
     export = sub.add_parser("export", help="export a checkpoint")
     export.add_argument(
         "checkpoint",
@@ -236,6 +249,17 @@ def main(argv=None) -> int:
                             f.write(text)
                     else:
                         print(text, end="")
+            elif args.command == "import-torch":
+                from .interop import convert_torch_checkpoint
+                from .utils.io import save_checkpoint_file
+
+                converted = convert_torch_checkpoint(
+                    args.checkpoint, use_best=not args.last
+                )
+                save_checkpoint_file(converted, args.output)
+                logging.getLogger("metatrain_tpu").info(
+                    "wrote converted checkpoint to %s", args.output
+                )
             elif args.command == "export":
                 from .cli.export import export_model
 
