@@ -256,6 +256,44 @@ class NNTrainer(TrainerInterface):
                 (int(ds.atom_counts.max(initial=1)) for ds in train_datasets),
                 default=1,
             )
+            if not hp["max_atoms_per_batch"]:
+                # fixed-shape guard: with batch-count sampling the padded
+                # atom axis is batch_size * LARGEST structure -- on a
+                # mixed-size dataset (one 5k-atom outlier, batch 16) that
+                # is an 80k-atom pad on EVERY device batch. Switch to
+                # atom-count packing with an implied budget when the
+                # worst case is far from the mean.
+                counts = np.concatenate(
+                    [
+                        np.asarray(ds.atom_counts)
+                        for ds in train_datasets
+                        if len(ds)
+                    ]
+                    or [np.ones(1)]
+                )
+                mean_atoms = float(counts.mean())
+                if max_struct > 2.0 * mean_atoms:
+                    implied = max(
+                        int(hp["batch_size"] * mean_atoms), max_struct
+                    )
+                    padded_mb = (
+                        hp["batch_size"] * max_struct * 3 * 4 / 1e6
+                    )
+                    logger.warning(
+                        "data-parallel fixed shapes would pad every device "
+                        "batch to %d atoms (batch_size %d x largest "
+                        "structure %d; ~%.1f MB of positions alone); "
+                        "switching to atom-count packing with "
+                        "max_atoms_per_batch=%d. Set max_atoms_per_batch "
+                        "explicitly to override.",
+                        hp["batch_size"] * max_struct,
+                        hp["batch_size"],
+                        max_struct,
+                        padded_mb,
+                        implied,
+                    )
+                    hp = dict(hp)
+                    hp["max_atoms_per_batch"] = implied
             if hp["max_atoms_per_batch"]:
                 atoms_budget = hp["max_atoms_per_batch"] + max_struct
                 # atom-packed batches hold up to budget/min_struct systems

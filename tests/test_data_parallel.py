@@ -182,3 +182,44 @@ def test_slurm_world_from_env(monkeypatch):
     assert world["num_processes"] == 2
     assert world["process_id"] == 1
     assert world["coordinator"] == "10.0.0.1:1234"
+
+
+def test_dp_mixed_size_dataset_implies_atom_packing(tmp_path, caplog):
+    """A dataset with one large outlier structure must NOT make DP pad
+    every device batch to batch_size * max_struct atoms: the trainer
+    switches to atom-count packing with an implied budget and says so
+    (VERDICT r1: DP fixed-shape padding blowup)."""
+    import logging
+
+    rng = np.random.default_rng(0)
+    systems = []
+    for i in range(47):
+        s = make_molecule(4, seed=i)
+        s.extra["energy"] = np.asarray(rng.normal())
+        systems.append(s)
+    big = make_molecule(64, seed=99)  # 16x the mean -> pathological pad
+    big.extra["energy"] = np.asarray(rng.normal())
+    systems.append(big)
+    targets, infos = read_targets(
+        systems,
+        {"energy": {"quantity": "energy", "key": "energy", "unit": "eV"}},
+    )
+    types = sorted({int(t) for s in systems for t in s.types})
+    dataset = Dataset(systems, targets)
+    ds_info = DatasetInfo("angstrom", types, infos)
+
+    model = SoapBpnn(HYPERS, ds_info)
+    trainer = SoapBpnnTrainer(
+        {
+            "num_epochs": 1,
+            "batch_size": 6,
+            "learning_rate": 5e-3,
+            "data_parallel": True,
+            "o3_augmentation": False,
+        }
+    )
+    with caplog.at_level(logging.WARNING):
+        trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
+    assert any(
+        "atom-count packing" in rec.message for rec in caplog.records
+    ), "expected the implied max_atoms_per_batch warning"
