@@ -108,6 +108,8 @@ def _tensormap_from_stub(obj) -> TensorMap:
 
 
 def _dataset_info_from_stub(obj) -> DatasetInfo:
+    if isinstance(obj, DatasetInfo):  # synthetic checkpoints (tests)
+        return obj
     state = _stub_state(obj)
     targets = {}
     for name, ti in state.get("targets", {}).items():
@@ -146,6 +148,12 @@ def _map_backend_key(key: str, fused_layers: bool) -> Optional[Tuple[List[str], 
         return ["backbone", f"node_embedder_{m[1]}", "embedding"], ""
     if k == "edge_embedder.weight":  # species embedding (not the Linear)
         return ["backbone", "edge_species_embedder", "embedding"], ""
+    m = re.fullmatch(r"gnn_layers\.(\d+)\.neighbor_embedder\.weight", k)
+    if m:  # non-first layers re-embed neighbor species
+        return (
+            ["backbone", f"gnn_layer_{m[1]}", "neighbor_embedder", "embedding"],
+            "",
+        )
     m = re.fullmatch(r"gnn_layers\.(\d+)\.edge_embedder\.(weight|bias)", k)
     if m:
         leaf = "kernel" if m[2] == "weight" else "bias"

@@ -54,7 +54,7 @@ def combination_math(inputs, weights):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    xn = centered * jax.lax.rsqrt(var + 1e-6)
+    xn = centered * jax.lax.rsqrt(var + 1e-5)
     xn = (xn * ln_scale.astype(acc) + ln_bias.astype(acc)).astype(edges.dtype)
 
     h = jax.nn.silu(_dot(xn, w0, acc) + b0.astype(acc)).astype(edges.dtype)
@@ -157,7 +157,7 @@ def combination_bwd(inputs, weights, g, weight_grads):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    rs = jax.lax.rsqrt(var + 1e-6)
+    rs = jax.lax.rsqrt(var + 1e-5)
     xn0 = centered * rs
     xn = (xn0 * ln_scale.astype(acc) + ln_bias.astype(acc)).astype(cd)
     pre0 = _dot(xn, w0c, acc) + b0.astype(acc)

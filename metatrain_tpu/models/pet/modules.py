@@ -167,10 +167,17 @@ class AttentionBlock(nn.Module):
         )
 
 
+# torch-parity epsilons: torch.nn.LayerNorm defaults to eps=1e-5;
+# torch.nn.RMSNorm defaults to eps=None which adds NO epsilon -- we use
+# 1e-30 (numerically invisible, but keeps all-zero padded rows finite).
+EPS_LAYERNORM = 1e-5
+EPS_RMSNORM = 1e-30
+
+
 def _norm(kind: str, dtype, name: str):
     if kind == "RMSNorm":
-        return nn.RMSNorm(dtype=dtype, name=name)
-    return nn.LayerNorm(dtype=dtype, name=name)
+        return nn.RMSNorm(epsilon=EPS_RMSNORM, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=EPS_LAYERNORM, dtype=dtype, name=name)
 
 
 class TransformerLayer(nn.Module):
@@ -237,7 +244,9 @@ class TransformerLayer(nn.Module):
                 out_node = node_emb + center_expansion(out_center)
                 out_node = out_node + center_mlp(norm_center(out_node))
             else:
-                out_node = node_emb + out_center
+                # reference parity (transformer.py:218-227): raw
+                # attention output, no residual in the non-expanded case
+                out_node = out_center
             out_edges = edge_emb + out_edges
             out_edges = out_edges + mlp(norm_mlp(out_edges))
         else:  # PostLN
@@ -348,9 +357,16 @@ class FusedTransformerLayer(nn.Module):
                 "SwiGLU",
                 self.dtype,
                 name="center_mlp",
-            )(nn.RMSNorm(dtype=self.dtype, name="norm_center_features")(out_node))
+            )(
+                nn.RMSNorm(
+                    epsilon=EPS_RMSNORM, dtype=self.dtype, name="norm_center_features"
+                )(out_node)
+            )
         else:
-            out_node = node_emb + center_attn
+            # reference parity (transformer.py:218-227): when d_node ==
+            # d_pet the center token takes the RAW attention output --
+            # no residual, no center MLP
+            out_node = center_attn
         return out_node, edge_out
 
 

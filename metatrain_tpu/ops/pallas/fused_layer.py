@@ -70,7 +70,9 @@ class LayerWeights(NamedTuple):
     b_ffn_out: jax.Array  # (d,)
 
 
-def _rms_norm(x, scale, eps=1e-6):
+def _rms_norm(x, scale, eps=1e-30):
+    # torch-parity: torch.nn.RMSNorm(eps=None) adds NO epsilon; 1e-30 is
+    # numerically invisible but keeps all-zero padded rows finite.
     acc = jnp.promote_types(jnp.float32, x.dtype)
     x32 = x.astype(acc)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -394,7 +396,7 @@ def _layer_bwd_math(
 
     # ---- forward recompute (everything the backward needs; no ffn_out) --
     tokens = jnp.where(is_reserved, center.astype(cd)[:, None, :], edges)
-    eps = 1e-6
+    eps = 1e-30  # torch RMSNorm(eps=None) parity
     x1 = tokens.astype(acc)
     r1 = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=-1, keepdims=True) + eps)
     n1 = (x1 * r1 * wc.norm_attn).astype(cd)
