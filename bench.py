@@ -83,11 +83,11 @@ def main():
         else jnp.bfloat16
     )
     # The library defaults ARE the hardware-validated kernel config
-    # (kq-transposed attention + extended-copy color bands); setdefault
+    # (q-side attention + wrap-DMA color bands); setdefault
     # keeps an explicit user pin (e.g. MTT_QSIDE=1) in effect for the
     # "pinned" escape hatch below while still guarding unset environments.
-    os.environ.setdefault("MTT_QSIDE", "0")
-    os.environ.setdefault("MTT_COLOR_EXT", "1")
+    os.environ.setdefault("MTT_QSIDE", "1")
+    os.environ.setdefault("MTT_COLOR_EXT", "0")
     model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -174,11 +174,11 @@ def main():
     # each (configs that fail to lower are skipped). EVERY candidate that
     # runs is checked for force agreement against the pure-XLA layer path
     # (same math, no Pallas) before it can win.
-    VALIDATED = ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"})  # r3
+    VALIDATED = ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"})  # r2
     candidates = [
-        ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"}),
         ("qside+ext", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1"}),
         ("kq+wrap", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0"}),
+        ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"}),
         VALIDATED,
     ]
     if os.environ.get("MTT_BENCH_AB", "1") == "0":  # pinned-config escape

@@ -130,7 +130,7 @@ def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start, ext=False)
     if ext:  # extended-copy layout: every window is one plain slab
         act(
             pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(gi * BA, W), :],
+                x_hbm.at[:, pl.ds(pl.multiple_of(gi * BA, BA), W), :],
                 band.at[slot],
                 sems.at[slot, 0],
             )
@@ -141,9 +141,15 @@ def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start, ext=False)
 
     @pl.when(is_interior)
     def _():
+        # BA and every BAND_BUCKET are multiples of 128, so the start is
+        # 8-sublane-aligned; Mosaic cannot prove that through the
+        # subtraction ("Failed to prove that a tile index in dimension 1
+        # is divisible by the tiling (8)", v5e 2026-08 libtpu) without
+        # the explicit multiple_of annotation.
+        start_i = pl.multiple_of(gi * BA - mg, 8)
         act(
             pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(gi * BA - mg, W), :],
+                x_hbm.at[:, pl.ds(start_i, W), :],
                 band.at[slot],
                 sems.at[slot, 0],
             )
@@ -274,14 +280,16 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
             "band/geometry mismatch between batch assembly and kernel"
         )
 
-    # Extended-copy layout by default: every block's band is one plain
-    # contiguous slab of the (M, A+2*mg, D) extended array. The wrap
-    # layout (MTT_COLOR_EXT=0, experimental) skips the HBM copy and
-    # serves wrap blocks with two static DMAs, but fails Mosaic lowering
-    # on real TPU (v5e, 2026-08 libtpu: MosaicError) -- the extended
-    # form is the hardware-validated default.
+    # Wrap-DMA layout by default: band DMAs read straight from the
+    # color-major (M, A, D) array, wrap blocks served by two static-size
+    # copies -- no extended HBM copy. Hardware-validated on TPU v5e
+    # (on-chip lane + bench force guard; an earlier MosaicError was the
+    # missing ``pl.multiple_of`` alignment proof on the interior band
+    # start, see ``_band_dma``). ``MTT_COLOR_EXT=1`` selects the
+    # extended-copy layout (A/B knob): every block's band is one plain
+    # contiguous slab of an (M, A+2*mg, D) extended copy of the array.
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
-    use_ext = os.environ.get("MTT_COLOR_EXT", "1") != "0"
+    use_ext = os.environ.get("MTT_COLOR_EXT", "0") != "0"
     if use_ext:
         xT = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
 

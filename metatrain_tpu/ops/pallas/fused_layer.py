@@ -115,12 +115,15 @@ def _use_qside(T: int, D: int, num_heads: int) -> bool:
     """The q-side grouped formulation additionally needs an even head
     count so the two AV groups split D at a head boundary.
 
-    OFF by default: the q-side form fails Mosaic lowering on real TPU
-    (v5e, 2026-08 libtpu: ``Shape mismatch in input, indices and
-    output`` in ``_gather_lowering_rule``) for the full PET force call.
-    ``MTT_QSIDE=1`` opts in (experimental A/B knob); the default is the
-    hardware-validated kq-transposed form."""
-    if os.environ.get("MTT_QSIDE", "0") != "1":
+    ON by default: hardware-validated on TPU v5e (on-chip lane
+    ``tests/tpu/test_onchip.py`` + bench force guard) and measured
+    fastest of the four formulations (79.6 ms/call vs 82.0 for
+    kq-transposed at the 10k-atom bench). An earlier Mosaic lowering
+    failure (``_gather_lowering_rule`` shape mismatch) was a mixed
+    None+slice index in the backward recompute, fixed by slicing before
+    ``expand_dims``. ``MTT_QSIDE=0`` selects the kq-transposed form
+    (A/B knob)."""
+    if os.environ.get("MTT_QSIDE", "1") != "1":
         return False
     return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
 
@@ -432,12 +435,13 @@ def _layer_bwd_math(
         groups = ((0, gHT, 0, D // 2), (gHT, HT, D // 2, D))
         halves = []
         for lo, hi, c0, c1 in groups:
+            # slice BEFORE adding the batch axis: a mixed None+slice index
+            # lowers as a gather, which Mosaic cannot lower on real TPUs
+            bd = jax.lax.expand_dims(ones_bd[lo:hi, c0:c1], (0,))
             rhs = jnp.concatenate(
                 [
                     v_exp[:, lo:hi, c0:c1],
-                    jnp.broadcast_to(
-                        ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
-                    ),
+                    jnp.broadcast_to(bd, (BA, hi - lo, c1 - c0)),
                 ],
                 axis=-1,
             )
@@ -536,12 +540,11 @@ def _layer_bwd_math(
             d_half = jnp.concatenate(
                 [d_num[:, :, c0:c1], d_den[:, :, c0:c1]], axis=-1
             ).astype(cd)  # (BA, T, D)
+            bd = jax.lax.expand_dims(ones_bd[lo:hi, c0:c1], (0,))
             rhs = jnp.concatenate(
                 [
                     v_exp[:, lo:hi, c0:c1],
-                    jnp.broadcast_to(
-                        ones_bd[None, lo:hi, c0:c1], (BA, hi - lo, c1 - c0)
-                    ),
+                    jnp.broadcast_to(bd, (BA, hi - lo, c1 - c0)),
                 ],
                 axis=-1,
             )  # (BA, HT/2, D)

@@ -8,10 +8,9 @@ kernels on the actual TPU backend at production shapes (d_pet=128,
 T=48, bf16) and checks them against the pure-XLA formulations of the
 same math.
 
-Every A/B kernel formulation is exercised: configurations known not to
-lower on current hardware are xfail (strict) so a libtpu upgrade that
-fixes them shows up as XPASS, and a regression of the DEFAULT config
-fails the suite outright.
+Every A/B kernel formulation is exercised; all four lower on current
+hardware (since round 2), so any formulation regressing under a libtpu
+upgrade fails the suite outright.
 """
 
 import os
@@ -60,24 +59,28 @@ def _layer_inputs(dtype):
     return edges, center, cf, weights
 
 
-# (name, env, lowers-on-current-hardware)
+# (name, env, lowers-on-current-hardware) -- since round 2 every
+# formulation lowers (the q-side gather and wrap-DMA alignment bugs are
+# fixed); a config that stops lowering after a libtpu upgrade fails the
+# suite outright.
 KERNEL_CONFIGS = [
-    ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"}, True),  # DEFAULT
-    ("kq+wrap", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0"}, False),
-    ("qside+ext", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1"}, False),
-    ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"}, False),
+    ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"}, True),  # DEFAULT
+    ("qside+ext", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1"}, True),
+    ("kq+wrap", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0"}, True),
+    ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"}, True),
 ]
 
 
 def test_default_env_is_hardware_validated():
     """With NO env vars set, the library must select the validated
     formulations (the round-1 default crashed every production entry
-    point on chip)."""
+    point on chip). Since round 2 the default is q-side + wrap-DMA,
+    the fastest measured config -- validated by the tests below."""
     from metatrain_tpu.ops.pallas.fused_layer import _use_qside
 
     assert "MTT_QSIDE" not in os.environ
     assert "MTT_COLOR_EXT" not in os.environ
-    assert not _use_qside(M, D, H)
+    assert _use_qside(M, D, H)
 
 
 @pytest.mark.parametrize("qside", ["0", "1"])
@@ -87,8 +90,6 @@ def test_fused_layer_forward_onchip(qside, monkeypatch):
     from metatrain_tpu.ops.pallas import fused_layer as fl
 
     monkeypatch.setenv("MTT_QSIDE", qside)
-    if qside == "1":
-        pytest.xfail("q-side formulation does not lower on current libtpu")
     edges, center, cf, w = _layer_inputs(jnp.bfloat16)
     e_k, c_k = jax.jit(
         lambda *a: fl._forward_impl(*a, H, SCALE)
@@ -188,8 +189,6 @@ def test_color_gather_onchip(colored_batch, ext, monkeypatch):
     )
 
     monkeypatch.setenv("MTT_COLOR_EXT", ext)
-    if ext == "0":
-        pytest.xfail("wrap-DMA band layout does not lower on current libtpu")
     _, batch = colored_batch
     band = batch.color_band
     A_, M_ = batch.nbr_indices.shape
@@ -282,8 +281,7 @@ def test_full_pet_force_call_onchip(
     batch, dataset_info, model, params, e_ref, f_ref = pet_setup
     for k, v in env.items():
         monkeypatch.setenv(k, v)
-    if not lowers:
-        pytest.xfail(f"{name} does not lower on current libtpu")
+    assert lowers, f"{name} marked non-lowering; update KERNEL_CONFIGS"
     energy, forces = _forces(model, params, batch, dataset_info, tag=name)
     f_np = np.asarray(forces, np.float64)
     assert np.isfinite(f_np).all()
