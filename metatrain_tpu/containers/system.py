@@ -370,13 +370,17 @@ def colored_fixups(
     # condition is then u < BA + mg  OR  u >= A - mg
     u_by_ba: dict = {}
     plain_cost = A * M * GATHER_SECONDS_PER_ROW
-    # two candidate sets: bands whose scratch fits the kernel VMEM budget
-    # at f32 (valid for every compute dtype) and at bf16 only. The
-    # runtime gate (color_gather.use_kernel) re-checks with the REAL
-    # dtype, so prefer an any-dtype band; fall back to a bf16-only band
-    # (the production configuration) when no stricter one fits.
-    best_any = (plain_cost, 0, None)  # (cost, band, geom)
-    best_bf16 = (plain_cost, 0, None)
+    # Select the band by modeled cost under the PRODUCTION compute dtype
+    # (bf16): candidates are bands whose double-buffered scratch fits the
+    # kernel VMEM budget at 2 bytes/element. An f32 run whose scratch
+    # does not fit falls back to the plain XLA gather at runtime
+    # (color_gather.use_kernel re-checks with the real dtype) -- measured
+    # at the 10k-atom bench that gather (plain_cost ~5.8 ms) is within
+    # ~10% of the best f32-feasible kernel band (5.3 ms), while forcing
+    # an f32-feasible band onto the bf16 path costs 2.6x (band 640 @
+    # 5.3 ms vs band 896 @ 2.1 ms: the narrow band's K=3328 in-kernel
+    # fixup matmul dwarfs the width it saves).
+    best = (plain_cost, 0, None)  # (cost, band, geom)
     for band in BAND_BUCKETS:
         geom = kernel_geometry(A, band)
         if geom is None:
@@ -397,11 +401,8 @@ def colored_fixups(
             2.0 * M * A * (W + K) * feature_dim / MATMUL_FLOPS_PER_SECOND
             + G * K * GATHER_SECONDS_PER_ROW
         )
-        if cost < best_bf16[0]:
-            best_bf16 = (cost, band, geom)
-        if scratch_per_byte * 4 <= _color_vmem_budget() and cost < best_any[0]:
-            best_any = (cost, band, geom)
-    best = best_any if best_any[1] else best_bf16
+        if cost < best[0]:
+            best = (cost, band, geom)
     if best[1] == 0:
         return 0, np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int32)
 

@@ -128,6 +128,15 @@ def _use_qside(T: int, D: int, num_heads: int) -> bool:
     return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
 
 
+# The q-side expansion is only worthwhile under the VMEM-blocked kernel;
+# on the full-array XLA fallback path (MTT_PALLAS=0 / unsupported
+# shapes) its (A, T, H*T) f32 score/exp intermediates materialize in HBM
+# for the WHOLE batch at once (~0.8 GB each at the 10k-atom bench,
+# OOMing the v5e) where the kq-transposed form streams through smaller
+# fusions. Row blocks above this count take the kq path instead.
+_QSIDE_MAX_ROWS = 2048
+
+
 def _ones_blockdiag(T: int, num_heads: int, head_dim: int, dtype):
     """(H*T, H*hd) 0/1 matrix with ones_bd[h*T+tk, h*hd+j] = 1: right-
     multiplying the q-side weights by it yields the per-head softmax
@@ -241,7 +250,7 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
     # caller runs the f64 fallback path (gradcheck-grade)
     acc = jnp.promote_types(jnp.float32, q.dtype)
     cf_acc = cf.astype(acc)
-    if _use_qside(T, D, num_heads):
+    if BA <= _QSIDE_MAX_ROWS and _use_qside(T, D, num_heads):
         return _window_attention_qside(q, k, v, cf, num_heads, scale)
     if _use_mexp(T, D, num_heads):
         H = num_heads
@@ -409,7 +418,9 @@ def _layer_bwd_math(
     q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
 
     cf_acc = cf.astype(acc)
-    qside = _use_qside(T, D, num_heads)
+    # must mirror _window_attention_block's formulation choice exactly,
+    # including the full-array row guard (see _QSIDE_MAX_ROWS)
+    qside = BA <= _QSIDE_MAX_ROWS and _use_qside(T, D, num_heads)
     if qside:
         # q-side layout recompute (mirrors _window_attention_qside)
         HT = H * T

@@ -226,4 +226,7 @@ def test_pet_colored_vs_packed_parity(colored_batch):
         )
     (e0, f0), (e1, f1) = results
     np.testing.assert_allclose(e1, e0, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(f1, f0, rtol=1e-4, atol=1e-5)
+    # atol covers f32 reduction-order noise between slot layouts on
+    # near-zero components (force scale here is ~50 eV/A; the q-side
+    # attention regrouping shifts a couple of components by ~2e-5)
+    np.testing.assert_allclose(f1, f0, rtol=1e-4, atol=1e-4)
