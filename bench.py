@@ -174,11 +174,22 @@ def main():
     # each (configs that fail to lower are skipped). EVERY candidate that
     # runs is checked for force agreement against the pure-XLA layer path
     # (same math, no Pallas) before it can win.
-    VALIDATED = ("qside+wrap", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0"})  # r2
+    # every candidate pins ALL knobs (os.environ.update persists values
+    # across candidates otherwise)
+    VALIDATED = (
+        "qside+ext",
+        {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_INT8_SCORES": "0"},
+    )  # r2 driver A/B winner (62.7 ms)
+    # int8 score configs were A/B'd on-chip (2026-08, v5e) and LOST by
+    # ~2-4 ms (quantize+expand VPU overhead exceeds the in-kernel int8
+    # matmul gain at these near-SOL kernel rates): qside+ext+i8 70.6 vs
+    # qside+ext 68.4, qside+wrap+i8 68.6 vs qside+wrap 66.6. The code
+    # path stays (MTT_INT8_SCORES=1) but is not A/B'd every run.
     candidates = [
-        ("qside+ext", {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1"}),
-        ("kq+wrap", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0"}),
-        ("kq+ext", {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "1"}),
+        ("qside+wrap",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_INT8_SCORES": "0"}),
+        ("kq+wrap",
+         {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0", "MTT_INT8_SCORES": "0"}),
         VALIDATED,
     ]
     if os.environ.get("MTT_BENCH_AB", "1") == "0":  # pinned-config escape
@@ -261,6 +272,16 @@ def main():
     os.environ.update(best_env)
     chain = chain_fns[best_name]
     print(f"# selected config: {best_name}", flush=True)
+
+    # persist the measured winner so production entry points (train/eval/
+    # export/calculator/drive) pick it up on this device kind
+    try:
+        from metatrain_tpu.utils.autotune import store_tuned_env
+
+        if store_tuned_env(best_env, best_name, best_t * 1e3):
+            print(f"# autotune cache updated: {best_name}", flush=True)
+    except Exception as err:  # pragma: no cover
+        print(f"# autotune cache write failed: {err}", flush=True)
 
     n1, n2 = (1, 2) if smoke else (10, 40)
     per_step = per_call(chain, n1, n2)

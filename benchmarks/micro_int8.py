@@ -61,16 +61,19 @@ def chain_time(fn, args, n1=10, n2=50):
 
 
 def main():
-    rng = np.random.default_rng(0)
+    # generate operands ON DEVICE: uploading ~2.5 GB of host numpy
+    # through the dev tunnel takes longer than the whole benchmark
     A = BA * NBLK
-    q_f = rng.normal(size=(A, T, D)).astype(np.float32)
-    k_f = rng.normal(size=(A, HT, D)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    kq, kk = jax.random.split(key)
+    q_f = jax.random.normal(kq, (A, T, D), dtype=jnp.float32)
+    k_f = jax.random.normal(kk, (A, HT, D), dtype=jnp.float32)
 
     flops = 2 * A * T * HT * D
 
     # bf16 batched score dot (the current formulation's shape)
-    q_bf = jnp.asarray(q_f, dtype=jnp.bfloat16)
-    k_bf = jnp.asarray(k_f, dtype=jnp.bfloat16)
+    q_bf = q_f.astype(jnp.bfloat16)
+    k_bf = k_f.astype(jnp.bfloat16)
 
     def score_bf16(q, k):
         return jax.lax.dot_general(
@@ -82,12 +85,12 @@ def main():
     print(f"bf16 score dot:  {dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s")
 
     # int8 batched score dot (quantized operands, int32 accumulation)
-    q_i8 = jnp.asarray(
-        np.clip(np.round(q_f * 16), -127, 127).astype(np.int8)
-    )
-    k_i8 = jnp.asarray(
-        np.clip(np.round(k_f * 16), -127, 127).astype(np.int8)
-    )
+    q_i8 = jax.jit(
+        lambda x: jnp.clip(jnp.round(x * 16), -127, 127).astype(jnp.int8)
+    )(q_f)
+    k_i8 = jax.jit(
+        lambda x: jnp.clip(jnp.round(x * 16), -127, 127).astype(jnp.int8)
+    )(k_f)
 
     def score_int8(q, k):
         return jax.lax.dot_general(
@@ -102,8 +105,13 @@ def main():
         print(f"int8 score dot: unsupported ({type(err).__name__}: {err})")
 
     # large projection reference shapes
-    x_bf = jnp.asarray(rng.normal(size=(A * T, D)), dtype=jnp.bfloat16)
-    w_bf = jnp.asarray(rng.normal(size=(D, 3 * D)), dtype=jnp.bfloat16)
+    kx, kw = jax.random.split(kq)
+    x_bf = jax.random.normal(kx, (A * T, D), dtype=jnp.float32).astype(
+        jnp.bfloat16
+    )
+    w_bf = jax.random.normal(kw, (D, 3 * D), dtype=jnp.float32).astype(
+        jnp.bfloat16
+    )
     pf = 2 * (A * T) * D * 3 * D
 
     def proj_bf16(x, w):
@@ -115,12 +123,12 @@ def main():
     dt = chain_time(proj_bf16, (x_bf, w_bf))
     print(f"bf16 projection: {dt*1e3:8.2f} ms  {pf/dt/1e12:6.1f} TF/s")
 
-    x_i8 = jnp.asarray(
-        np.clip(rng.normal(size=(A * T, D)) * 16, -127, 127).astype(np.int8)
-    )
-    w_i8 = jnp.asarray(
-        np.clip(rng.normal(size=(D, 3 * D)) * 16, -127, 127).astype(np.int8)
-    )
+    x_i8 = jax.jit(
+        lambda x: jnp.clip(jnp.round(x * 16), -127, 127).astype(jnp.int8)
+    )(x_bf.astype(jnp.float32))
+    w_i8 = jax.jit(
+        lambda x: jnp.clip(jnp.round(x * 16), -127, 127).astype(jnp.int8)
+    )(w_bf.astype(jnp.float32))
 
     def proj_int8(x, w):
         return jax.lax.dot_general(

@@ -52,6 +52,9 @@ class Calculator:
         dtype=jnp.float32,
         colored: bool = True,
     ):
+        from .utils.autotune import apply_tuned_config
+
+        apply_tuned_config()
         if isinstance(model, str):
             from .utils.io import load_model
 

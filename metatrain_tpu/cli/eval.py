@@ -85,6 +85,9 @@ def eval_model(
     warm_up: int = 1,
 ) -> Dict[str, float]:
     """Full eval command: load model, read dataset, evaluate, write outputs."""
+    from ..utils.autotune import apply_tuned_config
+
+    apply_tuned_config()
     model = load_model(model_path, context="export")
 
     dataset_config = expand_dataset_config(options)

@@ -173,8 +173,10 @@ def export_model(
 ) -> None:
     """Export from a checkpoint file, URL, or HF-Hub reference (applies
     version migrations; reference ``cli/export.py:159-224``)."""
+    from ..utils.autotune import apply_tuned_config
     from ..utils.io import resolve_model_path
 
+    apply_tuned_config()
     checkpoint_path = resolve_model_path(
         checkpoint_path, revision=revision, token=hf_token
     )

@@ -58,6 +58,12 @@ def train_model(
 
     initialize_distributed()
 
+    # fill unset kernel knobs from the per-device-kind autotune cache
+    # (bench.py records the measured-fastest config; explicit env wins)
+    from ..utils.autotune import apply_tuned_config
+
+    apply_tuned_config()
+
     options = validate_base_options(options)
     arch_name = options["architecture"]["name"]
     architecture = import_architecture(arch_name)

@@ -110,21 +110,60 @@ class DiskDataset:
         # utils/data/smart_zip.py)
         self.zipf = SmartZip(self.path)
         names = self.zipf.namelist()
-        self._atom_counts = np.load(
-            io.BytesIO(self.zipf.read("metadata/atom_counts.npy"))
-        )
-        self._len = len(self._atom_counts)
         self._reference_layout = any(n.endswith("/system.mta") for n in names)
         suffix = ".mts" if self._reference_layout else ".npz"
         sysname = "system.mta" if self._reference_layout else "system.npz"
-        self.target_names = sorted(
-            {
-                n.split("/", 1)[1].removesuffix(suffix)
-                for n in names
-                if "/" in n and not n.endswith(sysname)
-                and not n.startswith("metadata/")
-            }
-        )
+        # member parsing mirrors the reference's tolerance
+        # (utils/data/dataset.py: folder-zipped datasets, stray files
+        # warned about and skipped): accept only ``<N>/<field><suffix>``
+        # with an unpadded decimal N, one path level deep.
+        target_names = set()
+        system_indices = set()
+        skipped = []
+        for n in names:
+            if n.startswith("metadata/"):
+                continue
+            parts = n.split("/")
+            if (
+                len(parts) != 2
+                or not parts[0].isdigit()
+                or parts[0] != str(int(parts[0]))
+                or not parts[1].endswith(suffix)
+            ):
+                skipped.append(n)
+                continue
+            if parts[1] == sysname:
+                system_indices.add(int(parts[0]))
+            else:
+                target_names.add(parts[1].removesuffix(suffix))
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ignoring %d non-dataset member(s) in %s (e.g. %r)",
+                len(skipped), self.path, skipped[0],
+            )
+        self.target_names = sorted(target_names)
+        # metadata/atom_counts.npy enables length-aware packing without
+        # touching members, but is optional (the reference supports
+        # folder-zipped datasets without it): fall back to the member
+        # scan for the length and read counts lazily on first use.
+        if "metadata/atom_counts.npy" in names:
+            self._atom_counts = np.load(
+                io.BytesIO(self.zipf.read("metadata/atom_counts.npy"))
+            )
+            self._len = len(self._atom_counts)
+        else:
+            self._len = len(system_indices)
+            if system_indices and (
+                min(system_indices) != 0
+                or max(system_indices) != self._len - 1
+            ):
+                raise ValueError(
+                    f"{self.path}: system members are not contiguously "
+                    "numbered from 0"
+                )
+            self._atom_counts = None
         self.target_infos = target_infos or {}
 
     def __len__(self) -> int:
@@ -132,6 +171,12 @@ class DiskDataset:
 
     @property
     def atom_counts(self) -> np.ndarray:
+        if self._atom_counts is None:
+            # no metadata member: derive lazily from the system members
+            self._atom_counts = np.asarray(
+                [len(self[i].system) for i in range(len(self))],
+                dtype=np.int64,
+            )
         return self._atom_counts
 
     @property

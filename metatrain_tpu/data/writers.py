@@ -184,7 +184,10 @@ def _write_mts_predictions(path, batches_and_predictions, target_infos):
         values_rows, sample_rows = [], []
         grad_pos_rows, grad_pos_samples = [], []
         grad_strain_rows, grad_strain_samples = [], []
-        for parent_row, (sys_i, n_atoms, entry) in enumerate(entries):
+        # gradient "sample" columns reference the parent block's sample
+        # ROW, which advances by n_atoms per entry for per-atom targets
+        parent_row = 0
+        for sys_i, n_atoms, entry in entries:
             v = np.asarray(entry["values"], dtype=np.float64)
             if per_atom:
                 v = v.reshape((n_atoms,) + tuple(len(c) for c in comps) + (-1,))
@@ -208,6 +211,7 @@ def _write_mts_predictions(path, batches_and_predictions, target_infos):
                 ).reshape(1, 3, 3, -1)
                 grad_strain_rows.append(g)
                 grad_strain_samples.append([parent_row])
+            parent_row += n_atoms if per_atom else 1
         block = TensorBlock(
             values=np.concatenate(values_rows, axis=0),
             samples=Labels(

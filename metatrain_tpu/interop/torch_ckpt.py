@@ -59,6 +59,14 @@ def _tolerant_torch_load(data: bytes):
             # buffer we can parse ourselves
             if name == "ScriptObject":
                 return _Stub
+            # ALWAYS stub reference-framework classes, even when the
+            # real modules happen to be importable (e.g. a parity test
+            # imported the reference tree into sys.modules earlier in
+            # the process): the converter reads stub ``_state`` dicts,
+            # not live objects
+            root = module.split(".")[0]
+            if root in ("metatrain", "metatensor", "metatomic"):
+                return type(name, (_Stub,), {"__module__": module})
             try:
                 return super().find_class(module, name)
             except Exception:

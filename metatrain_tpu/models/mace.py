@@ -14,13 +14,13 @@ Model structure per interaction (MACE-style, SO(3)):
 - density/interaction: for every CG path (l1, l2 -> L), neighbor features
   h_j^{l1} are combined with edge attributes l2 into messages m_i^L with
   learned per-path radial weights;
-- product: optional on-node CG self-product (correlation order 2,
-  MACE's B-basis idea) mixed back into the features;
-- update: per-l linear channel mixing + residual;
-- readout: invariant (l=0) channels -> per-atom MLP -> targets.
-
-Exact parity with the MACE paper's symmetric contractions (arXiv:2206.07697)
-is future work; this is the native equivariant-MPNN capability slot.
+- product: the paper's EXACT B-basis -- symmetric contractions of the
+  A-basis over an independent coupling-path basis with per-species path
+  weights (arXiv:2206.07697 eq. 10-11, ``ops/symmetric_contraction.py``);
+  older checkpoints keep the iterated-CG / legacy-gate products;
+- update: per-l linear channel mixing + per-species residual;
+- readout: invariant (l=0) channels -> per-atom MLP -> targets;
+  equivariant readouts for spherical/vector targets.
 """
 
 from __future__ import annotations
@@ -52,11 +52,15 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "num_interactions": 2,
     "correlation": 3,  # highest product (B-basis) order, as in paper MACE
     "mlp_width": 64,
-    # product basis: "iterated_cg" builds the full correlation-nu
-    # equivariant product basis with per-species path weights (the span of
-    # the paper's symmetric contractions); "legacy" keeps the round-1
-    # invariant-gate product for v1 checkpoints
-    "product_basis": "iterated_cg",
+    # product basis:
+    # - "symmetric" (default): the paper's EXACT B-basis -- symmetric
+    #   contractions with an independent (SVD-orthonormalized) coupling
+    #   path basis and per-species path weights
+    #   (``ops/symmetric_contraction.py``);
+    # - "iterated_cg": the overcomplete iterated-CG span of the same
+    #   polynomial space (v2 checkpoints);
+    # - "legacy": round-1 invariant-gate product (v1 checkpoints).
+    "product_basis": "symmetric",
 }
 
 
@@ -165,6 +169,7 @@ class ParityInteraction(nn.Module):
     num_channels: int
     num_species: int
     correlation: int
+    product_basis: str = "symmetric"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -206,34 +211,84 @@ class ParityInteraction(nn.Module):
                     key = (L, p)
                     messages[key] = messages.get(key, 0.0) + msg
 
-        # ---- 2. iterated-CG product basis -------------------------------
-        total = dict(messages)
-        current = messages
-        for order in range(2, self.correlation + 1):
-            nxt: Dict[Any, jnp.ndarray] = {}
-            for (l1, p1), x1 in sorted(current.items()):
-                for (l2, p2), x2 in sorted(messages.items()):
-                    if order == 2 and (l2, p2) > (l1, p1):
-                        continue  # symmetric at order 2: halve the paths
-                    p = p1 * p2
-                    for L in range(abs(l1 - l2), min(l1 + l2, lmax) + 1):
-                        w = nn.Embed(
-                            self.num_species,
-                            C,
-                            dtype=self.dtype,
-                            name=(
-                                f"prod{order}_{l1}{_pname(p1)}_"
-                                f"{l2}{_pname(p2)}_{L}"
-                            ),
-                        )(species_index)  # (A, C) per-species path weights
-                        block = _cg_couple(
-                            x1.astype(acc), l1, x2.astype(acc), l2, L, acc
-                        ).astype(self.dtype) * w[:, :, None]
-                        key = (L, p)
-                        nxt[key] = nxt.get(key, 0.0) + block
-            current = nxt
-            for key, val in nxt.items():
-                total[key] = total.get(key, 0.0) + val
+        # ---- 2. product basis --------------------------------------------
+        if self.product_basis == "symmetric":
+            # EXACT MACE B-basis (arXiv:2206.07697 eq. 10-11): symmetric
+            # contractions over an independent coupling-path basis with
+            # per-species path weights (``ops/symmetric_contraction``).
+            # Operates on the natural-parity A-basis stack (paper MACE
+            # carries only natural-parity node irreps); non-natural
+            # blocks produced by mixed-parity features pass through.
+            from ..ops.symmetric_contraction import (
+                contract_symmetric,
+                num_paths,
+            )
+
+            n_atoms = species_index.shape[0]
+            stack = []
+            for L in range(lmax + 1):
+                blk = messages.get((L, (-1) ** L))
+                if blk is None:
+                    blk = jnp.zeros(
+                        (n_atoms, C, 2 * L + 1), dtype=self.dtype
+                    )
+                stack.append(blk.astype(acc))
+            A_feat = jnp.concatenate(stack, axis=-1)  # (A, C, (lmax+1)^2)
+
+            path_weights: Dict[Any, jnp.ndarray] = {}
+            for nu in range(1, self.correlation + 1):
+                for L in range(lmax + 1):
+                    P = num_paths(lmax, L, nu)
+                    if P == 0:
+                        continue
+                    w = nn.Embed(
+                        self.num_species,
+                        P * C,
+                        dtype=self.dtype,
+                        name=f"sym{nu}_{L}",
+                    )(species_index)  # (A, P*C)
+                    path_weights[(nu, L)] = w.reshape(n_atoms, P, C)
+            prods = contract_symmetric(
+                A_feat, path_weights, lmax, lmax, self.correlation, jnp=jnp
+            )
+            total = {
+                key: val
+                for key, val in messages.items()
+                if key[1] != (-1) ** key[0]  # non-natural: pass through
+            }
+            for L, val in prods.items():
+                total[(L, (-1) ** L)] = val.astype(self.dtype)
+        else:
+            total = dict(messages)
+            current = messages
+            for order in range(2, self.correlation + 1):
+                nxt: Dict[Any, jnp.ndarray] = {}
+                for (l1, p1), x1 in sorted(current.items()):
+                    for (l2, p2), x2 in sorted(messages.items()):
+                        if order == 2 and (l2, p2) > (l1, p1):
+                            continue  # symmetric at order 2: halve paths
+                        p = p1 * p2
+                        for L in range(
+                            abs(l1 - l2), min(l1 + l2, lmax) + 1
+                        ):
+                            w = nn.Embed(
+                                self.num_species,
+                                C,
+                                dtype=self.dtype,
+                                name=(
+                                    f"prod{order}_{l1}{_pname(p1)}_"
+                                    f"{l2}{_pname(p2)}_{L}"
+                                ),
+                            )(species_index)  # (A, C) per-species weights
+                            block = _cg_couple(
+                                x1.astype(acc), l1, x2.astype(acc), l2, L,
+                                acc,
+                            ).astype(self.dtype) * w[:, :, None]
+                            key = (L, p)
+                            nxt[key] = nxt.get(key, 0.0) + block
+                current = nxt
+                for key, val in nxt.items():
+                    total[key] = total.get(key, 0.0) + val
 
         # ---- 3. update: per-species skip + per-key channel mixing -------
         out: Dict[Any, jnp.ndarray] = {}
@@ -362,6 +417,7 @@ class MACEModuleV2(nn.Module):
                 num_channels=C,
                 num_species=self.num_species,
                 correlation=hp["correlation"],
+                product_basis=hp.get("product_basis", "symmetric"),
                 dtype=self.dtype,
                 name=f"interaction_{t}",
             )(features, species_index, edge_data)
@@ -488,7 +544,7 @@ class MACEModule(nn.Module):
 
 class MACE(AtomisticNNModel):
     ARCHITECTURE_NAME = "experimental.mace"
-    __checkpoint_version__ = 2
+    __checkpoint_version__ = 3
     __supported_dtypes__ = [jnp.float64, jnp.float32]
     __default_metadata__ = {
         "references": {"architecture": ["https://arxiv.org/abs/2206.07697"]}
@@ -565,6 +621,17 @@ class MACE(AtomisticNNModel):
         hypers = dict(checkpoint["hypers"])
         hypers["product_basis"] = "legacy"
         hypers.setdefault("correlation", 2)
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint
+
+    @classmethod
+    def upgrade_v2_v3(cls, checkpoint):
+        """v3 makes the exact symmetric-contraction B-basis the default
+        product basis; v2 checkpoints were trained with the iterated-CG
+        span and keep it (their saved parameters match that module)."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault("product_basis", "iterated_cg")
         checkpoint = dict(checkpoint)
         checkpoint["hypers"] = hypers
         return checkpoint

@@ -168,15 +168,20 @@ class AttentionBlock(nn.Module):
 
 
 # torch-parity epsilons: torch.nn.LayerNorm defaults to eps=1e-5;
-# torch.nn.RMSNorm defaults to eps=None which adds NO epsilon -- we use
-# 1e-30 (numerically invisible, but keeps all-zero padded rows finite).
+# torch.nn.RMSNorm defaults to eps=None, which ATen resolves to
+# torch.finfo(input.dtype).eps (1.19e-7 for f32, 2.2e-16 for f64,
+# 7.8e-3 for bf16) added to the f32-accumulated mean square.
 EPS_LAYERNORM = 1e-5
-EPS_RMSNORM = 1e-30
+
+
+def rmsnorm_eps(dtype) -> float:
+    """torch.nn.RMSNorm(eps=None) parity: finfo(compute dtype).eps."""
+    return float(jnp.finfo(jnp.dtype(dtype or jnp.float32)).eps)
 
 
 def _norm(kind: str, dtype, name: str):
     if kind == "RMSNorm":
-        return nn.RMSNorm(epsilon=EPS_RMSNORM, dtype=dtype, name=name)
+        return nn.RMSNorm(epsilon=rmsnorm_eps(dtype), dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=EPS_LAYERNORM, dtype=dtype, name=name)
 
 
@@ -359,7 +364,9 @@ class FusedTransformerLayer(nn.Module):
                 name="center_mlp",
             )(
                 nn.RMSNorm(
-                    epsilon=EPS_RMSNORM, dtype=self.dtype, name="norm_center_features"
+                    epsilon=rmsnorm_eps(self.dtype),
+                    dtype=self.dtype,
+                    name="norm_center_features",
                 )(out_node)
             )
         else:

@@ -70,9 +70,16 @@ class LayerWeights(NamedTuple):
     b_ffn_out: jax.Array  # (d,)
 
 
-def _rms_norm(x, scale, eps=1e-30):
-    # torch-parity: torch.nn.RMSNorm(eps=None) adds NO epsilon; 1e-30 is
-    # numerically invisible but keeps all-zero padded rows finite.
+def _rms_eps(dtype) -> float:
+    # torch-parity: torch.nn.RMSNorm(eps=None) resolves to
+    # torch.finfo(input.dtype).eps, added to the f32-accumulated mean
+    # square (also keeps all-zero padded rows finite).
+    return float(jnp.finfo(jnp.dtype(dtype)).eps)
+
+
+def _rms_norm(x, scale, eps=None):
+    if eps is None:
+        eps = _rms_eps(x.dtype)
     acc = jnp.promote_types(jnp.float32, x.dtype)
     x32 = x.astype(acc)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -128,6 +135,35 @@ def _use_qside(T: int, D: int, num_heads: int) -> bool:
     return _use_mexp(T, D, num_heads) and num_heads % 2 == 0
 
 
+def _use_int8_scores(dtype) -> bool:
+    """int8 score matmuls (quantized q/k, int32 accumulation).
+
+    The batched per-atom score dots are the fused layer's structural
+    floor: the MXU pays its pipeline-fill cost per small matmul, capping
+    bf16 at ~24-50 TF/s, while int8 packs twice the throughput through
+    the same pipeline (measured 2.0x on the exact score shape,
+    ``benchmarks/micro_int8.py``: 1.10 vs 2.18 ms). Quantization is
+    per-block dynamic absmax; the bench's force-deviation guard
+    (``bench.py``) adjudicates accuracy -- the north-star target is MAE
+    parity, not bitwise parity (BASELINE.md). KERNEL-ONLY: the pure-XLA
+    fallback (``MTT_PALLAS=0``) always runs exact math, so the guard
+    measures the quantization error. bf16 compute only;
+    ``MTT_INT8_SCORES=1`` enables (A/B knob, autotune-selected)."""
+    if os.environ.get("MTT_INT8_SCORES", "0") != "1":
+        return False
+    return dtype == jnp.bfloat16
+
+
+def _quantize_i8(x, eps=1e-12):
+    """Per-block absmax int8 quantization: returns (x_i8, scale_f32)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    s = jnp.maximum(absmax, eps) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0
+    ).astype(jnp.int8)
+    return xq, s
+
+
 # The q-side expansion is only worthwhile under the VMEM-blocked kernel;
 # on the full-array XLA fallback path (MTT_PALLAS=0 / unsupported
 # shapes) its (A, T, H*T) f32 score/exp intermediates materialize in HBM
@@ -148,7 +184,58 @@ def _ones_blockdiag(T: int, num_heads: int, head_dim: int, dtype):
     return ((r // T) == (c // head_dim)).astype(dtype)
 
 
-def _window_attention_qside(q, k, v, cf, num_heads, scale):
+def _expand_heads_i8(x_i8, num_heads: int, head_dim: int):
+    """int8 head expansion: select (not multiply) keeps operands int8."""
+    D = x_i8.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    zero = jnp.zeros((), jnp.int8)
+    return jnp.concatenate(
+        [
+            jnp.where(col // head_dim == h, x_i8, zero)
+            for h in range(num_heads)
+        ],
+        axis=1,
+    )
+
+
+def _qside_scores(
+    q, k, num_heads, head_dim, scale, acc,
+    int8=False, straight_through=False,
+):
+    """(BA, T_q, H*T_k) attention scores.
+
+    ``int8=True`` quantizes the operands (see :func:`_use_int8_scores`;
+    dequant folds the attention scale). ``straight_through=True``
+    additionally computes the exact path and returns
+    ``exact + stop_grad(quant - exact)`` -- same VALUE as the quantized
+    path but exact-path gradients, for the pure-XLA grad-of-grad replay
+    where autodiff would otherwise see round()'s zero derivative."""
+    if int8:
+        q_i8, s_q = _quantize_i8(q)
+        k_i8, s_k = _quantize_i8(k)
+        k_exp_i8 = _expand_heads_i8(k_i8, num_heads, head_dim)
+        scores_i32 = jax.lax.dot_general(
+            q_i8, k_exp_i8,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        quant = scores_i32.astype(acc) * (s_q * s_k * scale).astype(acc)
+        if not straight_through:
+            return quant
+    k_exp = _expand_heads_scaled(k, num_heads, head_dim, scale)
+    exact = jax.lax.dot_general(
+        q, k_exp,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )
+    if int8:
+        return exact + jax.lax.stop_gradient(quant - exact)
+    return exact
+
+
+def _window_attention_qside(
+    q, k, v, cf, num_heads, scale, int8=False, straight_through=False
+):
     """Window MHA in the q-side expanded layout: scores (BA, T_q, H*T_k).
 
     Vs the kq-transposed mexp form (below): the score matmul stays at
@@ -170,11 +257,8 @@ def _window_attention_qside(q, k, v, cf, num_heads, scale):
     acc = jnp.promote_types(jnp.float32, q.dtype)
     cd = q.dtype
 
-    k_exp = _expand_heads_scaled(k, H, head_dim, scale)  # (BA, HT, D)
-    scores = jax.lax.dot_general(
-        q, k_exp,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=acc,
+    scores = _qside_scores(
+        q, k, H, head_dim, scale, acc, int8, straight_through
     )  # (BA, T_q, H*T_k)
     if acc == jnp.float64:
         scores = scores - jnp.max(scores, axis=2, keepdims=True)
@@ -222,7 +306,9 @@ def _window_attention_qside(q, k, v, cf, num_heads, scale):
     return (num / den).astype(cd)
 
 
-def _window_attention_block(q, k, v, cf, num_heads, scale):
+def _window_attention_block(
+    q, k, v, cf, num_heads, scale, int8=False, straight_through=False
+):
     """Per-block window MHA; kq-transposed M-expanded layout when T is
     sublane-aligned.
 
@@ -251,7 +337,9 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
     acc = jnp.promote_types(jnp.float32, q.dtype)
     cf_acc = cf.astype(acc)
     if BA <= _QSIDE_MAX_ROWS and _use_qside(T, D, num_heads):
-        return _window_attention_qside(q, k, v, cf, num_heads, scale)
+        return _window_attention_qside(
+            q, k, v, cf, num_heads, scale, int8, straight_through
+        )
     if _use_mexp(T, D, num_heads):
         H = num_heads
         q_exp = _expand_heads_scaled(q, H, head_dim, scale)  # (BA, H*T, D)
@@ -309,7 +397,10 @@ def _window_attention_block(q, k, v, cf, num_heads, scale):
     return jnp.concatenate(head_outs, axis=-1).astype(q.dtype)
 
 
-def _layer_math(edges, center, cf, w: LayerWeights, num_heads: int, scale: float):
+def _layer_math(
+    edges, center, cf, w: LayerWeights, num_heads: int, scale: float,
+    int8: bool = False, straight_through: bool = False,
+):
     """PreLN layer on one block: returns (edge_out, center_attn_out).
 
     :param edges: (BA, M, D) edge tokens; slot M-1 is the reserved
@@ -338,7 +429,9 @@ def _layer_math(edges, center, cf, w: LayerWeights, num_heads: int, scale: float
     k = qkv[:, :, D : 2 * D]
     v = qkv[:, :, 2 * D :]
 
-    attn = _window_attention_block(q, k, v, cf, num_heads, scale)
+    attn = _window_attention_block(
+        q, k, v, cf, num_heads, scale, int8, straight_through
+    )
     attn_out = _matmul_bias(
         attn.reshape(BA * M, D), wc.w_out, wc.b_out, compute_dtype
     ).reshape(BA, M, D)
@@ -381,6 +474,7 @@ def _rank1_broadcast(col, row_vec):
 def _layer_bwd_math(
     edges, center, cf, w: LayerWeights, g_edge, g_center,
     num_heads: int, scale: float, weight_grads: bool,
+    int8: bool = False, straight_through: bool = False,
 ):
     """Hand-written backward of :func:`_layer_math` (mexp layout only).
 
@@ -408,7 +502,7 @@ def _layer_bwd_math(
 
     # ---- forward recompute (everything the backward needs; no ffn_out) --
     tokens = jnp.where(is_reserved, center.astype(cd)[:, None, :], edges)
-    eps = 1e-30  # torch RMSNorm(eps=None) parity
+    eps = _rms_eps(cd)  # torch RMSNorm(eps=None) parity (finfo eps)
     x1 = tokens.astype(acc)
     r1 = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=-1, keepdims=True) + eps)
     n1 = (x1 * r1 * wc.norm_attn).astype(cd)
@@ -422,13 +516,14 @@ def _layer_bwd_math(
     # including the full-array row guard (see _QSIDE_MAX_ROWS)
     qside = BA <= _QSIDE_MAX_ROWS and _use_qside(T, D, num_heads)
     if qside:
-        # q-side layout recompute (mirrors _window_attention_qside)
+        # q-side layout recompute (mirrors _window_attention_qside,
+        # including int8 score quantization when enabled -- the bwd must
+        # reproduce the forward's softmax weights exactly; the gradient
+        # matmuls below stay bf16 (straight-through quantization)
         HT = H * T
         k_exp = _expand_heads_scaled(k, H, head_dim, scale)
-        scores = jax.lax.dot_general(
-            q, k_exp,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=acc,
+        scores = _qside_scores(
+            q, k, H, head_dim, scale, acc, int8, straight_through
         )  # (BA, T_q, HT)
         e = jnp.exp(scores)
         rr = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 0)
@@ -684,11 +779,11 @@ def _layer_bwd_math(
     return d_edges, d_center, d_cf, dw
 
 
-def _fwd_kernel(edges_ref, center_ref, cf_ref, *rest, num_heads, scale):
+def _fwd_kernel(edges_ref, center_ref, cf_ref, *rest, num_heads, scale, int8):
     *weight_refs, edge_out_ref, center_out_ref = rest
     w = LayerWeights(*(ref[:] for ref in weight_refs))
     edge_out, center_attn = _layer_math(
-        edges_ref[:], center_ref[:], cf_ref[:], w, num_heads, scale
+        edges_ref[:], center_ref[:], cf_ref[:], w, num_heads, scale, int8
     )
     edge_out_ref[:] = edge_out
     center_out_ref[:] = center_attn
@@ -703,6 +798,7 @@ def _bwd_kernel(
     scale,
     n_weights,
     weight_grads,
+    int8,
 ):
     weight_refs = rest[:n_weights]
     g_edge_ref, g_center_ref = rest[n_weights : n_weights + 2]
@@ -716,6 +812,7 @@ def _bwd_kernel(
         d_edges, d_center, d_cf, dw = _layer_bwd_math(
             edges_ref[:], center_ref[:], cf_ref[:], w,
             g_edge_ref[:], g_center_ref[:], num_heads, scale, weight_grads,
+            int8,
         )
         if dw is None:
             dw = ()
@@ -804,7 +901,12 @@ def _forward_impl(edges, center, cf, weights: LayerWeights, num_heads, scale):
     weight_specs = [_weight_spec(w) for w in weights]
 
     edge_out, center_out = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _fwd_kernel,
+            num_heads=num_heads,
+            scale=scale,
+            int8=_use_int8_scores(edges.dtype),
+        ),
         grid=(A_p // BA,),
         in_specs=[spec3, spec_c, spec2] + weight_specs,
         out_specs=(spec3, spec_c),
@@ -847,9 +949,14 @@ def _bwd_math_reference(
     autodiff vjp otherwise."""
     M, D = edges.shape[1], edges.shape[2]
     if _use_mexp(M, D, num_heads):
+        # int8 mirrors the kernels so the replay's PRIMAL outputs equal
+        # the bwd kernel's; straight_through restores exact gradients
+        # through the quantized score recompute (round() has zero
+        # derivative otherwise)
         d_edges, d_center, d_cf, dw = _layer_bwd_math(
             edges, center, cf, weights, g_edge, g_center,
             num_heads, scale, True,
+            int8=_use_int8_scores(edges.dtype), straight_through=True,
         )
         dw32 = LayerWeights(*(x.astype(jnp.float32) for x in dw))
         return d_edges, d_center, d_cf, dw32
@@ -863,7 +970,7 @@ def _bwd_math_reference(
     return d_edges, d_center, d_cf.astype(jnp.float32), dw32
 
 
-def _make_bwd_op(num_heads, scale, weight_grads=True):
+def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
     @jax.custom_vjp
     def bwd_op(edges, center, cf, weights: LayerWeights, g_edge, g_center):
         A, M, D = edges.shape
@@ -898,6 +1005,7 @@ def _make_bwd_op(num_heads, scale, weight_grads=True):
                 scale=scale,
                 n_weights=n_weights,
                 weight_grads=weight_grads,
+                int8=int8,
             ),
             grid=(A_p // BA,),
             in_specs=[spec3, spec_c, spec2]
@@ -954,9 +1062,10 @@ def _fused_bwd(num_heads, scale, residuals, g):
     # trace-time flag: under no_param_grads() (inference force calls) the
     # weight-gradient matmuls and their accumulators are skipped entirely
     weight_grads = param_grads_needed()
-    key = (num_heads, float(scale), weight_grads)
+    int8 = _use_int8_scores(edges.dtype)
+    key = (num_heads, float(scale), weight_grads, int8)
     if key not in _BWD_OPS:
-        _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads)
+        _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads, int8)
     d_edges, d_center, d_cf, dw = _BWD_OPS[key](
         edges, center, cf, weights, g_edge, g_center
     )

@@ -215,3 +215,120 @@ def test_handwritten_bwd_matches_vjp(A, M, D, F, H, weight_grads, qside,
             )
     else:
         assert dw is None
+
+
+class TestInt8Scores:
+    """int8-quantized score matmuls (MTT_INT8_SCORES=1, bf16 compute).
+
+    Quantization is kernel-internal: the pure-XLA fallback stays exact,
+    so these compare against the exact math with a quantization-scale
+    tolerance and check the straight-through grad plumbing.
+    """
+
+    A, M, D, F, H = 9, 48, 128, 64, 8
+    scale = 0.3
+
+    def _setup(self, monkeypatch):
+        monkeypatch.setenv("MTT_QSIDE", "1")
+        monkeypatch.setenv("MTT_INT8_SCORES", "1")
+        rng = np.random.default_rng(5)
+        edges, center, cf = _random_inputs(rng, self.A, self.M, self.D)
+        w = _random_weights(rng, self.D, self.F)
+        to_bf = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+        return to_bf(edges), to_bf(center), cf.astype(jnp.bfloat16), w
+
+    def test_kernel_close_to_exact(self, monkeypatch):
+        edges, center, cf = (x for x in self._setup(monkeypatch)[:3])
+        edges, center, cf, w = self._setup(monkeypatch)
+        edge_k, center_k = _forward_impl(
+            edges, center, cf, w, self.H, self.scale
+        )
+        # exact bf16 math (int8 defaults off in _layer_math)
+        edge_m, center_m = _layer_math(edges, center, cf, w, self.H, self.scale)
+        err = np.abs(
+            np.asarray(edge_k, np.float64) - np.asarray(edge_m, np.float64)
+        )
+        ref = np.abs(np.asarray(edge_m, np.float64)).mean() + 1e-6
+        assert err.mean() / ref < 0.05, (err.mean(), ref)
+
+    def test_int8_math_matches_kernel_and_grads_flow(self, monkeypatch):
+        edges, center, cf, w = self._setup(monkeypatch)
+
+        from metatrain_tpu.ops.pallas.fused_layer import _use_int8_scores
+
+        assert _use_int8_scores(jnp.bfloat16)
+        assert not _use_int8_scores(jnp.float32)
+
+        # kernel primal == int8 _layer_math (same quantized function)
+        edge_k, center_k = _forward_impl(
+            edges, center, cf, w, self.H, self.scale
+        )
+        edge_m, center_m = _layer_math(
+            edges, center, cf, w, self.H, self.scale, int8=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(edge_k, np.float32),
+            np.asarray(edge_m, np.float32),
+            atol=5e-2,  # one bf16 ULP at |x|~4 (kernel block padding)
+        )
+
+        # straight-through: same VALUE, exact-path gradients (nonzero)
+        def loss_st(edges):
+            e, c = _layer_math(
+                edges, center, cf, w, self.H, self.scale,
+                int8=True, straight_through=True,
+            )
+            return jnp.sum(e.astype(jnp.float32) ** 2)
+
+        e_st, _ = _layer_math(
+            edges, center, cf, w, self.H, self.scale,
+            int8=True, straight_through=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_st, np.float32),
+            np.asarray(edge_m, np.float32),
+            atol=1e-2,
+        )
+        g = jax.grad(loss_st)(edges)
+        assert float(jnp.sum(jnp.abs(g.astype(jnp.float32)))) > 0.0
+
+    def test_custom_vjp_grad_and_gradgrad(self, monkeypatch):
+        edges, center, cf, w = self._setup(monkeypatch)
+
+        def loss_fused(edges):
+            e, c = fused_transformer_layer(
+                edges, center, cf, w, self.H, self.scale
+            )
+            return jnp.sum(e.astype(jnp.float32) ** 2) + jnp.sum(
+                c.astype(jnp.float32) ** 2
+            )
+
+        def loss_exact(edges):
+            e, c = _layer_math(edges, center, cf, w, self.H, self.scale)
+            return jnp.sum(e.astype(jnp.float32) ** 2) + jnp.sum(
+                c.astype(jnp.float32) ** 2
+            )
+
+        g = jax.grad(loss_fused)(edges)
+        g_ref = jax.grad(loss_exact)(edges)
+        ref = np.abs(np.asarray(g_ref, np.float64)).mean() + 1e-9
+        err = np.abs(
+            np.asarray(g, np.float64) - np.asarray(g_ref, np.float64)
+        ).mean()
+        assert err / ref < 0.1, (err, ref)
+
+        # grad-of-grad flows (straight-through in the replay)
+        def outer(edges):
+            return jnp.sum(jax.grad(loss_fused)(edges).astype(jnp.float32) ** 2)
+
+        gg = jax.grad(outer)(edges)
+        gg_ref = jax.grad(
+            lambda e: jnp.sum(
+                jax.grad(loss_exact)(e).astype(jnp.float32) ** 2
+            )
+        )(edges)
+        ref = np.abs(np.asarray(gg_ref, np.float64)).mean() + 1e-9
+        err = np.abs(
+            np.asarray(gg, np.float64) - np.asarray(gg_ref, np.float64)
+        ).mean()
+        assert err / ref < 0.2, (err, ref)
