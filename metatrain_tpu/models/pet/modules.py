@@ -175,8 +175,17 @@ EPS_LAYERNORM = 1e-5
 
 
 def rmsnorm_eps(dtype) -> float:
-    """torch.nn.RMSNorm(eps=None) parity: finfo(compute dtype).eps."""
-    return float(jnp.finfo(jnp.dtype(dtype or jnp.float32)).eps)
+    """torch.nn.RMSNorm(eps=None) parity: finfo(compute dtype).eps.
+
+    For sub-f32 storage dtypes (bf16) the eps is capped at f32's: the
+    mean square is f32-accumulated, and the reference only supports
+    f32/f64 (``pet/model.py`` __supported_dtypes__) -- bf16 runs are our
+    TPU extension and must approximate the f32 math (finfo(bf16).eps =
+    7.8e-3 would perturb every norm by ~0.4%)."""
+    dt = jnp.dtype(dtype or jnp.float32)
+    if jnp.finfo(dt).bits < 32:
+        dt = jnp.dtype(jnp.float32)
+    return float(jnp.finfo(dt).eps)
 
 
 def _norm(kind: str, dtype, name: str):

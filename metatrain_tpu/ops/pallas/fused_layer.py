@@ -73,8 +73,14 @@ class LayerWeights(NamedTuple):
 def _rms_eps(dtype) -> float:
     # torch-parity: torch.nn.RMSNorm(eps=None) resolves to
     # torch.finfo(input.dtype).eps, added to the f32-accumulated mean
-    # square (also keeps all-zero padded rows finite).
-    return float(jnp.finfo(jnp.dtype(dtype)).eps)
+    # square (also keeps all-zero padded rows finite). Sub-f32 compute
+    # dtypes (bf16 -- our TPU extension, unsupported by the reference)
+    # cap at f32's eps so bf16 approximates the f32 math (see
+    # models/pet/modules.py:rmsnorm_eps).
+    dt = jnp.dtype(dtype)
+    if jnp.finfo(dt).bits < 32:
+        dt = jnp.dtype(jnp.float32)
+    return float(jnp.finfo(dt).eps)
 
 
 def _rms_norm(x, scale, eps=None):
