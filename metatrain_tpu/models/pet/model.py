@@ -69,7 +69,7 @@ class PET(AtomisticNNModel):
     """Point Edge Transformer."""
 
     ARCHITECTURE_NAME = "pet"
-    __checkpoint_version__ = 2
+    __checkpoint_version__ = 3
     __supported_dtypes__ = [jnp.float32, jnp.bfloat16]
     __default_metadata__ = {
         "references": {
@@ -248,6 +248,19 @@ class PET(AtomisticNNModel):
         hypers = dict(checkpoint["hypers"])
         hypers.setdefault("fused_layers", False)
         hypers.setdefault("remat", False)
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint
+
+    @classmethod
+    def upgrade_v2_v3(cls, checkpoint):
+        """v3 records the ``fused_attention`` hyper explicitly and carries
+        the scaler's full decomposition (``scales`` lists +
+        ``per_target``; the scaler sub-checkpoint's own v1->v2 migration
+        rebuilds it). Parameters are unchanged: fill the new hyper with
+        the value v2 models behaved as."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault("fused_attention", True)
         checkpoint = dict(checkpoint)
         checkpoint["hypers"] = hypers
         return checkpoint

@@ -287,12 +287,13 @@ class Scaler(ModelInterface):
         }
         return self.params
 
-    def forward(self, params, batch, outputs):
+    def forward(self, params, batch, outputs, selected_atoms=None):
         """Return the fitted scales for the requested outputs, broadcast
         over the batch samples (reference ``scaler/model.py:150-170``:
         the standalone Scaler architecture's forward provides the
         scales; in NN architectures the scaler acts via
-        :meth:`apply_scales` instead)."""
+        :meth:`apply_scales` instead). ``selected_atoms``: optional (A,)
+        mask restricting per-atom rows (wrapper calling convention)."""
         from ..containers import Labels
 
         results: Dict[str, TensorMap] = {}
@@ -334,6 +335,8 @@ class Scaler(ModelInterface):
                         ),
                     )
                     mask = batch.atom_mask
+                    if selected_atoms is not None:
+                        mask = mask & selected_atoms
                 else:
                     S = batch.n_systems_padded
                     values = jnp.broadcast_to(
@@ -344,6 +347,13 @@ class Scaler(ModelInterface):
                     )
                     samples = Labels.range("system", S)
                     mask = batch.system_mask
+                # zero padded rows: container convention (masked rows
+                # hold no data; suites assert it)
+                values = jnp.where(
+                    mask.reshape(mask.shape + (1,) * (values.ndim - 1)),
+                    values,
+                    0.0,
+                )
                 blocks.append(
                     TensorBlock(
                         values=values,

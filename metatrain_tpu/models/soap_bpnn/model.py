@@ -48,7 +48,21 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
 
 class SoapBpnn(AtomisticNNModel):
     ARCHITECTURE_NAME = "soap_bpnn"
-    __checkpoint_version__ = 1
+    __checkpoint_version__ = 2
+
+    @classmethod
+    def upgrade_v1_v2(cls, checkpoint):
+        """v2 records the ``long_range`` hyper block explicitly and
+        carries the scaler's full decomposition (migrated by the scaler
+        sub-checkpoint's own chain). Parameters are unchanged; fill the
+        long_range defaults v1 models behaved as (disabled)."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault(
+            "long_range", copy.deepcopy(DEFAULT_MODEL_HYPERS["long_range"])
+        )
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint
     __supported_dtypes__ = [jnp.float64, jnp.float32]
 
     def __init__(

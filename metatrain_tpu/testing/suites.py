@@ -46,6 +46,16 @@ class ArchitectureTests:
     supports_forces: bool = True
     supports_stress: bool = True
     supports_restart: bool = True
+    # name of the output checked by the generic shape/roundtrip/export
+    # suites; "energy" for potentials, the model's own target otherwise
+    primary_output: str = "energy"
+    # False for architectures whose primary target is not a per-structure
+    # scalar energy (FlashMD, classifier): gates the energy-semantics
+    # suites (FD forces/stress, O3 invariance, batching invariance)
+    has_scalar_energy: bool = True
+    # True for closed-form-fit models whose forward needs a completed fit
+    # (GAP): the model/params fixture runs the trainer first
+    train_before_forward: bool = False
     # False for architectures that are NOT O(3)-invariant by construction
     # and learn invariance through augmentation (PET, reference design)
     is_o3_invariant: bool = True
@@ -66,11 +76,26 @@ class ArchitectureTests:
         return import_architecture(self.architecture)
 
     @pytest.fixture(scope="class")
+    def model_extra_hypers(self, tmp_path_factory):
+        """Extra model hypers resolved at fixture time. Wrapper
+        architectures (LLPR, classifier) override this to train a small
+        backbone and return ``{"model_checkpoint": path}``."""
+        return {}
+
+    def decorate_system(self, system):
+        """Hook: attach architecture-required extra per-system data
+        (e.g. FlashMD's momenta/masses) to a bare test system."""
+        return system
+
+    def _model_hypers(self, extra):
+        return {**self.minimal_model_hypers, **extra}
+
+    @pytest.fixture(scope="class")
     def dataset_and_info(self):
         rng = np.random.default_rng(0)
         systems = []
         for i in range(10):
-            s = _molecule(5 + i % 2, seed=i)
+            s = self.decorate_system(_molecule(5 + i % 2, seed=i))
             s.extra["energy"] = np.asarray(rng.normal())
             s.extra["forces"] = rng.normal(size=(len(s), 3))
             systems.append(s)
@@ -84,13 +109,25 @@ class ArchitectureTests:
         return Dataset(systems, targets), DatasetInfo("angstrom", types, infos)
 
     @pytest.fixture(scope="class")
-    def model_and_params(self, arch_module, dataset_and_info):
-        _, ds_info = dataset_and_info
-        model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+    def model_and_params(
+        self, arch_module, dataset_and_info, model_extra_hypers, tmp_path_factory
+    ):
+        dataset, ds_info = dataset_and_info
+        model = arch_module.__model__(
+            self._model_hypers(model_extra_hypers), ds_info
+        )
         params = model.init_params(jax.random.PRNGKey(0))
+        if self.train_before_forward:
+            trainer = arch_module.__trainer__(dict(self.trainer_overrides))
+            trainer.train(
+                model, jnp.float32, [dataset], [dataset],
+                str(tmp_path_factory.mktemp("prefit")),
+            )
+            params = model.params
         return model, params
 
     def _batch(self, model, systems, dtype=jnp.float32):
+        systems = [self.decorate_system(s) for s in systems]
         cutoff = model.requested_neighbor_cutoff() or 5.0
         nbrs = [compute_neighbor_data(s, cutoff=cutoff) for s in systems]
         return batch_from_systems(
@@ -106,14 +143,15 @@ class ArchitectureTests:
 
     def test_output_shapes_and_masks(self, model_and_params):
         model, params = model_and_params
+        name = self.primary_output
         systems = [_molecule(5, seed=1), _molecule(6, seed=2)]
         batch = self._batch(model, systems)
-        out = model.forward(params, batch, ["energy"])
-        block = out["energy"].block(0)
+        out = model.forward(params, batch, [name])
+        block = out[name].block(0)
         values = np.asarray(block.values)
         mask = np.asarray(block.mask)
         assert np.isfinite(values).all()
-        info = model.supported_outputs()["energy"]
+        info = model.supported_outputs()[name]
         if info.per_atom:
             assert mask.sum() == 11
         else:
@@ -121,6 +159,8 @@ class ArchitectureTests:
             np.testing.assert_allclose(values[~mask], 0.0, atol=1e-5)
 
     def test_batching_invariance(self, model_and_params):
+        if not self.has_scalar_energy:
+            pytest.skip("no per-structure scalar energy output")
         model, params = model_and_params
         s1, s2 = _molecule(5, seed=3), _molecule(7, seed=4)
         e_pair = np.asarray(
@@ -141,17 +181,27 @@ class ArchitectureTests:
 
     # -- AutogradTests ----------------------------------------------------------
 
-    def test_forces_vs_finite_differences(self, arch_module, dataset_and_info):
-        if not self.supports_forces:
+    def test_forces_vs_finite_differences(
+        self, arch_module, dataset_and_info, model_extra_hypers
+    ):
+        if not (self.supports_forces and self.has_scalar_energy):
             pytest.skip("architecture does not support forces")
-        _, ds_info = dataset_and_info
+        dataset, ds_info = dataset_and_info
+        hypers = self._model_hypers(model_extra_hypers)
         try:
             model = arch_module.__model__(
-                self.minimal_model_hypers, ds_info, compute_dtype=jnp.float64
+                hypers, ds_info, compute_dtype=jnp.float64
             )
         except TypeError:
-            model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+            model = arch_module.__model__(hypers, ds_info)
         params = model.init_params(jax.random.PRNGKey(1))
+        if self.train_before_forward:
+            trainer = arch_module.__trainer__(dict(self.trainer_overrides))
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                trainer.train(model, jnp.float64, [dataset], [dataset], td)
+            params = model.params
         system = _molecule(4, seed=5)
         info = get_energy_target_info("eV", add_position_gradients=True)
         batch = self._batch(model, [system], dtype=jnp.float64)
@@ -183,10 +233,10 @@ class ArchitectureTests:
     def test_energy_invariance_under_O3(self, model_and_params):
         """Scalar predictions are exactly invariant under rotations AND
         improper rotations (reference equivariance checks)."""
-        if not self.is_o3_invariant:
+        if not (self.is_o3_invariant and self.has_scalar_energy):
             pytest.skip(
-                "architecture learns invariance via augmentation "
-                "(not invariant by construction)"
+                "architecture learns invariance via augmentation or has "
+                "no scalar energy output"
             )
         from ..engine.augmentation import random_rotation
 
@@ -222,10 +272,10 @@ class ArchitectureTests:
             pbc=np.zeros(3, dtype=bool),
         )
         batch = self._batch(model, [system])
-        out = model.forward(params, batch, ["energy"])
-        values = np.asarray(out["energy"].block(0).values)
+        out = model.forward(params, batch, [self.primary_output])
+        values = np.asarray(out[self.primary_output].block(0).values)
         assert np.isfinite(values).all()
-        if self.supports_forces:
+        if self.supports_forces and self.has_scalar_energy:
             info = get_energy_target_info("eV", add_position_gradients=True)
             preds = evaluate_model(
                 model.forward, params, batch, {"energy": info},
@@ -236,16 +286,24 @@ class ArchitectureTests:
             )[0]
             np.testing.assert_allclose(forces, 0.0, atol=1e-5)
 
-    def test_stress_vs_finite_differences(self, arch_module, dataset_and_info):
+    def test_stress_vs_finite_differences(
+        self, arch_module, dataset_and_info, model_extra_hypers
+    ):
         """Strain gradients from the autograd engine match finite
         differences of the deformed periodic cell (reference periodic
         stress checks; strain trick per ``evaluate_model.py:296-350``)."""
-        if not (self.supports_forces and self.supports_stress):
+        if not (
+            self.supports_forces
+            and self.supports_stress
+            and self.has_scalar_energy
+        ):
             pytest.skip("architecture does not support strain gradients")
         _, ds_info = dataset_and_info
         try:
             model = arch_module.__model__(
-                self.minimal_model_hypers, ds_info, compute_dtype=jnp.float64
+                self._model_hypers(model_extra_hypers),
+                ds_info,
+                compute_dtype=jnp.float64,
             )
         except TypeError:
             pytest.skip("architecture does not run in float64")
@@ -264,6 +322,14 @@ class ArchitectureTests:
             pbc=np.ones(3, dtype=bool),
         )
         params = model.init_params(jax.random.PRNGKey(2))
+        if self.train_before_forward:
+            dataset = dataset_and_info[0]
+            trainer = arch_module.__trainer__(dict(self.trainer_overrides))
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                trainer.train(model, jnp.float64, [dataset], [dataset], td)
+            params = model.params
         info = get_energy_target_info("eV", add_strain_gradients=True)
         batch = self._batch(model, [system], dtype=jnp.float64)
         preds = evaluate_model(model.forward, params, batch, {"energy": info})
@@ -377,10 +443,12 @@ class ArchitectureTests:
         )
 
     def test_target_type_outputs_and_training(
-        self, arch_module, typed_dataset, tmp_path
+        self, arch_module, typed_dataset, model_extra_hypers, tmp_path
     ):
         kind, dataset, ds_info = typed_dataset
-        model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        model = arch_module.__model__(
+            self._model_hypers(model_extra_hypers), ds_info
+        )
         params = model.init_params(jax.random.PRNGKey(0))
         batch = self._batch(model, [dataset[0].system, dataset[1].system])
         out = model.forward(params, batch, ["target"])["target"].block(0)
@@ -397,7 +465,9 @@ class ArchitectureTests:
         )
         trainer.train(model, jnp.float32, [dataset], [dataset], str(tmp_path))
 
-    def test_equivariant_target_types(self, arch_module, typed_dataset):
+    def test_equivariant_target_types(
+        self, arch_module, typed_dataset, model_extra_hypers
+    ):
         kind, dataset, ds_info = typed_dataset
         if kind not in self.equivariant_target_types:
             pytest.skip(f"{kind} equivariance not claimed")
@@ -405,7 +475,9 @@ class ArchitectureTests:
 
         try:
             model = arch_module.__model__(
-                self.minimal_model_hypers, ds_info, compute_dtype=jnp.float64
+                self._model_hypers(model_extra_hypers),
+                ds_info,
+                compute_dtype=jnp.float64,
             )
         except TypeError:
             pytest.skip("architecture does not run in float64")
@@ -454,7 +526,7 @@ class ArchitectureTests:
     # -- Restart continuation (reference ``testing/training.py:193-370``) ----
 
     def test_restart_continuation_matches_uninterrupted(
-        self, arch_module, dataset_and_info, tmp_path
+        self, arch_module, dataset_and_info, model_extra_hypers, tmp_path
     ):
         """k epochs + checkpoint + restart to N epochs == N straight epochs
         (epoch-keyed samplers, restored optimizer state, LR schedule)."""
@@ -469,7 +541,8 @@ class ArchitectureTests:
             **self.trainer_overrides,
         }
 
-        model_a = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        model_hypers = self._model_hypers(model_extra_hypers)
+        model_a = arch_module.__model__(model_hypers, ds_info)
         trainer_a = arch_module.__trainer__(dict(hypers))
         trainer_a.train(
             model_a, jnp.float32, [dataset], [dataset], str(tmp_path / "a")
@@ -478,7 +551,7 @@ class ArchitectureTests:
         # "interrupt" run B via its periodic epoch-2 snapshot (it keeps
         # training to epoch 4, but the snapshot is exactly the state an
         # interruption would leave behind)
-        model_b = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        model_b = arch_module.__model__(model_hypers, ds_info)
         trainer_b = arch_module.__trainer__(
             dict(hypers, checkpoint_interval=2)
         )
@@ -507,9 +580,13 @@ class ArchitectureTests:
 
     # -- TrainingTests ------------------------------------------------------------
 
-    def test_training_runs(self, arch_module, dataset_and_info, tmp_path):
+    def test_training_runs(
+        self, arch_module, dataset_and_info, model_extra_hypers, tmp_path
+    ):
         dataset, ds_info = dataset_and_info
-        model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        model = arch_module.__model__(
+            self._model_hypers(model_extra_hypers), ds_info
+        )
         trainer_hypers = {
             "num_epochs": 2,
             "batch_size": 5,
@@ -556,13 +633,20 @@ class ArchitectureTests:
     # -- ExportedTests (reference ``utils/testing/exported.py``) -------------
 
     def test_exported_dtype_conversion(self, arch_module, dataset_and_info,
-                                       tmp_path):
+                                       model_extra_hypers, tmp_path):
         """An exported model evaluates in every supported compute dtype
         with consistent energies (the ``.to(dtype=...)`` contract)."""
         dataset, ds_info = dataset_and_info
         model_cls = arch_module.__model__
-        model = model_cls(self.minimal_model_hypers, ds_info)
+        hypers = self._model_hypers(model_extra_hypers)
+        model = model_cls(hypers, ds_info)
         model.init_params(jax.random.PRNGKey(0))
+        if self.train_before_forward:
+            trainer = arch_module.__trainer__(dict(self.trainer_overrides))
+            trainer.train(
+                model, jnp.float32, [dataset], [dataset],
+                str(tmp_path / "prefit"),
+            )
 
         from ..cli.export import export_model_object, load_exported_model
 
@@ -573,18 +657,15 @@ class ArchitectureTests:
         system = dataset[0].system
         batch = self._batch(model, [system])
         reference_values = None
+        name = self.primary_output
         for dtype in type(model).__supported_dtypes__:
             try:
-                converted = model_cls(
-                    self.minimal_model_hypers, ds_info, compute_dtype=dtype
-                )
+                converted = model_cls(hypers, ds_info, compute_dtype=dtype)
             except TypeError:
                 pytest.skip("architecture has a fixed compute dtype")
             converted.params = loaded.params
             values = np.asarray(
-                converted.forward(converted.params, batch, ["energy"])[
-                    "energy"
-                ]
+                converted.forward(converted.params, batch, [name])[name]
                 .block(0)
                 .values,
                 dtype=np.float64,
@@ -599,9 +680,13 @@ class ArchitectureTests:
 
     # -- CheckpointTests ------------------------------------------------------------
 
-    def test_checkpoint_roundtrip(self, arch_module, dataset_and_info, tmp_path):
+    def test_checkpoint_roundtrip(
+        self, arch_module, dataset_and_info, model_extra_hypers, tmp_path
+    ):
         dataset, ds_info = dataset_and_info
-        model = arch_module.__model__(self.minimal_model_hypers, ds_info)
+        model = arch_module.__model__(
+            self._model_hypers(model_extra_hypers), ds_info
+        )
         trainer_hypers = {
             "num_epochs": 1,
             "batch_size": 5,
@@ -615,13 +700,14 @@ class ArchitectureTests:
 
         system = dataset[0].system
         batch = self._batch(model, [system])
+        name = self.primary_output
         fwd = getattr(model, "forward_eval", model.forward)
         fwd_restored = getattr(restored, "forward_eval", restored.forward)
         original = np.asarray(
-            fwd(model.params, batch, ["energy"])["energy"].block(0).values
+            fwd(model.params, batch, [name])[name].block(0).values
         )
         loaded = np.asarray(
-            fwd_restored(restored.params, batch, ["energy"])["energy"]
+            fwd_restored(restored.params, batch, [name])[name]
             .block(0)
             .values
         )
