@@ -100,8 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     import_torch = sub.add_parser(
         "import-torch",
-        help="convert a torch metatrain PET checkpoint (.ckpt/.ckpt.gz) "
-        "into a native checkpoint",
+        help="convert a torch metatrain checkpoint (.ckpt/.ckpt.gz) or a "
+        "mace-torch foundation model (.pt/.model) into a native checkpoint",
     )
     import_torch.add_argument("checkpoint", help="torch checkpoint path")
     import_torch.add_argument("-o", "--output", default="model_converted.ckpt")
@@ -109,6 +109,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--last",
         action="store_true",
         help="convert the last (not best) model weights",
+    )
+    import_torch.add_argument(
+        "--mace-head-target",
+        default="energy",
+        help="target name for a mace foundation model's head "
+        "(foundation imports only)",
+    )
+    import_torch.add_argument(
+        "--mace-head-name",
+        default="default",
+        help="internal head of a multi-head mace foundation model",
     )
 
     export = sub.add_parser("export", help="export a checkpoint")
@@ -253,9 +264,22 @@ def main(argv=None) -> int:
                 from .interop import convert_torch_checkpoint
                 from .utils.io import save_checkpoint_file
 
-                converted = convert_torch_checkpoint(
-                    args.checkpoint, use_best=not args.last
-                )
+                if args.checkpoint.endswith((".pt", ".model")):
+                    # mace-torch foundation model files are pickled whole
+                    # modules, not metatrain checkpoints
+                    from .interop.mace_foundation import (
+                        convert_mace_foundation,
+                    )
+
+                    converted = convert_mace_foundation(
+                        args.checkpoint,
+                        target_name=args.mace_head_target,
+                        head_name=args.mace_head_name,
+                    )
+                else:
+                    converted = convert_torch_checkpoint(
+                        args.checkpoint, use_best=not args.last
+                    )
                 save_checkpoint_file(converted, args.output)
                 logging.getLogger("metatrain_tpu").info(
                     "wrote converted checkpoint to %s", args.output

@@ -161,6 +161,15 @@ class NNTrainer(TrainerInterface):
 
         # ---- baselines: composition fit + target scaling ----------------
         atomic_baseline = hp["atomic_baseline"]
+        if not atomic_baseline:
+            # foundation-model imports carry fixed baselines on the model
+            # (reference ``get_fixed_composition_weights``, consumed by
+            # the trainer unless the user overrides via atomic_baseline)
+            model_fixed = getattr(
+                model, "get_fixed_composition_weights", dict
+            )()
+            if model_fixed:
+                atomic_baseline = model_fixed
         if isinstance(atomic_baseline, str):
             composition = train_or_load_composition_model(
                 atomic_baseline, model.dataset_info, train_datasets
@@ -184,6 +193,12 @@ class NNTrainer(TrainerInterface):
             for ds in train_datasets
         ]
         fixed_scaling = hp["fixed_scaling_weights"]
+        if not fixed_scaling:
+            model_fixed = getattr(
+                model, "get_fixed_scaling_weights", dict
+            )()
+            if model_fixed:
+                fixed_scaling = model_fixed
         if isinstance(fixed_scaling, str):
             scaler = train_or_load_scaler(fixed_scaling, model.dataset_info, [])
         else:

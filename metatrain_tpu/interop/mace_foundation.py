@@ -1,0 +1,353 @@
+"""mace-torch foundation-model (.pt / .model) importer.
+
+The reference loads MACE foundation checkpoints by unpickling the whole
+``mace.modules.MACE`` torch module and wrapping it
+(``/root/reference/src/metatrain/experimental/mace/model.py:125-183``,
+``utils/_load_model_file.py:18``); metatrain then *extracts* the atomic
+baselines (``atomic_energies_fn.atomic_energies`` + ``scale_shift.shift``)
+into its composition model and the ``scale_shift.scale`` into its scaler
+(``model.py:141-183``, ``get_fixed_composition_weights`` /
+``get_fixed_scaling_weights`` at ``model.py:785-826``).
+
+This importer reproduces that pipeline natively, WITHOUT mace-torch or
+e3nn installed:
+
+1. tolerant-unpickle the foundation file (module classes stubbed, tensors
+   loaded) and walk the module tree into a flat ``state_dict`` plus the
+   architectural config (r_max, num_interactions, atomic numbers, radial
+   basis size, correlation, channel count);
+2. extract the atomic baselines and global scale with the reference's
+   exact semantics (per-head slicing for multi-head foundation models,
+   shift folded into every species' baseline);
+3. build a native :class:`~metatrain_tpu.models.mace.MACE` with matched
+   hypers, its composition weights fixed to the extracted baselines and
+   its scaler fixed to the extracted scale -- ready for finetuning on a
+   target dataset (``mtt-tpu train ... --finetune``).
+
+Scope note (documented limitation): mace-torch's interior weights
+(e3nn tensor-product paths, symmetric-contraction couplings) parameterize
+a different function class than the native module, and this environment
+ships neither mace-torch nor e3nn to validate a basis-change transplant
+against. The imported checkpoint therefore carries the COMPLETE original
+tensor inventory under ``foundation_state`` (nothing is dropped), the
+energy offset/scale physics transfers exactly, and the equivariant
+interior starts fresh for finetuning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .torch_ckpt import _tolerant_torch_load
+
+
+def _walk_module(obj, prefix: str, out: Dict[str, Any]) -> None:
+    """Collect ``_parameters``/``_buffers`` tensors from a pickled torch
+    module tree (modules keep their ``__dict__``: ``_parameters``,
+    ``_buffers`` and ``_modules`` OrderedDicts). Handles both STUBBED
+    classes (mace/e3nn not installed: state under ``_state``) and real
+    ``torch.nn`` children (torch IS installed, so plain Linear/ModuleList
+    nodes unpickle as live modules)."""
+    state = getattr(obj, "_state", None)
+    if not isinstance(state, dict):
+        if isinstance(state, tuple):  # some stubs carry (dict,) payloads
+            state = next((s for s in state if isinstance(s, dict)), None)
+    if not isinstance(state, dict) and hasattr(obj, "_parameters"):
+        state = obj.__dict__  # live torch.nn.Module
+    if not isinstance(state, dict):
+        return
+    for section in ("_parameters", "_buffers"):
+        for name, tensor in (state.get(section) or {}).items():
+            if tensor is not None and hasattr(tensor, "numpy"):
+                out[prefix + name] = tensor
+    for name, child in (state.get("_modules") or {}).items():
+        if child is not None:
+            _walk_module(child, f"{prefix}{name}.", out)
+    # plain attributes occasionally hold tensors (e.g. r_max as a
+    # 0-d tensor attribute on old mace versions)
+    for name, value in state.items():
+        if name.startswith("_"):
+            continue
+        if hasattr(value, "numpy") and name not in out:
+            out[prefix + name] = value
+
+
+def load_mace_foundation_state(path: str) -> Dict[str, np.ndarray]:
+    """Flat ``name -> numpy array`` state of a pickled mace-torch module
+    (or a dict checkpoint holding one under ``model``/``state_dict``)."""
+    with open(path, "rb") as fd:
+        data = fd.read()
+    obj = _tolerant_torch_load(data)
+
+    flat: Dict[str, Any] = {}
+    if isinstance(obj, dict):
+        # some distributions ship {"model": module} or a raw state_dict
+        inner = obj.get("model", obj.get("state_dict", obj))
+        if isinstance(inner, dict):
+            for key, value in inner.items():
+                if hasattr(value, "numpy"):
+                    flat[key] = value
+        else:
+            _walk_module(inner, "", flat)
+    else:
+        _walk_module(obj, "", flat)
+    if not flat:
+        raise ValueError(
+            f"{path}: no tensors found -- not a mace-torch module pickle "
+            "or state_dict"
+        )
+    return {
+        k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+        for k, v in flat.items()
+    }
+
+
+def _config_from_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Architectural config recovered from tensor names/shapes alone
+    (the stubbed module objects do not keep non-tensor attributes of
+    torchscript-uninstalled classes reliably)."""
+    cfg: Dict[str, Any] = {}
+
+    atomic_numbers = state.get("atomic_numbers")
+    if atomic_numbers is None:
+        raise ValueError(
+            "foundation state has no 'atomic_numbers' buffer; is this a "
+            "mace-torch model file?"
+        )
+    cfg["atomic_numbers"] = [int(z) for z in np.ravel(atomic_numbers)]
+
+    r_max = state.get("r_max", state.get("radial_embedding.r_max"))
+    cfg["r_max"] = float(np.ravel(r_max)[0]) if r_max is not None else 5.0
+
+    bessel = state.get("radial_embedding.bessel_fn.bessel_weights")
+    cfg["num_radial"] = int(bessel.shape[-1]) if bessel is not None else 8
+
+    n_inter = len(
+        {
+            key.split(".")[1]
+            for key in state
+            if key.startswith("interactions.")
+        }
+    )
+    cfg["num_interactions"] = max(n_inter, 1)
+
+    emb = state.get("node_embedding.linear.weight")
+    if emb is not None:
+        # e3nn o3.Linear on scalars stores a flat (n_species * C,) or
+        # (n_species, C) weight
+        n_species = len(cfg["atomic_numbers"])
+        cfg["num_channels"] = int(np.ravel(emb).shape[0] // n_species)
+    else:
+        cfg["num_channels"] = 128
+
+    # correlation: products.*.symmetric_contractions weights_max has
+    # shape (n_species, n_paths, C); the contraction order is the number
+    # of weights.{nu} entries + 1
+    nus = set()
+    for key in state:
+        if ".symmetric_contractions." not in key or ".weights." not in key:
+            continue
+        nu = key.split(".weights.", 1)[1].split(".", 1)[0]
+        if nu.isdigit():
+            nus.add(int(nu))
+    cfg["correlation"] = len(nus) + 1 if nus else 3
+
+    # max_ell of node features: infer from skip_tp / linear shapes is
+    # version-dependent; foundation MACE models (MP-0 family) carry l<=2
+    cfg["max_ell"] = 2 if cfg["num_interactions"] > 1 else 1
+
+    # multi-head models: atomic_energies (H, S) / scale_shift (H,)
+    ae = state.get("atomic_energies_fn.atomic_energies")
+    cfg["n_heads"] = int(ae.shape[0]) if ae is not None and ae.ndim == 2 else 1
+    return cfg
+
+
+def extract_baseline_and_scale(
+    state: Dict[str, np.ndarray], head_index: int = 0
+) -> Tuple[Optional[np.ndarray], float]:
+    """Atomic baselines (+shift) and global scale, with the reference's
+    exact semantics (``experimental/mace/model.py:141-183``): 2D
+    per-head ``atomic_energies`` are sliced to ``head_index``; the
+    scale_shift ``shift`` is added to every species' baseline; scalar or
+    per-head ``scale`` becomes the fixed scaler weight."""
+    baseline = None
+    ae = state.get("atomic_energies_fn.atomic_energies")
+    if ae is not None:
+        ae = np.asarray(ae, np.float64)
+        if ae.ndim == 2:
+            ae = ae[head_index]
+        baseline = ae.ravel().copy()
+
+    scale = 1.0
+    s = state.get("scale_shift.scale")
+    if s is not None:
+        s = np.ravel(np.asarray(s, np.float64))
+        scale = float(s[head_index] if s.size > 1 else s[0])
+    shift_arr = state.get("scale_shift.shift")
+    if shift_arr is not None:
+        shift_arr = np.ravel(np.asarray(shift_arr, np.float64))
+        shift = float(
+            shift_arr[head_index] if shift_arr.size > 1 else shift_arr[0]
+        )
+        n_species = len(np.ravel(state["atomic_numbers"]))
+        if baseline is None:
+            baseline = np.full((n_species,), shift)
+        else:
+            baseline = baseline + shift
+    return baseline, scale
+
+
+def convert_mace_foundation(
+    path: str,
+    target_name: str = "energy",
+    target_unit: str = "eV",
+    head_name: str = "default",
+    length_unit: str = "angstrom",
+) -> Dict[str, Any]:
+    """Convert a mace-torch foundation model file into a native
+    ``experimental.mace`` checkpoint dict, ready for
+    ``model_from_checkpoint(..., context='finetune')``.
+
+    Reference flow: ``utils/_load_model_file.py:18`` (dummy-dataset
+    0-epoch training to set composition/scaling) -- here the extracted
+    baselines/scale are written directly as fixed weights.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.target_info import DatasetInfo, get_energy_target_info
+    from ..models.composition import CompositionModel
+    from ..models.mace import MACE
+    from ..models.scaler import Scaler
+
+    state = load_mace_foundation_state(path)
+    cfg = _config_from_state(state)
+
+    # reference: get_mace_head_index resolves the head by name; without
+    # the live module only index resolution is possible -- "default"
+    # maps to 0, "mp"/"omat" style names error clearly on multi-head
+    if cfg["n_heads"] > 1 and head_name not in ("default", "0"):
+        try:
+            head_index = int(head_name)
+        except ValueError:
+            raise ValueError(
+                f"multi-head foundation model ({cfg['n_heads']} heads): "
+                "pass the head INDEX (the stubbed pickle does not retain "
+                "head names)"
+            )
+    else:
+        head_index = 0
+
+    baseline, scale = extract_baseline_and_scale(state, head_index)
+
+    atomic_types = sorted(cfg["atomic_numbers"])
+    dataset_info = DatasetInfo(
+        length_unit=length_unit,
+        atomic_types=atomic_types,
+        targets={
+            target_name: get_energy_target_info(
+                target_unit, add_position_gradients=True
+            )
+        },
+    )
+
+    hypers = {
+        "cutoff": cfg["r_max"],
+        "num_radial": cfg["num_radial"],
+        "max_ell": cfg["max_ell"],
+        "num_channels": min(cfg["num_channels"], 128),
+        "num_interactions": cfg["num_interactions"],
+        "correlation": cfg["correlation"],
+    }
+    model = MACE(hypers, dataset_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # species embedding: the one interior tensor with an exact native
+    # counterpart (linear on one-hot == embedding table). e3nn stores a
+    # flat (n_species * C) weight, species-major.
+    emb = state.get("node_embedding.linear.weight")
+    if emb is not None:
+        n_species = len(atomic_types)
+        table = np.asarray(emb, np.float32).reshape(n_species, -1)
+        # mace-torch species order == sorted atomic numbers (one-hot
+        # built from argsorted atomic_numbers); ours is sorted too
+        order = np.argsort(cfg["atomic_numbers"])
+        table = table[order]
+        C = model.hypers["num_channels"]
+        if table.shape[1] >= C:
+            emb_path = ("params", "species_embedding", "embedding")
+            tree = params
+            for key in emb_path[:-1]:
+                tree = tree[key]
+            tree[emb_path[-1]] = jnp.asarray(table[:, :C])
+
+    ckpt_dataset_info = dataset_info.to_dict()
+
+    composition_ckpt = {
+        "architecture_name": "composition",
+        "model_ckpt_version": CompositionModel.__checkpoint_version__,
+        "hypers": {},
+        "dataset_info": ckpt_dataset_info,
+        "weights": {
+            target_name: (
+                np.asarray(baseline, np.float64)[
+                    np.argsort(cfg["atomic_numbers"])
+                ].reshape(-1, 1)
+                if baseline is not None
+                else np.zeros((len(atomic_types), 1))
+            )
+        },
+    }
+
+    scaler_template = Scaler({}, dataset_info)
+    scales = {
+        name: [np.full(b.shape, scale) for b in blocks]
+        for name, blocks in scaler_template.scales.items()
+    }
+    per_target = {
+        name: np.full((v.shape[0],), scale)
+        for name, v in scaler_template.per_target.items()
+    }
+    scaler_ckpt = {
+        "architecture_name": "scaler",
+        "model_ckpt_version": Scaler.__checkpoint_version__,
+        "hypers": {},
+        "dataset_info": ckpt_dataset_info,
+        "scales": scales,
+        "per_target": per_target,
+    }
+
+    # baselines the trainer must keep FIXED when finetuning (reference
+    # get_fixed_composition_weights / get_fixed_scaling_weights)
+    fixed_composition = (
+        {
+            target_name: {
+                int(z): float(v)
+                for z, v in zip(cfg["atomic_numbers"], baseline)
+            }
+        }
+        if baseline is not None
+        else {}
+    )
+    fixed_scaling = {target_name: scale} if scale != 1.0 else {}
+
+    return {
+        "architecture_name": "experimental.mace",
+        "model_ckpt_version": MACE.__checkpoint_version__,
+        "hypers": dict(model.hypers),
+        "dataset_info": ckpt_dataset_info,
+        "params": params,
+        "composition": composition_ckpt,
+        "scaler": scaler_ckpt,
+        "fixed_composition_weights": fixed_composition,
+        "fixed_scaling_weights": fixed_scaling,
+        # complete original tensor inventory: nothing from the foundation
+        # file is dropped; a future basis-transplant (requires mace-torch
+        # to validate) can consume it without re-reading the .pt
+        "foundation_state": {
+            k: v for k, v in state.items()
+        },
+        "foundation_config": cfg,
+    }

@@ -137,6 +137,21 @@ class AtomisticNNModel(ModelInterface):
         self.composition = CompositionModel({}, dataset_info)
         self.scaler = Scaler({}, dataset_info)
         self.zbl = None  # set by subclass when hypers["zbl"]
+        # fixed baselines carried by the model itself (foundation-model
+        # imports): consumed by the trainer unless the user overrides
+        # (reference ``get_fixed_composition_weights``,
+        # ``experimental/mace/model.py:785-826``)
+        self._fixed_composition_weights: Dict[str, Any] = {}
+        self._fixed_scaling_weights: Dict[str, Any] = {}
+
+    def get_fixed_composition_weights(self) -> Dict[str, Any]:
+        """``{target: {Z: baseline}}`` the trainer must treat as fixed
+        (not refit). Populated by foundation-model imports."""
+        return self._fixed_composition_weights
+
+    def get_fixed_scaling_weights(self) -> Dict[str, Any]:
+        """``{target: scale | {Z: scale}}`` fixed scaling weights."""
+        return self._fixed_scaling_weights
 
     # -- to implement in subclasses ---------------------------------------
 
@@ -477,7 +492,7 @@ class AtomisticNNModel(ModelInterface):
     # -- checkpointing ----------------------------------------------------------------
 
     def get_checkpoint(self) -> Dict[str, Any]:
-        return {
+        checkpoint = {
             "architecture_name": self.ARCHITECTURE_NAME,
             "model_ckpt_version": self.__checkpoint_version__,
             "hypers": copy.deepcopy(dict(self.hypers)),
@@ -486,6 +501,17 @@ class AtomisticNNModel(ModelInterface):
             "composition": self.composition.get_checkpoint(),
             "scaler": self.scaler.get_checkpoint(),
         }
+        # conditional keys: only foundation-model imports carry fixed
+        # baselines (keeps the frozen corpus structure stable)
+        if self._fixed_composition_weights:
+            checkpoint["fixed_composition_weights"] = copy.deepcopy(
+                self._fixed_composition_weights
+            )
+        if self._fixed_scaling_weights:
+            checkpoint["fixed_scaling_weights"] = copy.deepcopy(
+                self._fixed_scaling_weights
+            )
+        return checkpoint
 
     @classmethod
     def load_checkpoint(
@@ -500,6 +526,12 @@ class AtomisticNNModel(ModelInterface):
             checkpoint["composition"]
         )
         model.scaler = Scaler.load_checkpoint(checkpoint["scaler"])
+        model._fixed_composition_weights = copy.deepcopy(
+            checkpoint.get("fixed_composition_weights", {})
+        )
+        model._fixed_scaling_weights = copy.deepcopy(
+            checkpoint.get("fixed_scaling_weights", {})
+        )
         return model
 
     def restart(self, dataset_info: DatasetInfo):

@@ -201,33 +201,147 @@ def _band_dma(x_hbm, band, sems, slot, gi, *, A, BA, mg, W, G, start, ext=False)
             )
 
 
+def _roll_chunk_dma(x_hbm, band2, sems, c, *, A, BA, mg, NR, start):
+    """Start (or wait for) the DMA of stream chunk ``c`` into the rolling
+    ring buffer.
+
+    The band stream is the linear row sequence s in [0, A + 2*mg) with
+    physical source row (s - mg) mod A; chunk c covers stream rows
+    [c*BA, (c+1)*BA). Ring slot rho = (c mod NR) * BA; every chunk is
+    written TWICE (at rho and rho + R, R = NR*BA) so any W-wide window
+    read [phi, phi + W) with phi in [0, R) is contiguous.
+
+    At most two chunk indices straddle a physical boundary (stream rows
+    mg and A + mg); their split sizes are trace-time constants, so each
+    gets its own ``pl.when`` branch (DMA sizes must be static).
+    """
+    R = NR * BA
+    c = jnp.asarray(c, jnp.int32)
+    rho = jax.lax.rem(c, jnp.asarray(NR, jnp.int32)) * BA
+
+    def act(copy):
+        copy.start() if start else copy.wait()
+
+    # boundary-straddling chunk indices (static): stream row mg inside
+    # chunk c_lo, stream row A + mg inside chunk c_hi
+    split_chunks = []
+    if mg % BA:
+        c_lo = mg // BA
+        s1 = mg - c_lo * BA  # rows from the top end [A - s1, A)
+        split_chunks.append((c_lo, s1))
+        c_hi = (A + mg) // BA
+        t1 = A + mg - c_hi * BA  # rows up to A, then wrap to [0, BA - t1)
+        if c_hi != c_lo:
+            split_chunks.append((c_hi, t1))
+    is_split = jnp.zeros((), jnp.bool_)
+    for cs, _ in split_chunks:
+        is_split = jnp.logical_or(is_split, c == cs)
+
+    @pl.when(jnp.logical_not(is_split))
+    def _():
+        p0 = jax.lax.rem(c * BA - mg + A, jnp.asarray(A, jnp.int32))
+        p0 = pl.multiple_of(p0, 8)
+        for k, dst0 in enumerate((rho, rho + R)):
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(p0, BA), :],
+                    band2.at[:, pl.ds(pl.multiple_of(dst0, 8), BA), :],
+                    sems.at[jax.lax.rem(c, jnp.asarray(NR, jnp.int32)), k],
+                )
+            )
+
+    for cs, s1 in split_chunks:
+
+        @pl.when(c == cs)
+        def _(cs=cs, s1=s1):
+            # stream [cs*BA, cs*BA + s1) = physical [A - s1, A);
+            # remainder wraps to [0, BA - s1)
+            for k, dst0 in enumerate((rho, rho + R)):
+                act(
+                    pltpu.make_async_copy(
+                        x_hbm.at[:, pl.ds(A - s1, s1), :],
+                        band2.at[:, pl.ds(pl.multiple_of(dst0, 8), s1), :],
+                        sems.at[
+                            jax.lax.rem(c, jnp.asarray(NR, jnp.int32)), k
+                        ],
+                    )
+                )
+                act(
+                    pltpu.make_async_copy(
+                        x_hbm.at[:, pl.ds(0, BA - s1), :],
+                        band2.at[:, pl.ds(dst0 + s1, BA - s1), :],
+                        sems.at[
+                            jax.lax.rem(c, jnp.asarray(NR, jnp.int32)), 2 + k
+                        ],
+                    )
+                )
+
+
 def _kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
-    *, A, M, D, W, mg, BA, K, ext,
+    *, A, M, D, W, mg, BA, K, ext, roll=False,
 ):
     g = pl.program_id(0)
     G = pl.num_programs(0)
-    dma = functools.partial(
-        _band_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, W=W, G=G, ext=ext
-    )
 
-    @pl.when(g == 0)
-    def _():
-        dma(0, 0, start=True)
+    if roll:
+        # rolling ring buffer: one (M, BA, D) chunk DMA per step instead
+        # of re-reading the whole (M, W, D) window -- band HBM traffic
+        # drops by the W/BA overlap factor (~8x at bench geometry)
+        NC = W // BA  # chunks per window
+        NR = NC + 1  # ring slots (one extra so the next-step prefetch
+        # never lands on a slot this step still reads)
+        nchunks = G + 2 * mg // BA
+        dma = functools.partial(
+            _roll_chunk_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, NR=NR
+        )
 
-    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
-    dma(slot, g, start=False)
+        @pl.when(g == 0)
+        def _():
+            for c in range(NC):
+                dma(c, start=True)
 
-    @pl.when(g + 1 < G)
-    def _():
-        dma(1 - slot, g + 1, start=True)
+        # prefetch the chunk step g+1 needs; its ring slot held chunk
+        # g-1, which this step's window [g, g+NC) does not read
+        @pl.when(g + NC < nchunks)
+        def _():
+            dma(g + NC, start=True)
+
+        @pl.when(g == 0)
+        def _():
+            for c in range(NC - 1):
+                dma(c, start=False)
+
+        dma(g + NC - 1, start=False)
+
+        R = NR * BA
+        phi = jax.lax.rem(g, jnp.asarray(NR, jnp.int32)) * BA
+        phi = pl.multiple_of(phi, 8)
+        window = band.at[:, pl.ds(phi, W), :]  # (M, W, D) view
+    else:
+        dma = functools.partial(
+            _band_dma, x_hbm, band, sems, A=A, BA=BA, mg=mg, W=W, G=G,
+            ext=ext,
+        )
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0, start=True)
+
+        slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+        dma(slot, g, start=False)
+
+        @pl.when(g + 1 < G)
+        def _():
+            dma(1 - slot, g + 1, start=True)
+
+        window = band.at[slot]  # (M, W, D) view of the active buffer
 
     l = local_band_index(idx_ref[:], g * BA, mg, A, W)  # (BA, M)
     l = jnp.clip(l, 0, W - 1)
     lT = jnp.swapaxes(l, 0, 1)  # (M, BA)
 
     dtype = out_ref.dtype
-    band_slot = band.at[slot]  # (M, W, D) ref view of the active buffer
     chunks = []
     for c0 in range(0, M, _COLOR_CHUNK):
         c1 = min(c0 + _COLOR_CHUNK, M)
@@ -238,7 +352,7 @@ def _kernel(
         onehot = (cmp == lc[:, :, None]).astype(dtype)
         res = jax.lax.dot_general(
             onehot,
-            band_slot[c0:c1],
+            window[c0:c1],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (chunk, BA, D)
@@ -288,10 +402,21 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
     # start, see ``_band_dma``). ``MTT_COLOR_EXT=1`` selects the
     # extended-copy layout (A/B knob): every block's band is one plain
     # contiguous slab of an (M, A+2*mg, D) extended copy of the array.
+    # ``MTT_COLOR_ROLL=1`` selects the rolling ring-buffer layout: the
+    # band advances by one (M, BA, D) chunk DMA per block instead of
+    # re-reading the whole (M, W, D) window, cutting band HBM traffic by
+    # the W/BA overlap factor (~8x at bench geometry). Needs W % BA == 0
+    # (true for all BAND_BUCKETS: BA and mg are multiples of 128).
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
-    use_ext = os.environ.get("MTT_COLOR_EXT", "0") != "0"
+    use_roll = (
+        os.environ.get("MTT_COLOR_ROLL", "0") != "0" and W % BA == 0
+    )
+    use_ext = (
+        not use_roll and os.environ.get("MTT_COLOR_EXT", "0") != "0"
+    )
     if use_ext:
         xT = jnp.concatenate([xT[:, A - mg :], xT, xT[:, :mg]], axis=1)
+    NR = W // BA + 1
 
     # patch values for the in-kernel fixup: a tiny XLA row gather
     if K:
@@ -303,7 +428,8 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K, ext=use_ext
+            _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K, ext=use_ext,
+            roll=use_roll,
         ),
         grid=(G,),
         in_specs=[
@@ -320,10 +446,17 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
             (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, M, W, D), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((M, 2 * NR * BA, D), x.dtype),
+                pltpu.SemaphoreType.DMA((NR, 4)),
+            ]
+            if use_roll
+            else [
+                pltpu.VMEM((2, M, W, D), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024,

@@ -113,11 +113,17 @@ def test_colored_layout_invariants(colored_batch):
     assert batch.nbr_fixup_src.shape == batch.nbr_fixup_dst.shape
 
 
-@pytest.mark.parametrize("ext", ["0", "1"])
-def test_kernel_matches_flat_gather_bitwise(colored_batch, ext, monkeypatch):
-    # both band layouts (wrap-aware DMAs and extended HBM copy) are live
-    # configurations: bench.py A/Bs them on hardware
+@pytest.mark.parametrize(
+    "ext,roll", [("0", "0"), ("1", "0"), ("0", "1")]
+)
+def test_kernel_matches_flat_gather_bitwise(
+    colored_batch, ext, roll, monkeypatch
+):
+    # all three band layouts (wrap-aware DMAs, extended HBM copy, and the
+    # rolling ring buffer) are live configurations: bench.py A/Bs them on
+    # hardware
     monkeypatch.setenv("MTT_COLOR_EXT", ext)
+    monkeypatch.setenv("MTT_COLOR_ROLL", roll)
     from metatrain_tpu.ops.pallas.color_gather import _kernel_impl
 
     _, _, batch = colored_batch
