@@ -86,6 +86,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="unix socket: a path, or a bare name for /tmp/ipi_<NAME>",
     )
 
+    serve = sub.add_parser(
+        "serve",
+        help="socket force server for MD-engine coupling (LAMMPS fix "
+        "external adapter in examples/lammps/)",
+    )
+    serve.add_argument("model", help="exported .mtt file or checkpoint")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=31415)
+    serve.add_argument(
+        "--unix", default=None, metavar="PATH", help="unix socket path"
+    )
+    serve.add_argument(
+        "--persist",
+        action="store_true",
+        help="keep listening after a client disconnects",
+    )
+
     defaults = sub.add_parser(
         "defaults",
         help="print an architecture's default hypers as an options-file "
@@ -230,6 +247,16 @@ def main(argv=None) -> int:
                     port=args.port,
                     unixsocket=args.unix,
                     pbc=template.pbc,
+                )
+            elif args.command == "serve":
+                from .serve import run_server
+
+                run_server(
+                    args.model,
+                    unix=args.unix,
+                    host=args.host,
+                    port=args.port,
+                    persist=args.persist,
                 )
             elif args.command == "defaults":
                 import yaml
