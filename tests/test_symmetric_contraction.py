@@ -69,7 +69,9 @@ def test_path_counts_nu2_lmax1():
 
 def test_hand_computed_nu2_scalar():
     """nu=2, lmax=1, L=0: the two paths span {a0^2, |a_vec|^2}; check the
-    evaluated contraction against a direct construction from the U rows."""
+    coupling tensors of those invariants lie in the span of the U rows
+    (direct orthogonal projection), and that the evaluated contraction
+    matches a direct einsum over U."""
     lmax, L, nu = 1, 0, 2
     U = u_matrix(lmax, L, nu)  # (4, 4, 2, 1)
     a = np.array([0.7, -0.3, 1.1, 0.4])  # (a0, a_{m=-1,0,1})
@@ -77,15 +79,17 @@ def test_hand_computed_nu2_scalar():
     # direct: B_eta = sum_{d1 d2} U[d1, d2, eta, 0] a_d1 a_d2
     B_direct = np.einsum("pqe,p,q->e", U[:, :, :, 0], a, a)
 
-    # the span must contain a0^2 and |vec|^2 exactly
-    M = np.stack([B_direct, [a[0] ** 2, a[1:] @ a[1:]]])
-    coef, res, *_ = np.linalg.lstsq(
-        np.einsum("pqe->epq", U[:, :, :, 0]).reshape(2, -1).T,
-        np.outer(a, a).reshape(-1),
-        rcond=None,
-    )
-    recon = B_direct @ coef
-    np.testing.assert_allclose(recon, a @ a, atol=1e-10)
+    # span membership: the coupling matrices of a0^2 (E_00) and |a_vec|^2
+    # (identity on the l=1 block) must project losslessly onto the
+    # orthonormal U rows.
+    rows = np.einsum("pqe->epq", U[:, :, :, 0]).reshape(2, -1)  # (P, 16)
+    T_scalar = np.zeros((4, 4))
+    T_scalar[0, 0] = 1.0
+    T_vec = np.diag([0.0, 1.0, 1.0, 1.0])
+    for T in (T_scalar, T_vec):
+        t = T.reshape(-1)
+        proj = rows.T @ (rows @ t)
+        assert np.abs(proj - t).max() < 1e-12
 
     # evaluated through contract_symmetric with unit weights
     A = jnp.asarray(a, jnp.float64).reshape(1, 1, 4)
@@ -171,12 +175,13 @@ def test_completeness_vs_iterated_cg_nu2(L):
                 [np.einsum("p,q,pqm->m", block(a, l1), block(a, l2), cg)
                  for a in As]
             )  # (S, M)
+            # B is (S, P, M); the linear system is over (sample, m) rows,
+            # so transpose to (S, M, P) before flattening.
+            B_mat = B.transpose(0, 2, 1).reshape(n_samples * (2 * L + 1), P)
             coef, *_ = np.linalg.lstsq(
-                B.reshape(n_samples * (2 * L + 1), P),
-                target.reshape(-1),
-                rcond=None,
+                B_mat, target.reshape(-1), rcond=None
             )
-            recon = B.reshape(-1, P) @ coef
+            recon = B_mat @ coef
             resid = np.abs(recon - target.reshape(-1)).max()
             assert resid < 1e-8, (l1, l2, L, resid)
 
