@@ -88,6 +88,7 @@ def main():
     # "pinned" escape hatch below while still guarding unset environments.
     os.environ.setdefault("MTT_QSIDE", "1")
     os.environ.setdefault("MTT_COLOR_EXT", "0")
+    os.environ.setdefault("MTT_COLOR_ROLL", "0")
     model = PET({}, dataset_info, compute_dtype=compute_dtype)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -178,7 +179,8 @@ def main():
     # across candidates otherwise)
     VALIDATED = (
         "qside+ext",
-        {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_INT8_SCORES": "0"},
+        {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_COLOR_ROLL": "0",
+         "MTT_INT8_SCORES": "0"},
     )  # r2 driver A/B winner (62.7 ms)
     # int8 score configs were A/B'd on-chip (2026-08, v5e) and LOST by
     # ~2-4 ms (quantize+expand VPU overhead exceeds the in-kernel int8
@@ -186,10 +188,15 @@ def main():
     # qside+ext 68.4, qside+wrap+i8 68.6 vs qside+wrap 66.6. The code
     # path stays (MTT_INT8_SCORES=1) but is not A/B'd every run.
     candidates = [
+        ("qside+roll",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "1",
+          "MTT_INT8_SCORES": "0"}),
         ("qside+wrap",
-         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_INT8_SCORES": "0"}),
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0"}),
         ("kq+wrap",
-         {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0", "MTT_INT8_SCORES": "0"}),
+         {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0"}),
         VALIDATED,
     ]
     if os.environ.get("MTT_BENCH_AB", "1") == "0":  # pinned-config escape

@@ -26,7 +26,12 @@ from typing import Dict, Optional
 logger = logging.getLogger(__name__)
 
 #: knobs the bench A/Bs; anything else in a cache entry is ignored
-TUNED_KNOBS = ("MTT_QSIDE", "MTT_COLOR_EXT", "MTT_INT8_SCORES")
+TUNED_KNOBS = (
+    "MTT_QSIDE",
+    "MTT_COLOR_EXT",
+    "MTT_COLOR_ROLL",
+    "MTT_INT8_SCORES",
+)
 
 
 def cache_path() -> Path:
