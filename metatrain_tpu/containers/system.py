@@ -76,6 +76,11 @@ class NeighborData:
     mask: np.ndarray  # (n_atoms, max_nbrs) bool
     reverse: np.ndarray  # (n_atoms, max_nbrs) int32 flat index of the ji edge
     colored: bool = False
+    #: sigma-paired slot groups of the grouped-window colored layout
+    #: ((base, cap, delta, width, pair), ...) or None (see
+    #: ops/neighbors._grouped_slots); the batch extends the last
+    #: (overflow) group over the reserved always-masked bucket slots
+    color_groups: Optional[tuple] = None
 
     @property
     def max_neighbors(self) -> int:
@@ -170,6 +175,7 @@ class SystemBatch:
         nbr_fixup_src: Optional[Array] = None,
         nbr_fixup_dst: Optional[Array] = None,
         color_band: int = 0,
+        color_groups: tuple = (),
     ):
         self.positions = positions
         self.types = types
@@ -186,6 +192,7 @@ class SystemBatch:
         self.nbr_fixup_src = empty if nbr_fixup_src is None else nbr_fixup_src
         self.nbr_fixup_dst = empty if nbr_fixup_dst is None else nbr_fixup_dst
         self.color_band = int(color_band)
+        self.color_groups = tuple(color_groups)
         self.extra = dict(extra or {})
 
     # -- pytree ------------------------------------------------------------
@@ -211,15 +218,16 @@ class SystemBatch:
         children = tuple(getattr(self, f) for f in self._FIELDS) + tuple(
             self.extra[k] for k in extra_keys
         )
-        return children, (extra_keys, self.color_band)
+        return children, (extra_keys, self.color_band, self.color_groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        extra_keys, color_band = aux
+        extra_keys, color_band, color_groups = aux
         obj = object.__new__(cls)
         for name, child in zip(cls._FIELDS, children[: len(cls._FIELDS)]):
             setattr(obj, name, child)
         obj.color_band = color_band
+        obj.color_groups = color_groups
         obj.extra = dict(zip(extra_keys, children[len(cls._FIELDS):]))
         return obj
 
@@ -230,6 +238,7 @@ class SystemBatch:
         for name in self._FIELDS:
             setattr(new, name, updates.pop(name, getattr(self, name)))
         new.color_band = updates.pop("color_band", self.color_band)
+        new.color_groups = updates.pop("color_groups", self.color_groups)
         new.extra = updates.pop("extra", dict(self.extra))
         if updates:
             raise TypeError(f"unknown fields {sorted(updates)}")
@@ -425,6 +434,95 @@ def colored_fixups(
     return band, src, dst
 
 
+def grouped_fixups(
+    nbr_indices: np.ndarray,
+    nbr_reverse: np.ndarray,
+    nbr_mask: np.ndarray,
+    groups: tuple,
+    feature_dim: int = 128,
+) -> Tuple[tuple, np.ndarray, np.ndarray]:
+    """Per-block fixup lists for the grouped-window colored kernel.
+
+    Host-side mirror of ``ops/pallas/color_gather._grouped_kernel``: a
+    row (a, m) with m in group g (slot index k = m - base_g) is
+    kernel-servable iff its reversal lands at the sigma-paired slot
+    (``reverse == indices * M + pair_base_g + k``) AND the matched atom
+    lies in the group's circular window of a's block. Masked rows of
+    non-self-paired groups are DON'T-CARE (the kernel emits unspecified
+    values there; consumers mask them and their cotangents are exactly
+    zero), so they stay off the fixup lists; masked rows of self-paired
+    groups self-serve exactly. Everything else is patched in-kernel from
+    the fixup lists, exactly as in :func:`colored_fixups`.
+
+    Returns ``(groups, fixup_src, fixup_dst)``, or ``((), empty, empty)``
+    when the plain gather is modeled faster (the caller falls back).
+    """
+    from ..ops.pallas.color_gather import (
+        GATHER_SECONDS_PER_ROW,
+        MATMUL_FLOPS_PER_SECOND,
+        grouped_geometry,
+    )
+
+    A, M = nbr_indices.shape
+    empty = np.zeros((0, 0), np.int32)
+    geom = grouped_geometry(A, groups, M)
+    if geom is None:
+        return (), empty, empty
+    BA, _ = geom
+    G = A // BA
+
+    nbr = nbr_indices.astype(np.int64)
+    m_idx = np.arange(M, dtype=np.int64)[None, :]
+    a_idx = np.arange(A, dtype=np.int64)[:, None]
+    blk0 = (a_idx // BA) * BA
+
+    sigma = np.empty(M, dtype=np.int64)
+    delta_of = np.empty(M, dtype=np.int64)
+    width_of = np.empty(M, dtype=np.int64)
+    selfpaired = np.empty(M, dtype=bool)
+    for gi, (base, cap, delta, width, pair) in enumerate(groups):
+        sl = slice(base, base + cap)
+        sigma[sl] = groups[pair][0] + np.arange(cap)
+        delta_of[sl] = delta
+        width_of[sl] = width
+        selfpaired[sl] = pair == gi
+
+    slot_ok = nbr_reverse.astype(np.int64) == nbr * M + sigma[None, :]
+    l = (nbr - blk0 - delta_of[None, :] + width_of[None, :]) % A
+    in_window = l < BA + 2 * width_of[None, :]
+    servable = slot_ok & in_window
+    dont_care = (~np.asarray(nbr_mask, bool)) & (~selfpaired[None, :])
+    bad = ~(servable | dont_care)
+
+    rows = np.nonzero(bad.reshape(-1))[0]
+    blocks = rows // (BA * M)
+    K = _fixup_width(blocks, G)
+
+    # cost vs the plain XLA gather (same constants as colored_fixups)
+    row_cost = sum(
+        cap * (BA + 2 * width) for (_, cap, _, width, _) in groups
+    )
+    cost = (
+        2.0 * BA * feature_dim * (row_cost + M * K) * G
+        / MATMUL_FLOPS_PER_SECOND
+        + G * K * GATHER_SECONDS_PER_ROW
+    )
+    if cost >= A * M * GATHER_SECONDS_PER_ROW:
+        return (), empty, empty
+
+    src = np.zeros((G, max(K, 0)), dtype=np.int32)
+    dst = np.full((G, max(K, 0)), -1, dtype=np.int32)
+    if K:
+        a = rows // M
+        m = rows % M
+        counts = np.bincount(blocks, minlength=G)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        k = np.arange(len(rows), dtype=np.int64) - starts[blocks]
+        src[blocks, k] = nbr_reverse.reshape(-1)[rows]
+        dst[blocks, k] = m * BA + (a - blocks * BA)
+    return tuple(groups), src, dst
+
+
 def _fixup_width(blocks: np.ndarray, n_blocks: int) -> int:
     """Bucketed per-block fixup list width: the max per-block count,
     rounded up to a lane multiple so the in-kernel one-hot matmul stays
@@ -560,14 +658,30 @@ def batch_from_systems(
         extra[key] = arr
 
     color_band = 0
+    color_groups: tuple = ()
     fixup_src = fixup_dst = np.zeros((0,), np.int32)
     if systems and all(n.colored for n in neighbors):
         from ..ops.pallas.color_gather import MIN_ROWS
 
         if A * M >= MIN_ROWS:
-            color_band, fixup_src, fixup_dst = colored_fixups(
-                nbr_indices, nbr_reverse
-            )
+            nl_groups = neighbors[0].color_groups
+            if len(systems) == 1 and nl_groups:
+                # extend the last (wide self-paired) group over the
+                # reserved always-masked bucket slots so the groups
+                # partition the batch width exactly
+                width_total = sum(g[1] for g in nl_groups)
+                last = nl_groups[-1]
+                padded = nl_groups[:-1] + (
+                    (last[0], last[1] + (M - width_total), last[2],
+                     last[3], last[4]),
+                )
+                color_groups, fixup_src, fixup_dst = grouped_fixups(
+                    nbr_indices, nbr_reverse, nbr_mask, padded
+                )
+            if not color_groups:
+                color_band, fixup_src, fixup_dst = colored_fixups(
+                    nbr_indices, nbr_reverse
+                )
 
     def dev(x, dt=None):
         return jnp.asarray(x, dtype=dt)
@@ -588,6 +702,7 @@ def batch_from_systems(
         nbr_fixup_src=dev(fixup_src),
         nbr_fixup_dst=dev(fixup_dst),
         color_band=color_band,
+        color_groups=color_groups,
     )
 
 

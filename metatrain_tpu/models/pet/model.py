@@ -182,9 +182,11 @@ class PET(AtomisticNNModel):
             "nbr_mask": batch.nbr_mask,
             "nbr_indices": batch.nbr_indices,
             "nbr_reverse": batch.nbr_reverse,
-            # colored reversed-edge kernel inputs (color_band == 0 when
-            # the batch was not built with the colored NEF layout)
+            # colored reversed-edge kernel inputs (color_band == 0 and
+            # color_groups == () when the batch was not built with the
+            # colored NEF layout)
             "color_band": batch.color_band,
+            "color_groups": batch.color_groups,
             "nbr_fixup_src": batch.nbr_fixup_src,
             "nbr_fixup_dst": batch.nbr_fixup_dst,
             "cutoff_factors": cutoff_factors,

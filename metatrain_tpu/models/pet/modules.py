@@ -526,7 +526,8 @@ def reverse_edges(edge_array, batch_data):
     """
     nbr_reverse = batch_data["nbr_reverse"]
     band = batch_data.get("color_band", 0)
-    if band and edge_array.ndim == 3:
+    groups = batch_data.get("color_groups", ())
+    if (band or groups) and edge_array.ndim == 3:
         from ...ops.pallas.color_gather import colored_permute
 
         return colored_permute(
@@ -536,6 +537,7 @@ def reverse_edges(edge_array, batch_data):
             batch_data["nbr_fixup_src"],
             batch_data["nbr_fixup_dst"],
             band=band,
+            groups=groups,
         )
     from ...ops.involution import permute_rows
 

@@ -96,6 +96,23 @@ def get_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    if hasattr(lib, "color_edges_grouped"):
+        lib.color_edges_grouped.restype = ctypes.c_longlong
+        lib.color_edges_grouped.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
     _LIB = lib
     return _LIB
 
@@ -163,6 +180,44 @@ def native_color_edges(
     if overflow < 0:
         return None
     return colors, int(overflow)
+
+
+def native_color_edges_grouped(
+    centers: np.ndarray,
+    neighbors: np.ndarray,
+    n_atoms: int,
+    group_base: np.ndarray,
+    group_cap: np.ndarray,
+    group_delta: np.ndarray,
+    group_width: np.ndarray,
+    group_pair: np.ndarray,
+    m_max: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Grouped sigma-paired slot assignment (C++ greedy + bipartite
+    Kempe chains) for the grouped-window colored layout. Returns
+    ``(slot_fwd, slot_rev, n_unassigned)`` -- the c->n / n->c NEF slots
+    per half-list edge, -1 for edges the caller must first-free-place
+    (kernel fixup rows) -- or None when the native library is
+    unavailable or the spec is invalid."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "color_edges_grouped"):
+        return None
+    centers = np.ascontiguousarray(centers, dtype=np.int32)
+    neighbors = np.ascontiguousarray(neighbors, dtype=np.int32)
+    gb = np.ascontiguousarray(group_base, dtype=np.int32)
+    gc = np.ascontiguousarray(group_cap, dtype=np.int32)
+    gd = np.ascontiguousarray(group_delta, dtype=np.int32)
+    gw = np.ascontiguousarray(group_width, dtype=np.int32)
+    gp = np.ascontiguousarray(group_pair, dtype=np.int32)
+    out_fwd = np.empty(len(centers), dtype=np.int32)
+    out_rev = np.empty(len(centers), dtype=np.int32)
+    n_un = lib.color_edges_grouped(
+        centers, neighbors, len(centers), int(n_atoms),
+        gb, gc, gd, gw, gp, len(gb), int(m_max), out_fwd, out_rev,
+    )
+    if n_un < 0:
+        return None
+    return out_fwd, out_rev, int(n_un)
 
 
 def native_pairs_to_nef(

@@ -10,9 +10,11 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC neighbors.cpp -o libneighbors.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -395,6 +397,262 @@ long long color_edges(const int32_t* centers, const int32_t* neighbors,
         set_color(e, x);
     }
     return overflow;
+}
+
+// Grouped sigma-paired slot assignment for the grouped-window colored
+// layout (ops/pallas/color_gather.py grouped path).
+//
+// Slots are partitioned into groups; group g has `cap[g]` slots starting
+// at `base[g]`, a signed circular window center `delta[g]` and half
+// width `width[g]` (atom-index units over the circular order of
+// n_atoms), and a mirror group `pair[g]` with delta[pair[g]] ==
+// -delta[g] (self-paired groups have pair[g] == g). An undirected edge
+// (c, n) with folded circular offset d = fold(n - c) matching group g
+// (|d - delta[g]| <= width[g]) is assigned a slot INDEX k < cap so that
+// the c->n direction occupies slot base[g] + k at c and the n->c
+// direction occupies base[pair[g]] + k at n. The device kernel then
+// serves the reversed-edge permutation for output slot base[g] + k of a
+// block of atoms from one contiguous window of color base[pair[g]] + k
+// at circular offset delta[g] -- per-group windows ~4x narrower than
+// the all-slots band.
+//
+// Greedy first-fit with Kempe-chain repair. For paired groups the
+// conflict structure is bipartite (an atom's g-side and pair-side slot
+// sets are disjoint), so the alternating-path flip always succeeds and
+// assignment reaches the per-atom capacity bound (Koenig); self-paired
+// groups use the same chains as color_edges (odd cycles rare). Edges
+// are assigned in three passes so outliers get overflow capacity before
+// group spill: (A) group-matching edges to their tight group, (B)
+// non-matching edges to self-paired wide groups, (C) spill to any group
+// whose window covers d. Unassigned edges get out_fwd/out_rev = -1
+// (caller falls back to first-free slots; those rows become kernel
+// fixups).
+//
+// Returns the number of unassigned edges, or -2 on a bad group spec.
+long long color_edges_grouped(
+    const int32_t* centers, const int32_t* neighbors, long long n_edges,
+    long long n_atoms, const int32_t* gbase, const int32_t* gcap,
+    const int32_t* gdelta, const int32_t* gwidth, const int32_t* gpair,
+    int n_groups, long long m_max, int32_t* out_fwd, int32_t* out_rev) {
+    if (n_groups < 1 || n_groups > 16 || n_atoms < 1) return -2;
+    for (int g = 0; g < n_groups; ++g) {
+        if (gcap[g] < 0 || gcap[g] > 64 || gbase[g] + gcap[g] > m_max)
+            return -2;
+        int p = gpair[g];
+        if (p < 0 || p >= n_groups || gpair[p] != g ||
+            gcap[p] != gcap[g] || gdelta[p] != -gdelta[g])
+            return -2;
+    }
+
+    // used[a * n_groups + g]: bitmask of occupied slot indices k within
+    // group g at atom a; at[g][a * cap + k]: edge occupying it, or -1.
+    std::vector<uint64_t> used((size_t)n_atoms * n_groups, 0);
+    std::vector<std::vector<long long>> at(n_groups);
+    for (int g = 0; g < n_groups; ++g)
+        at[g].assign((size_t)n_atoms * std::max(1, (int)gcap[g]), -1);
+
+    auto full = [&](int g) -> uint64_t {
+        return gcap[g] == 64 ? ~0ull : ((1ull << gcap[g]) - 1ull);
+    };
+    auto occupy = [&](long long e, int g, int k) {
+        const long long c = centers[e], n = neighbors[e];
+        const int gp = gpair[g];
+        used[(size_t)c * n_groups + g] |= 1ull << k;
+        used[(size_t)n * n_groups + gp] |= 1ull << k;
+        at[g][(size_t)c * gcap[g] + k] = e;
+        at[gp][(size_t)n * gcap[gp] + k] = e;
+        out_fwd[e] = gbase[g] + k;
+        out_rev[e] = gbase[gp] + k;
+    };
+    auto release = [&](long long e) {
+        // recover (g, k) from the stored slots
+        const long long c = centers[e], n = neighbors[e];
+        int g = -1, k = -1;
+        for (int gg = 0; gg < n_groups; ++gg) {
+            if (out_fwd[e] >= gbase[gg] &&
+                out_fwd[e] < gbase[gg] + gcap[gg]) {
+                g = gg;
+                k = out_fwd[e] - gbase[gg];
+                break;
+            }
+        }
+        const int gp = gpair[g];
+        used[(size_t)c * n_groups + g] &= ~(1ull << k);
+        used[(size_t)n * n_groups + gp] &= ~(1ull << k);
+        at[g][(size_t)c * gcap[g] + k] = -1;
+        at[gp][(size_t)n * gcap[gp] + k] = -1;
+        out_fwd[e] = -1;
+        out_rev[e] = -1;
+    };
+
+    auto fold = [&](long long diff) -> long long {
+        long long h = n_atoms / 2;
+        long long d = ((diff + h) % n_atoms + n_atoms) % n_atoms - h;
+        return d;
+    };
+    auto matches = [&](long long d, int g) -> bool {
+        long long lo = (long long)gdelta[g] - gwidth[g];
+        long long hi = (long long)gdelta[g] + gwidth[g];
+        return d >= lo && d <= hi;
+    };
+
+    // One alternating x/y chain attempt from n's pair-side, flipping
+    // slot indices; x never reaches c's g-side (x is free there), so
+    // the flip frees x at n. Bipartite pairs always terminate cleanly;
+    // self-paired groups may close a cycle on c (give up, rare).
+    auto try_chain = [&](long long e, int g, int x, int y) -> bool {
+        const long long c = centers[e], n = neighbors[e];
+        const int gp = gpair[g];
+        std::vector<long long> path;
+        long long v = n;
+        int vg = gp;  // v's side group
+        int want = x;
+        bool closed = false;
+        for (int steps = 0; steps < 256; ++steps) {
+            long long pe = at[vg][(size_t)v * gcap[vg] + want];
+            if (pe < 0) break;
+            path.push_back(pe);
+            // the other endpoint (endpoints of an edge always use
+            // mutually-paired groups with the same slot index)
+            long long u = (centers[pe] == v &&
+                           out_fwd[pe] == gbase[vg] + want)
+                              ? neighbors[pe]
+                              : centers[pe];
+            int ug = gpair[vg];
+            if (u == c && ug == g) { closed = true; break; }
+            v = u;
+            vg = ug;
+            want = (want == x) ? y : x;
+        }
+        if (closed || path.size() >= 256) return false;
+        // flip x<->y along the path
+        std::vector<std::pair<int, int>> repl(path.size());
+        for (size_t i = 0; i < path.size(); ++i) {
+            long long pe = path[i];
+            // pe currently uses index k_i in its group gi: recover from
+            // out_fwd (slot at centers[pe])
+            int gi = -1, ki = -1;
+            for (int gg = 0; gg < n_groups; ++gg) {
+                if (out_fwd[pe] >= gbase[gg] &&
+                    out_fwd[pe] < gbase[gg] + gcap[gg]) {
+                    gi = gg;
+                    ki = out_fwd[pe] - gbase[gg];
+                    break;
+                }
+            }
+            repl[i] = {gi, (ki == x) ? y : x};
+        }
+        for (long long pe : path) release(pe);
+        for (size_t i = 0; i < path.size(); ++i) {
+            long long pe = path[i];
+            int gi = repl[i].first, ki = repl[i].second;
+            uint64_t fc =
+                full(gi) & ~used[(size_t)centers[pe] * n_groups + gi];
+            uint64_t fn = full(gpair[gi]) &
+                          ~used[(size_t)neighbors[pe] * n_groups +
+                                gpair[gi]];
+            if (!((fc >> ki) & 1ull) || !((fn >> ki) & 1ull)) {
+                // should not happen on simple paths; re-seat greedily
+                uint64_t common2 = fc & fn;
+                if (!common2) return false;  // edges stay released: the
+                // caller re-checks out_fwd < 0 and counts them as
+                // unassigned -- safe (rows become fixups), never corrupt
+                ki = __builtin_ctzll(common2);
+            }
+            occupy(pe, gi, ki);
+        }
+        uint64_t fc2 = full(g) & ~used[(size_t)c * n_groups + g];
+        uint64_t fn2 = full(gp) & ~used[(size_t)n * n_groups + gp];
+        uint64_t common3 = fc2 & fn2;
+        if (!common3) return false;
+        occupy(e, g, __builtin_ctzll(common3));
+        return true;
+    };
+
+    // Try to place edge e in group g; Kempe-chain repair on conflict.
+    auto try_group = [&](long long e, int g) -> bool {
+        const long long c = centers[e], n = neighbors[e];
+        const int gp = gpair[g];
+        if (gcap[g] == 0) return false;
+        if (g == gp && c == n) return false;  // periodic self-image
+        uint64_t free_c = full(g) & ~used[(size_t)c * n_groups + g];
+        uint64_t free_n = full(gp) & ~used[(size_t)n * n_groups + gp];
+        if (!free_c || !free_n) return false;  // capacity-saturated
+        uint64_t common = free_c & free_n;
+        if (common) {
+            occupy(e, g, __builtin_ctzll(common));
+            return true;
+        }
+        // several (x, y) chain attempts: a chain can fail for one slot
+        // pair (odd cycle / re-seat clash) yet succeed for another
+        int tries = 0;
+        uint64_t fx = free_c;
+        while (fx && tries < 4) {
+            int x = __builtin_ctzll(fx);
+            fx &= fx - 1;
+            uint64_t fn_now = full(gp) & ~used[(size_t)n * n_groups + gp];
+            if (!fn_now) return false;
+            int y = __builtin_ctzll(fn_now);
+            if (try_chain(e, g, x, y)) return true;
+            if (out_fwd[e] >= 0) return true;  // re-seated mid-chain
+            // the chain may have released edges; stop if e's own free
+            // sets changed enough that a direct fit now exists
+            uint64_t fc_now =
+                full(g) & ~used[(size_t)c * n_groups + g];
+            fn_now = full(gp) & ~used[(size_t)n * n_groups + gp];
+            uint64_t common2 = fc_now & fn_now;
+            if (common2) {
+                occupy(e, g, __builtin_ctzll(common2));
+                return true;
+            }
+            ++tries;
+        }
+        return false;
+    };
+
+    std::vector<long long> d(n_edges);
+    std::vector<int> match(n_edges, -1);
+    for (long long e = 0; e < n_edges; ++e) {
+        out_fwd[e] = -1;
+        out_rev[e] = -1;
+        d[e] = fold((long long)neighbors[e] - centers[e]);
+        // first group whose window covers d, in spec order (host orders
+        // groups tightest-first, wide overflow last)
+        for (int g = 0; g < n_groups; ++g) {
+            if (matches(d[e], g)) { match[e] = g; break; }
+        }
+    }
+
+    long long unassigned = 0;
+    // pass A: tight-group edges (match != wide self-paired last group)
+    for (long long e = 0; e < n_edges; ++e) {
+        if (match[e] >= 0 && gpair[match[e]] != match[e])
+            try_group(e, match[e]);
+        else if (match[e] >= 0 && gwidth[match[e]] <= 256)
+            try_group(e, match[e]);
+    }
+    // pass B: edges whose ONLY match is a wide self-paired group
+    for (long long e = 0; e < n_edges; ++e) {
+        if (out_fwd[e] >= 0 || match[e] < 0) continue;
+        if (gpair[match[e]] == match[e] && gwidth[match[e]] > 256)
+            try_group(e, match[e]);
+    }
+    // pass C: spill -- any group whose window covers d; chains reshape
+    // the occupancy, so iterate to convergence (bounded)
+    for (int round = 0; round < 4; ++round) {
+        long long placed = 0;
+        for (long long e = 0; e < n_edges; ++e) {
+            if (out_fwd[e] >= 0) continue;
+            for (int g = 0; g < n_groups && out_fwd[e] < 0; ++g) {
+                if (matches(d[e], g)) try_group(e, g);
+            }
+            if (out_fwd[e] >= 0) ++placed;
+        }
+        if (!placed) break;
+    }
+    for (long long e = 0; e < n_edges; ++e)
+        if (out_fwd[e] < 0) ++unassigned;
+    return unassigned;
 }
 
 }  // extern "C"

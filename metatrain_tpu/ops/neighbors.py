@@ -346,8 +346,8 @@ def compute_neighbor_data(
             c, n, centers, len(system), max_neighbors
         )
         if slots_and_width is not None:
-            slots, width = slots_and_width
-            return pairs_to_nef(
+            slots, width, groups = slots_and_width
+            data = pairs_to_nef(
                 centers,
                 neighbors,
                 shifts,
@@ -357,6 +357,8 @@ def compute_neighbor_data(
                 slots=slots,
                 colored=True,
             )
+            data.color_groups = groups
+            return data
 
     return pairs_to_nef(
         centers, neighbors, shifts, len(system), max_neighbors, reverse_of
@@ -369,14 +371,18 @@ def _colored_slots(
     centers: np.ndarray,
     n_atoms: int,
     max_neighbors: Optional[int],
-) -> Optional[Tuple[np.ndarray, int]]:
-    """Per-directed-edge slot assignment from a proper edge coloring of
-    the half list (slot = color; overflow edges to first-free slots).
+) -> Optional[Tuple[np.ndarray, int, Optional[tuple]]]:
+    """Per-directed-edge slot assignment for the colored NEF layouts.
 
-    Returns ``(slots, width)`` for the mirrored full list
-    ``concat([c->n, n->c])``, or None when coloring is unavailable. The
-    usable width is ``bucket_neighbors(m_req) - 1``: the batch bucket
-    keeps its reserved always-masked last slot on top.
+    Tries the grouped sigma-paired layout first (per-group narrow
+    windows, ``_grouped_slots``); falls back to the plain proper edge
+    coloring (slot = color; overflow edges to first-free slots).
+
+    Returns ``(slots, width, groups)`` for the mirrored full list
+    ``concat([c->n, n->c])`` (``groups`` is None for the ungrouped
+    layout), or None when coloring is unavailable. The usable width is
+    ``bucket_neighbors(m_req) - 1``: the batch bucket keeps its reserved
+    always-masked last slot on top.
     """
     from ..containers.system import bucket_neighbors
     from ..native import native_color_edges
@@ -389,6 +395,11 @@ def _colored_slots(
         width = bucket_neighbors(m_req, 1.0) - 1
     if m_req > width or width > 64:
         return None
+
+    grouped = _grouped_slots(c, n, n_atoms, width)
+    if grouped is not None:
+        slots, groups = grouped
+        return slots, width, groups
 
     result = native_color_edges(c, n, n_atoms, width)
     if result is None:
@@ -406,7 +417,232 @@ def _colored_slots(
         free = np.nonzero(~used[a])[0]
         slots[e] = free[0]
         used[a, free[0]] = True
-    return slots, width
+    return slots, width, None
+
+
+#: grouped-layout discovery constants: per-group window half-width, the
+#: wide self-paired overflow width, and the gating thresholds
+_GROUP_W = 128
+_GROUP_WOV = 896
+_GROUP_MIN_ATOMS = 2048
+_GROUP_MIN_COVERAGE = 0.80
+_GROUP_MAX_UNASSIGNED = 0.05
+
+
+def _grouped_slots(
+    c: np.ndarray, n: np.ndarray, n_atoms: int, width: int
+) -> Optional[Tuple[np.ndarray, tuple]]:
+    """Discover sigma-paired slot groups and assign slots (C++ greedy +
+    bipartite Kempe chains, ``native/neighbors.cpp:color_edges_grouped``).
+
+    For spatially-ordered atoms the circular index offset of an edge's
+    partner clusters into a few modes (0 and +-(plane stride) for a 3D
+    crystal). Giving each mode its own slot group with a narrow window
+    (and a wide self-paired overflow group for the tail) cuts the
+    reversed-edge kernel's one-hot matmul width ~3x vs the single
+    all-slots band -- the permute is compute-bound, so this is the
+    dominant lever (STATUS.md r3 design, built r4).
+
+    Returns ``(slots_full, groups)`` with ``groups`` a tuple of
+    ``(base, cap, delta, width, pair)`` entries partitioning
+    ``[0, width)`` (the batch extends the last overflow group over its
+    reserved slot), or None when the layout does not apply (small
+    system, diffuse offsets, native library unavailable, or
+    ``MTT_COLOR_GROUPED=0``).
+    """
+    import os
+
+    mode = os.environ.get("MTT_COLOR_GROUPED", "auto")
+    if mode == "0":
+        return None
+    from ..native import native_color_edges_grouped
+
+    if len(c) == 0 or width > 64:
+        return None
+    if n_atoms < _GROUP_MIN_ATOMS and mode != "1":
+        return None
+    # circular metric of the KERNEL: the padded atom count (the MD/bench
+    # path pads to the next multiple of 256; a differently-padded batch
+    # only shifts seam-block rows onto the fixup lists)
+    A_pad = -(-n_atoms // 256) * 256
+    w = _GROUP_W
+
+    def fold(diff):
+        return (diff + A_pad // 2) % A_pad - A_pad // 2
+
+    d_half = fold(n.astype(np.int64) - c)
+    dd = np.concatenate([d_half, -d_half])
+    cen = np.concatenate([c, n])
+
+    # -- mode discovery: delta = 0 plus up to two symmetric pairs -------
+    deltas = [0]
+    covered = np.abs(dd) <= w
+    # a mode is worth its slots down to ~0.2% of edges: uncovered edges
+    # land on the fixup lists whose kernel cost is driven by the MAX
+    # per-block count, and residual modes cluster spatially
+    min_mode = max(64, int(0.002 * len(dd)))
+    for _ in range(2):
+        rest = dd[(~covered) & (dd > 0)]
+        if len(rest) < min_mode:
+            break
+        hist = np.bincount(rest // 16)
+        peak = int(np.argmax(hist)) * 16 + 8
+        delta = int(np.round(peak / 8.0)) * 8
+        if delta <= w:
+            break
+        newly = (np.abs(dd - delta) <= w) | (np.abs(dd + delta) <= w)
+        if int((newly & ~covered).sum()) < 2 * min_mode:
+            break
+        deltas.append(delta)
+        covered |= newly
+    if float(covered.mean()) < _GROUP_MIN_COVERAGE and mode != "1":
+        return None
+
+    # -- caps: cost-model sweep over per-atom demand histograms ---------
+    # demands[g] is a list of per-atom demand arrays (one for the
+    # self-paired center group, one per direction for +-delta pairs --
+    # each direction spills independently past the shared cap)
+    demands = [[np.bincount(cen[np.abs(dd) <= w], minlength=n_atoms)]]
+    for delta in deltas[1:]:
+        dp = np.bincount(cen[np.abs(dd - delta) <= w], minlength=n_atoms)
+        dm = np.bincount(cen[np.abs(dd + delta) <= w], minlength=n_atoms)
+        demands.append([dp, dm])
+    weights = [1] + [2] * (len(deltas) - 1)  # pair groups cost 2x slots
+    G_blocks = A_pad // 256
+    BA = 256
+
+    def used_slots(cp_list):
+        return sum(cp * wt for cp, wt in zip(cp_list, weights))
+
+    def build_spec(cp_list):
+        capov = width - used_slots(cp_list)
+        groups = []
+        base = 0
+        groups.append((base, cp_list[0], 0, w, 0))
+        base += cp_list[0]
+        for gi, delta in enumerate(deltas[1:], start=1):
+            if cp_list[gi] < 1:
+                return None
+            ip, im = len(groups), len(groups) + 1
+            groups.append((base, cp_list[gi], delta, w, im))
+            groups.append((base + cp_list[gi], cp_list[gi], -delta, w, ip))
+            base += 2 * cp_list[gi]
+        groups.append((base, capov, 0, _GROUP_WOV, len(groups)))
+        return tuple(groups)
+
+    # outliers (covered by no narrow window) can only go to overflow
+    out_demand = np.bincount(cen[~covered], minlength=n_atoms)
+    blk = np.minimum(np.arange(n_atoms) // BA, G_blocks - 1)
+
+    def modeled_cost(cp_list):
+        """Capacity model: per-atom spill beyond each cap, absorbed by
+        overflow up to its cap, the rest bucketed into per-block fixup
+        width K (the kernel's fixup matmul is paid at the MAX block)."""
+        capov = width - used_slots(cp_list)
+        if capov < 2:
+            return None
+        spill = out_demand.astype(np.int64).copy()
+        for dems, cp in zip(demands, cp_list):
+            for dem in dems:
+                spill += np.maximum(0, dem - cp)
+        fix = np.maximum(0, spill - capov)
+        per_block = np.bincount(blk, weights=fix, minlength=G_blocks)
+        K = int(-(-max(128, int(per_block.max())) // 128) * 128)
+        rows = (
+            sum(
+                cp * wt * (BA + 2 * w)
+                for cp, wt in zip(cp_list, weights)
+            )
+            + capov * (BA + 2 * _GROUP_WOV)
+        )
+        return 2.0 * BA * 128 * (rows + width * K) * G_blocks
+
+    # sweep cap allocations under the capacity model; C++-assign the
+    # best two (the sigma-pairing constraint adds failures the model
+    # does not see, so keep a runner-up)
+    maxes = [int(max(dem.max() for dem in dems)) for dems in demands]
+    offsets = (0, 1, 2, 3, 4, 6, 8, 10, 12)
+    ranges = [
+        sorted({max(1, m - off) for off in offsets}) for m in maxes
+    ]
+    import itertools
+
+    scored = []
+    for cp_list in itertools.product(*ranges):
+        cost = modeled_cost(list(cp_list))
+        if cost is not None:
+            scored.append((cost, list(cp_list)))
+    if not scored:
+        return None
+    scored.sort(key=lambda t: t[0])
+    candidates = [cp for _, cp in scored[:2]]
+
+    def run(cp_list):
+        spec = build_spec(cp_list)
+        if spec is None or any(g[1] < 1 for g in spec):
+            return None
+        gb = [g[0] for g in spec]
+        gc = [g[1] for g in spec]
+        gd = [g[2] for g in spec]
+        gw = [g[3] for g in spec]
+        gp = [g[4] for g in spec]
+        result = native_color_edges_grouped(
+            c, n, A_pad, gb, gc, gd, gw, gp, width
+        )
+        if result is None:
+            return None
+        fwd, rev, n_un = result
+        # modeled per-call cost (same constants as the device-side
+        # fixup builder): main matmul + in-kernel fixup matmul; K from
+        # the per-block max unassigned-row count (+1 bucket for seam
+        # rows the batch-time exact check may add)
+        bad_atoms = np.concatenate([c[fwd < 0], n[fwd < 0]])
+        per_block = (
+            np.bincount(
+                np.minimum(bad_atoms // BA, G_blocks - 1),
+                minlength=G_blocks,
+            )
+            if len(bad_atoms)
+            else np.zeros(1)
+        )
+        K = int(-(-max(128, int(per_block.max())) // 128) * 128)
+        rows = sum(cap * (BA + 2 * wd) for (_, cap, _, wd, _) in spec)
+        cost = 2.0 * BA * 128 * (rows + width * K) * G_blocks
+        return cost, spec, fwd, rev, n_un
+
+    runs = [r for r in (run(cp) for cp in candidates) if r is not None]
+    if not runs:
+        return None
+    runs.sort(key=lambda r: r[0])
+    cost, spec, fwd, rev, n_unassigned = runs[0]
+
+    # compare against the ungrouped banded layout (single window at the
+    # full cross-section spread): smallest band covering the offsets
+    spread = int(np.quantile(np.abs(dd), 0.999)) if len(dd) else 0
+    from ..ops.pallas.color_gather import BAND_BUCKETS
+
+    mg_un = next((b for b in BAND_BUCKETS if b >= spread), BAND_BUCKETS[-1])
+    cost_ungrouped = (
+        2.0 * BA * 128 * (width * (BA + 2 * mg_un) + width * 256) * G_blocks
+    )
+    if cost >= cost_ungrouped and mode != "1":
+        return None
+    if n_unassigned > _GROUP_MAX_UNASSIGNED * len(c) and mode != "1":
+        return None
+
+    # first-free fill for unassigned edges (their rows become kernel
+    # fixups), per direction independently
+    slots_full = np.concatenate([fwd, rev]).astype(np.int64)
+    if n_unassigned:
+        used = np.zeros((n_atoms, width), dtype=bool)
+        ok = slots_full >= 0
+        used[cen[ok], slots_full[ok]] = True
+        for e in np.nonzero(~ok)[0]:
+            a = cen[e]
+            free = np.nonzero(~used[a])[0]
+            slots_full[e] = free[0]
+            used[a, free[0]] = True
+    return slots_full, spec
 
 
 @dataclasses.dataclass

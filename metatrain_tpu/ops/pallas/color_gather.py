@@ -277,6 +277,211 @@ def _roll_chunk_dma(x_hbm, band2, sems, c, *, A, BA, mg, NR, start):
                 )
 
 
+def _grouped_kernel(
+    idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, *scratch,
+    A, M, D, BA, K, groups, mgx,
+):
+    """Grouped-window variant: slots are partitioned into sigma-paired
+    groups, each with its own (narrow) circular window at offset delta
+    -- the one-hot matmul width drops ~3x vs the all-slots band (the
+    permute is compute-bound: the r3 rolling-DMA A/B showed band HBM
+    traffic is already overlapped).
+
+    ``x_hbm`` is the (M, A + 2*mgx, D) extended color-major array, so
+    every group window is one contiguous static-size slab at a
+    statically-offset start. Output slot m = base_g + k of block i reads
+    color ``pair_base_g + k`` rows [i*BA + delta_g - w_g + mgx, + W_g):
+    the sigma pairing maps slot k of a group to slot k of its mirror
+    group, so the slab is contiguous in the color axis too.
+
+    Masked (padded) slots of non-self-paired groups carry unspecified
+    values (their reversal is not representable color-contiguously);
+    every consumer masks them (nbr_mask / cutoff factors) and their
+    cotangents are exactly zero, so autodiff through the involution
+    stays exact for real rows. Self-paired groups (including the wide
+    overflow group, which also holds the reserved always-masked batch
+    slot) serve masked rows their own value exactly, like the ungrouped
+    kernel.
+    """
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+    ngroups = len(groups)
+    bands = scratch[:ngroups]
+    sems = scratch[ngroups]
+
+    def dma(gi, block, slot, start):
+        base, cap, delta, width, pair = groups[gi]
+        W = BA + 2 * width
+        pair_base = groups[pair][0]
+        t0 = block * BA + (delta - width + mgx)
+        t0 = pl.multiple_of(t0, 8)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pair_base, cap), pl.ds(t0, W), :],
+            bands[gi].at[slot],
+            sems.at[gi, slot],
+        )
+        copy.start() if start else copy.wait()
+
+    @pl.when(g == 0)
+    def _():
+        for gi in range(ngroups):
+            dma(gi, 0, 0, start=True)
+
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+    for gi in range(ngroups):
+        dma(gi, g, slot, start=False)
+
+    @pl.when(g + 1 < G)
+    def _():
+        for gi in range(ngroups):
+            dma(gi, g + 1, 1 - slot, start=True)
+
+    dtype = out_ref.dtype
+    res_groups = []
+    for gi, (base, cap, delta, width, pair) in enumerate(groups):
+        W = BA + 2 * width
+        window = bands[gi].at[slot]  # (cap, W, D)
+        # local window row of the matched atom for this group's offset
+        idx_g = jax.lax.slice(idx_ref[:], (0, base), (BA, base + cap))
+        l = idx_g + (width - delta) - g * BA
+        l = jnp.where(l < 0, l + A, l)
+        l = jnp.where(l >= A, l - A, l)  # delta can push either way
+        l = jnp.clip(l, 0, W - 1)
+        lT = jnp.swapaxes(l, 0, 1)  # (cap, BA)
+        chunks = []
+        for c0 in range(0, cap, _COLOR_CHUNK):
+            c1 = min(c0 + _COLOR_CHUNK, cap)
+            cmp = jax.lax.broadcasted_iota(jnp.int32, (c1 - c0, BA, W), 2)
+            lc = jax.lax.slice(lT, (c0, 0), (c1, BA))
+            onehot = (cmp == lc[:, :, None]).astype(dtype)
+            res = jax.lax.dot_general(
+                onehot,
+                window[c0:c1],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            chunks.append(res.astype(dtype))
+        res_groups.append(jnp.concatenate(chunks, axis=0))
+    res_all = jnp.concatenate(res_groups, axis=0)  # (M, BA, D)
+
+    if K:
+        dst = dstloc_ref[0]  # (1, K) int32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (M * BA, K), 0)
+        onehot_fix = (rows == dst).astype(dtype)
+        keep = 1.0 - jnp.sum(
+            onehot_fix.astype(jnp.float32), axis=1, keepdims=True
+        ).astype(dtype)
+        corr = jax.lax.dot_general(
+            onehot_fix,
+            vals_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        res_flat = res_all.reshape(M * BA, D) * keep + corr
+        res_all = res_flat.reshape(M, BA, D)
+
+    out_ref[:] = jnp.swapaxes(res_all, 0, 1)
+
+
+def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[int, int]]:
+    """(BA, mgx) for the grouped kernel, or None if unsupported.
+
+    Requirements (shared with the host-side fixup detection): BA divides
+    A; group slots partition [0, M) contiguously in spec order; deltas
+    are multiples of 8 and widths multiples of 128 (DMA sublane
+    alignment); pairing is involutive with mirrored deltas and equal
+    caps; the last group is self-paired at delta 0 (it absorbs the
+    reserved always-masked batch slot).
+    """
+    if not groups:
+        return None
+    BA = 256 if A % 256 == 0 else 128
+    if A % BA or A < BA:
+        return None
+    next_base = 0
+    mgx = 0
+    for gi, (base, cap, delta, width, pair) in enumerate(groups):
+        if base != next_base or cap < 1:
+            return None
+        next_base += cap
+        if delta % 8 or width % 128 or width < 128:
+            return None
+        if pair < 0 or pair >= len(groups):
+            return None
+        _, pc, pd, pw, pp = groups[pair]
+        if pc != cap or pd != -delta or pw != width or pp != gi:
+            return None
+        mgx = max(mgx, abs(delta) + width)
+    last = groups[-1]
+    if last[2] != 0 or last[4] != len(groups) - 1:
+        return None
+    if M is not None and next_base != M:
+        return None
+    mgx = -(-mgx // 128) * 128
+    if A < 2 * mgx + BA:
+        return None
+    return BA, mgx
+
+
+def _kernel_impl_grouped(x, nbr_indices, fixup_src, fixup_dst, groups, interpret: bool):
+    A, M, D = x.shape
+    BA, mgx = grouped_geometry(A, groups, M)
+    G = A // BA
+    GK, K = fixup_src.shape
+    if GK != G:
+        raise ValueError(
+            f"fixup lists built for {GK} blocks, kernel grid has {G}"
+        )
+
+    xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
+    xT = jnp.concatenate([xT[:, A - mgx:], xT, xT[:, :mgx]], axis=1)
+
+    if K:
+        vals = jnp.take(
+            x.reshape(A * M, D), fixup_src.reshape(-1), axis=0
+        ).reshape(G, K, D)
+    else:
+        vals = jnp.zeros((G, 1, D), x.dtype)
+
+    scratch = [
+        pltpu.VMEM((2, cap, BA + 2 * width, D), x.dtype)
+        for (_, cap, _, width, _) in groups
+    ] + [pltpu.SemaphoreType.DMA((len(groups), 2))]
+
+    return pl.pallas_call(
+        functools.partial(
+            _grouped_kernel, A=A, M=M, D=D, BA=BA, K=K, groups=groups,
+            mgx=mgx,
+        ),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        nbr_indices,
+        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
+        vals,
+        xT,
+    )
+
+
 def _kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
     *, A, M, D, W, mg, BA, K, ext, roll=False,
@@ -475,7 +680,9 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
 colored_permute_p = jex_core.Primitive("colored_permute")
 
 
-def colored_permute(x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int):
+def colored_permute(
+    x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int, groups=()
+):
     """``x.reshape(A*M, D)[rev].reshape(A, M, D)`` via the banded colored
     kernel (TPU) or a plain gather (other backends / band == 0).
 
@@ -494,9 +701,22 @@ def colored_permute(x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int):
         the same lists.
     :param band: circular atom-index band bound (static); 0 disables the
         kernel path.
+    :param groups: static tuple of (base, cap, delta, width, pair) slot
+        groups for the grouped-window layout (``_grouped_kernel``);
+        empty selects the single-band kernel. Under the grouped layout,
+        masked slots of non-self-paired groups carry unspecified values
+        in the kernel path (every consumer masks them and their
+        cotangents are exactly zero); the plain-gather fallback still
+        self-serves them via ``rev``.
     """
     return colored_permute_p.bind(
-        x, rev, nbr_indices, fixup_src, fixup_dst, band=int(band)
+        x,
+        rev,
+        nbr_indices,
+        fixup_src,
+        fixup_dst,
+        band=int(band),
+        groups=tuple(tuple(int(v) for v in g) for g in groups),
     )
 
 
@@ -521,42 +741,68 @@ def use_kernel(x_shape, dtype, band: int) -> bool:
     return True
 
 
-def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, interpret=None):
+def use_kernel_grouped(x_shape, dtype, groups) -> bool:
+    """Trace-time static gate for the grouped-window kernel path."""
+    if not groups:
+        return False
+    A, M, D = x_shape
+    if A * M < MIN_ROWS or D % 128 != 0:
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    geom = grouped_geometry(A, groups, M)
+    if geom is None:
+        return False
+    BA, _ = geom
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = sum(
+        2 * cap * (BA + 2 * width) * D * itemsize
+        for (_, cap, _, width, _) in groups
+    )
+    return vmem <= _VMEM_BUDGET
+
+
+def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(), interpret=None):
     from . import pallas_enabled
 
     A, M, D = x.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if (
-        interpret
-        or not pallas_enabled()
-        or not use_kernel(x.shape, x.dtype, band)
-    ):
-        flat = x.reshape(A * M, D)
-        return jnp.take(flat, rev, axis=0).reshape(A, M, D)
-    return _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band, interpret=False)
+    if not interpret and pallas_enabled():
+        if groups and use_kernel_grouped(x.shape, x.dtype, groups):
+            return _kernel_impl_grouped(
+                x, nbr_indices, fixup_src, fixup_dst, groups, interpret=False
+            )
+        if not groups and use_kernel(x.shape, x.dtype, band):
+            return _kernel_impl(
+                x, nbr_indices, fixup_src, fixup_dst, band, interpret=False
+            )
+    flat = x.reshape(A * M, D)
+    return jnp.take(flat, rev, axis=0).reshape(A, M, D)
 
 
-def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band):
+def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=()):
     return x.update(shape=x.shape, dtype=x.dtype)
 
 
-def _jvp(primals, tangents, *, band):
+def _jvp(primals, tangents, *, band, groups=()):
     x, rev, idx, fsrc, fdst = primals
     dx = tangents[0]
-    out = colored_permute(x, rev, idx, fsrc, fdst, band=band)
+    out = colored_permute(x, rev, idx, fsrc, fdst, band=band, groups=groups)
     if type(dx) is ad.Zero:
         return out, ad.Zero.from_primal_value(out)
-    dout = colored_permute(dx, rev, idx, fsrc, fdst, band=band)
+    dout = colored_permute(dx, rev, idx, fsrc, fdst, band=band, groups=groups)
     return out, dout
 
 
-def _transpose(ct, x, rev, idx, fsrc, fdst, *, band):
+def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=()):
     if type(ct) is ad.Zero:
         return ad.Zero.from_primal_value(x), None, None, None, None
-    # involution: the exact adjoint is the same permutation
+    # involution: the exact adjoint is the same permutation (the grouped
+    # non-servable set is symmetric and real masked rows carry exactly
+    # zero cotangents)
     return (
-        colored_permute(ct, rev, idx, fsrc, fdst, band=band),
+        colored_permute(ct, rev, idx, fsrc, fdst, band=band, groups=groups),
         None,
         None,
         None,
@@ -564,7 +810,7 @@ def _transpose(ct, x, rev, idx, fsrc, fdst, *, band):
     )
 
 
-def _batching(args, dims, *, band):
+def _batching(args, dims, *, band, groups=()):
     x, rev, idx, fsrc, fdst = args
     if any(d is not None for d in dims[1:]):
         raise NotImplementedError("batched permutation indices")
@@ -574,7 +820,7 @@ def _batching(args, dims, *, band):
     x_moved = jnp.moveaxis(x, xdim, -1)  # (A, M, D, B)
     A, M = idx.shape
     merged = x_moved.reshape(A, M, -1)
-    out = colored_permute(merged, rev, idx, fsrc, fdst, band=band)
+    out = colored_permute(merged, rev, idx, fsrc, fdst, band=band, groups=groups)
     out = out.reshape(x_moved.shape)
     return jnp.moveaxis(out, -1, xdim), xdim
 
