@@ -94,29 +94,49 @@ def main():
 
     # ---- neighbor list (host, once — MD-style Verlet reuse; colored-slot
     # NEF layout so the reversed-edge permutation runs on the MXU) ------------
-    nbr = compute_neighbor_data(system, cutoff=model.cutoff, colored=True)
     # Atom padding: next multiple of 256 (the color-kernel block), NOT a
     # geometric bucket — MD on a fixed system compiles exactly once either
     # way, and a tight pad (a) skips 4.4% wasted rows in every kernel and
     # (b) keeps the pad gap out of the periodic ring's circular index
     # metric, so the colored-gather band selector can use the 1024 band
     # (the geometric bucket's 544-row gap forced 1280 + big fixup lists).
-    batch = batch_from_systems(
-        [system],
-        [nbr],
-        n_atoms_padded=-(-n_atoms // 256) * 256,
-        n_systems_padded=2,
-        max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
-        dtype=jnp.float32,
-    )
+    def build_batch(grouped: str):
+        """One padded batch per slot LAYOUT (the grouped sigma-paired
+        layout is a host-side data-structure property, A/B'd like the
+        trace-time kernel knobs)."""
+        prior = os.environ.get("MTT_COLOR_GROUPED")
+        os.environ["MTT_COLOR_GROUPED"] = grouped
+        try:
+            nbr = compute_neighbor_data(
+                system, cutoff=model.cutoff, colored=True
+            )
+        finally:
+            if prior is None:
+                del os.environ["MTT_COLOR_GROUPED"]
+            else:
+                os.environ["MTT_COLOR_GROUPED"] = prior
+        return batch_from_systems(
+            [system],
+            [nbr],
+            n_atoms_padded=-(-n_atoms // 256) * 256,
+            n_systems_padded=2,
+            max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
+            dtype=jnp.float32,
+        )
+
+    batches = {"banded": build_batch("0")}
+    grouped_batch = build_batch("1")
+    if grouped_batch.color_groups:
+        batches["grouped"] = grouped_batch
+    batch = batches["banded"]
 
     target_infos = {"energy": dataset_info.targets["energy"]}
 
-    def one_force_call(params, positions):
+    def one_force_call(params, positions, bt):
         preds = evaluate_model(
             model.forward,
             params,
-            batch.replace(positions=positions),
+            bt.replace(positions=positions),
             target_infos,
             is_training=False,
         )
@@ -127,13 +147,13 @@ def main():
     # FORCES (non-zero coefficients, so XLA can neither fold the
     # dependency nor dead-code-eliminate the force vjp), forcing strictly
     # sequential execution inside the scan.
-    def md_step_raw(params, positions):
-        energy, forces = one_force_call(params, positions)
+    def md_step_raw(params, positions, bt):
+        energy, forces = one_force_call(params, positions, bt)
         dep = (jnp.sum(energy.astype(jnp.float32))
                + jnp.sum(forces.astype(jnp.float32))) * 1e-30
         return positions + dep.astype(positions.dtype)
 
-    def make_chain_fn(tag):
+    def make_chain_fn(tag, bt):
         """Per-config jit identity: the kernel-formulation env knobs are
         read at TRACE time, so each config gets its own function object
         (traced on first call under that config's env). No
@@ -142,7 +162,7 @@ def main():
 
         def chain(params, positions, n, _tag=tag):
             def body(pos, _):
-                return md_step_raw(params, pos), None
+                return md_step_raw(params, pos, bt), None
 
             out, _ = jax.lax.scan(body, positions, None, length=n)
             return out
@@ -177,30 +197,49 @@ def main():
     # (same math, no Pallas) before it can win.
     # every candidate pins ALL knobs (os.environ.update persists values
     # across candidates otherwise)
-    VALIDATED = (
-        "qside+ext",
-        {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_COLOR_ROLL": "0",
-         "MTT_INT8_SCORES": "0"},
-    )  # r2 driver A/B winner (62.7 ms)
+    # Candidates are (name, env, layout): env pins the trace-time kernel
+    # knobs, layout picks the slot-assignment data structure (banded =
+    # single all-slots window; grouped = sigma-paired per-color windows,
+    # r4). MTT_COLOR_GROUPED rides the env dict so the autotune cache
+    # pins the winning layout for production entry points.
     # int8 score configs were A/B'd on-chip (2026-08, v5e) and LOST by
     # ~2-4 ms (quantize+expand VPU overhead exceeds the in-kernel int8
     # matmul gain at these near-SOL kernel rates): qside+ext+i8 70.6 vs
     # qside+ext 68.4, qside+wrap+i8 68.6 vs qside+wrap 66.6. The code
     # path stays (MTT_INT8_SCORES=1) but is not A/B'd every run.
+    # r4 A/B: qside+roll 66.5 vs qside+wrap 66.0 — the rolling ring
+    # buffer's 3.9x band-DMA saving did not land (the permute is
+    # compute-bound on the one-hot matmul; DMA already overlapped),
+    # which motivated the grouped layout (3x less matmul).
     candidates = [
-        ("qside+roll",
-         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "1",
-          "MTT_INT8_SCORES": "0"}),
+        ("qside+grouped",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0", "MTT_COLOR_GROUPED": "1"},
+         "grouped"),
         ("qside+wrap",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
-          "MTT_INT8_SCORES": "0"}),
+          "MTT_INT8_SCORES": "0", "MTT_COLOR_GROUPED": "0"},
+         "banded"),
         ("kq+wrap",
          {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
-          "MTT_INT8_SCORES": "0"}),
-        VALIDATED,
+          "MTT_INT8_SCORES": "0", "MTT_COLOR_GROUPED": "0"},
+         "banded"),
+        ("qside+ext",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0", "MTT_COLOR_GROUPED": "0"},
+         "banded"),  # r2 driver A/B winner (62.7 ms)
+    ]
+    candidates = [
+        c for c in candidates if c[2] in batches
     ]
     if os.environ.get("MTT_BENCH_AB", "1") == "0":  # pinned-config escape
-        candidates = [("pinned", dict())]
+        layout = (
+            "grouped"
+            if os.environ.get("MTT_COLOR_GROUPED", "auto") != "0"
+            and "grouped" in batches
+            else "banded"
+        )
+        candidates = [("pinned", dict(), layout)]
 
     # MTT_BENCH_SMOKE=1: minimal iteration counts for CPU smoke tests of
     # the harness logic (interpret-mode Pallas is ~1000x slower than TPU)
@@ -216,7 +255,7 @@ def main():
         os.environ["MTT_PALLAS"] = "0"
 
         def force_xla(params, positions):
-            return one_force_call(params, positions)
+            return one_force_call(params, positions, batch)
 
         _, f = jax.jit(force_xla)(params, batch.positions)
         f_ref = np.asarray(f, dtype=np.float64)
@@ -230,14 +269,14 @@ def main():
         else:
             os.environ["MTT_PALLAS"] = prior_pallas
 
-    def force_deviation(tag):
+    def force_deviation(tag, bt):
         """Relative RMS force deviation of the CURRENT env's kernel path
         vs the pure-XLA ground truth (bf16 reduction-order noise only)."""
         if f_ref is None:
             return None
         def force_fn(params, positions, _tag=tag):
-            return one_force_call(params, positions)
-        _, forces = jax.jit(force_fn)(params, batch.positions)
+            return one_force_call(params, positions, bt)
+        _, forces = jax.jit(force_fn)(params, bt.positions)
         f = np.asarray(forces, dtype=np.float64)
         return float(np.sqrt(np.mean((f - f_ref) ** 2))) / f_scale
 
@@ -248,15 +287,16 @@ def main():
     ab_start = time.perf_counter()
     chain_fns = {}
     results = []
-    for name, env in candidates:
+    for name, env, layout in candidates:
         if results and time.perf_counter() - ab_start > ab_budget:
             print(f"# A/B budget exhausted; skipping {name}", flush=True)
             continue
         os.environ.update(env)
-        chain_fns[name] = make_chain_fn(name)
+        bt = batches[layout]
+        chain_fns[name] = make_chain_fn(name, bt)
         try:
             t = per_call(chain_fns[name], AB_N1, AB_N2)
-            dev = force_deviation(name)
+            dev = force_deviation(name, bt)
             dev_txt = "n/a" if dev is None else f"{dev:.2e}"
             ok = dev is None or (np.isfinite(dev) and dev <= DEV_BOUND)
             print(f"# config {name}: {t*1e3:.1f} ms/call, "

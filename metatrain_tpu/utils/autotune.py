@@ -30,6 +30,7 @@ TUNED_KNOBS = (
     "MTT_QSIDE",
     "MTT_COLOR_EXT",
     "MTT_COLOR_ROLL",
+    "MTT_COLOR_GROUPED",
     "MTT_INT8_SCORES",
 )
 
