@@ -575,7 +575,10 @@ def _grouped_slots(
     if not scored:
         return None
     scored.sort(key=lambda t: t[0])
-    candidates = [cp for _, cp in scored[:2]]
+    # the model overestimates how much spill the overflow group can
+    # absorb (sigma-pairing binds there too), so rescore a wider slate
+    # with the ACTUAL C++ assignment (each run is ~15 ms)
+    candidates = [cp for _, cp in scored[:6]]
 
     def run(cp_list):
         spec = build_spec(cp_list)

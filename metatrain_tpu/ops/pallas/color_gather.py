@@ -277,6 +277,86 @@ def _roll_chunk_dma(x_hbm, band2, sems, c, *, A, BA, mg, NR, start):
                 )
 
 
+def _grouped_band_dma(
+    x_hbm, band, sems, gi, block, slot, *, A, BA, G, groups, mgx, ext,
+    start,
+):
+    """Start (or wait for) group ``gi``'s window DMA for ``block``.
+
+    With ``ext`` the source is the (M, A + 2*mgx, D) extended color-major
+    array and every window is one contiguous slab. Without it the source
+    is the plain (M, A, D) color-major array: group deltas are STATIC,
+    so the set of blocks whose window wraps the circular boundary is
+    static per group, and each wrapping block is served by two
+    static-size copies under its own ``pl.when`` branch (the same
+    pattern as the ungrouped ``_band_dma``, generalized to a per-group
+    window offset) -- no extended HBM copy of the whole array.
+    """
+    base, cap, delta, width, pair = groups[gi]
+    W = BA + 2 * width
+    pair_base = groups[pair][0]
+    u = delta - width  # static window offset from the block start
+    gi_ = jnp.asarray(block, jnp.int32)
+
+    def act(copy):
+        copy.start() if start else copy.wait()
+
+    if ext:
+        t0 = block * BA + (u + mgx)
+        t0 = pl.multiple_of(t0, 8)
+        act(
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pair_base, cap), pl.ds(t0, W), :],
+                band.at[slot],
+                sems.at[gi, slot, 0],
+            )
+        )
+        return
+
+    # per-block window start, normalized into [0, A): u is static, so
+    # the set of blocks whose window straddles the circular boundary --
+    # and each one's split point -- is static per group
+    wrap = [i for i in range(G) if (i * BA + u) % A + W > A]
+    interior = jnp.ones((), jnp.bool_)
+    for i in wrap:
+        interior = jnp.logical_and(interior, gi_ != i)
+
+    @pl.when(interior)
+    def _():
+        s0 = block * BA + u  # in (-A, 2A): two conditional wraps
+        s0 = jnp.where(s0 < 0, s0 + A, s0)
+        s0 = jnp.where(s0 >= A, s0 - A, s0)
+        s0 = pl.multiple_of(s0, 8)
+        act(
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pair_base, cap), pl.ds(s0, W), :],
+                band.at[slot],
+                sems.at[gi, slot, 0],
+            )
+        )
+
+    for i in wrap:
+        s_norm = (i * BA + u) % A
+        n1 = A - s_norm  # rows before the boundary (< W)
+
+        @pl.when(gi_ == i)
+        def _(s_norm=s_norm, n1=n1):
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pair_base, cap), pl.ds(s_norm, n1), :],
+                    band.at[slot, :, pl.ds(0, n1), :],
+                    sems.at[gi, slot, 0],
+                )
+            )
+            act(
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pair_base, cap), pl.ds(0, W - n1), :],
+                    band.at[slot, :, pl.ds(n1, W - n1), :],
+                    sems.at[gi, slot, 1],
+                )
+            )
+
+
 def _grouped_kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, *scratch,
     A, M, D, BA, K, groups, mgx,
@@ -287,12 +367,13 @@ def _grouped_kernel(
     permute is compute-bound: the r3 rolling-DMA A/B showed band HBM
     traffic is already overlapped).
 
-    ``x_hbm`` is the (M, A + 2*mgx, D) extended color-major array, so
-    every group window is one contiguous static-size slab at a
-    statically-offset start. Output slot m = base_g + k of block i reads
-    color ``pair_base_g + k`` rows [i*BA + delta_g - w_g + mgx, + W_g):
-    the sigma pairing maps slot k of a group to slot k of its mirror
-    group, so the slab is contiguous in the color axis too.
+    ``x_hbm`` is the (M, A, D) color-major array (or its (M, A + 2*mgx,
+    D) extended copy under ``MTT_COLOR_GEXT=1``); windows are served by
+    ``_grouped_band_dma`` (static per-group wrap branches). Output slot
+    m = base_g + k of block i reads color ``pair_base_g + k`` rows
+    [i*BA + delta_g - w_g, + W_g) circularly: the sigma pairing maps
+    slot k of a group to slot k of its mirror group, so the slab is
+    contiguous in the color axis too.
 
     Masked (padded) slots of non-self-paired groups carry unspecified
     values (their reversal is not representable color-contiguously);
@@ -308,19 +389,14 @@ def _grouped_kernel(
     ngroups = len(groups)
     bands = scratch[:ngroups]
     sems = scratch[ngroups]
+    ext = x_hbm.shape[1] != A
+    G_static = A // BA
 
     def dma(gi, block, slot, start):
-        base, cap, delta, width, pair = groups[gi]
-        W = BA + 2 * width
-        pair_base = groups[pair][0]
-        t0 = block * BA + (delta - width + mgx)
-        t0 = pl.multiple_of(t0, 8)
-        copy = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pair_base, cap), pl.ds(t0, W), :],
-            bands[gi].at[slot],
-            sems.at[gi, slot],
+        _grouped_band_dma(
+            x_hbm, bands[gi], sems, gi, block, slot, A=A, BA=BA,
+            G=G_static, groups=groups, mgx=mgx, ext=ext, start=start,
         )
-        copy.start() if start else copy.wait()
 
     @pl.when(g == 0)
     def _():
@@ -434,7 +510,12 @@ def _kernel_impl_grouped(x, nbr_indices, fixup_src, fixup_dst, groups, interpret
         )
 
     xT = jnp.swapaxes(x, 0, 1)  # (M, A, D)
-    xT = jnp.concatenate([xT[:, A - mgx:], xT, xT[:, :mgx]], axis=1)
+    # MTT_COLOR_GEXT=1: extended-copy layout (one plain slab per window)
+    # -- A/B fallback; the default serves wrap windows with static split
+    # copies straight from the color-major array (the extended copy cost
+    # ~0.54 ms/permute of pure HBM traffic at the 10k bench, r4 profile)
+    if os.environ.get("MTT_COLOR_GEXT", "0") != "0":
+        xT = jnp.concatenate([xT[:, A - mgx:], xT, xT[:, :mgx]], axis=1)
 
     if K:
         vals = jnp.take(
@@ -446,7 +527,7 @@ def _kernel_impl_grouped(x, nbr_indices, fixup_src, fixup_dst, groups, interpret
     scratch = [
         pltpu.VMEM((2, cap, BA + 2 * width, D), x.dtype)
         for (_, cap, _, width, _) in groups
-    ] + [pltpu.SemaphoreType.DMA((len(groups), 2))]
+    ] + [pltpu.SemaphoreType.DMA((len(groups), 2, 2))]
 
     return pl.pallas_call(
         functools.partial(
