@@ -176,6 +176,7 @@ class SystemBatch:
         nbr_fixup_dst: Optional[Array] = None,
         color_band: int = 0,
         color_groups: tuple = (),
+        color_fixup_split: tuple = (0, ()),
     ):
         self.positions = positions
         self.types = types
@@ -193,6 +194,7 @@ class SystemBatch:
         self.nbr_fixup_dst = empty if nbr_fixup_dst is None else nbr_fixup_dst
         self.color_band = int(color_band)
         self.color_groups = tuple(color_groups)
+        self.color_fixup_split = tuple(color_fixup_split)
         self.extra = dict(extra or {})
 
     # -- pytree ------------------------------------------------------------
@@ -218,16 +220,20 @@ class SystemBatch:
         children = tuple(getattr(self, f) for f in self._FIELDS) + tuple(
             self.extra[k] for k in extra_keys
         )
-        return children, (extra_keys, self.color_band, self.color_groups)
+        return children, (
+            extra_keys, self.color_band, self.color_groups,
+            self.color_fixup_split,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        extra_keys, color_band, color_groups = aux
+        extra_keys, color_band, color_groups, color_fixup_split = aux
         obj = object.__new__(cls)
         for name, child in zip(cls._FIELDS, children[: len(cls._FIELDS)]):
             setattr(obj, name, child)
         obj.color_band = color_band
         obj.color_groups = color_groups
+        obj.color_fixup_split = color_fixup_split
         obj.extra = dict(zip(extra_keys, children[len(cls._FIELDS):]))
         return obj
 
@@ -239,6 +245,9 @@ class SystemBatch:
             setattr(new, name, updates.pop(name, getattr(self, name)))
         new.color_band = updates.pop("color_band", self.color_band)
         new.color_groups = updates.pop("color_groups", self.color_groups)
+        new.color_fixup_split = updates.pop(
+            "color_fixup_split", self.color_fixup_split
+        )
         new.extra = updates.pop("extra", dict(self.extra))
         if updates:
             raise TypeError(f"unknown fields {sorted(updates)}")
@@ -454,7 +463,9 @@ def grouped_fixups(
     groups self-serve exactly. Everything else is patched in-kernel from
     the fixup lists, exactly as in :func:`colored_fixups`.
 
-    Returns ``(groups, fixup_src, fixup_dst)``, or ``((), empty, empty)``
+    Returns ``(groups, fixup_src, fixup_dst, fixup_split)`` where
+    ``fixup_split = (k1, heavy_blocks)`` is the two-tier fixup split
+    (``(0, ())`` for single-tier), or ``((), empty, empty, (0, ()))``
     when the plain gather is modeled faster (the caller falls back).
     """
     from ..ops.pallas.color_gather import (
@@ -467,7 +478,7 @@ def grouped_fixups(
     empty = np.zeros((0, 0), np.int32)
     geom = grouped_geometry(A, groups, M)
     if geom is None:
-        return (), empty, empty
+        return (), empty, empty, (0, ())
     BA, _ = geom
     G = A // BA
 
@@ -498,29 +509,46 @@ def grouped_fixups(
     blocks = rows // (BA * M)
     K = _fixup_width(blocks, G)
 
+    # two-tier fixup split: the per-block count is spiky (seam/outlier
+    # blocks carry 2-3x the mean), so tier 1 covers the 85th-percentile
+    # block and the statically-known heavy blocks run a second fixup
+    # matmul over the remaining columns (ops/pallas/color_gather
+    # ``_grouped_kernel``); light blocks skip it entirely
+    counts = np.bincount(blocks, minlength=G) if len(rows) else np.zeros(G, np.int64)
+    k1 = K
+    heavy: tuple = ()
+    if K:
+        q85 = _fixup_width_from_max(int(np.quantile(counts, 0.85)))
+        if 0 < q85 < K:
+            hv = np.nonzero(counts > q85)[0]
+            # only worthwhile when few blocks pay tier 2
+            if 0 < len(hv) <= G // 3:
+                k1 = q85
+                heavy = tuple(int(i) for i in hv)
+
     # cost vs the plain XLA gather (same constants as colored_fixups)
     row_cost = sum(
         cap * (BA + 2 * width) for (_, cap, _, width, _) in groups
     )
+    fix_cost = M * (k1 + (K - k1) * len(heavy) / max(G, 1))
     cost = (
-        2.0 * BA * feature_dim * (row_cost + M * K) * G
+        2.0 * BA * feature_dim * (row_cost + fix_cost) * G
         / MATMUL_FLOPS_PER_SECOND
         + G * K * GATHER_SECONDS_PER_ROW
     )
     if cost >= A * M * GATHER_SECONDS_PER_ROW:
-        return (), empty, empty
+        return (), empty, empty, (0, ())
 
     src = np.zeros((G, max(K, 0)), dtype=np.int32)
     dst = np.full((G, max(K, 0)), -1, dtype=np.int32)
     if K:
         a = rows // M
         m = rows % M
-        counts = np.bincount(blocks, minlength=G)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         k = np.arange(len(rows), dtype=np.int64) - starts[blocks]
         src[blocks, k] = nbr_reverse.reshape(-1)[rows]
         dst[blocks, k] = m * BA + (a - blocks * BA)
-    return tuple(groups), src, dst
+    return tuple(groups), src, dst, (int(k1) if k1 < K else 0, heavy)
 
 
 def _fixup_width(blocks: np.ndarray, n_blocks: int) -> int:
@@ -659,6 +687,7 @@ def batch_from_systems(
 
     color_band = 0
     color_groups: tuple = ()
+    color_fixup_split: tuple = (0, ())
     fixup_src = fixup_dst = np.zeros((0,), np.int32)
     if systems and all(n.colored for n in neighbors):
         from ..ops.pallas.color_gather import MIN_ROWS
@@ -675,7 +704,8 @@ def batch_from_systems(
                     (last[0], last[1] + (M - width_total), last[2],
                      last[3], last[4]),
                 )
-                color_groups, fixup_src, fixup_dst = grouped_fixups(
+                (color_groups, fixup_src, fixup_dst,
+                 color_fixup_split) = grouped_fixups(
                     nbr_indices, nbr_reverse, nbr_mask, padded
                 )
             if not color_groups:
@@ -703,6 +733,7 @@ def batch_from_systems(
         nbr_fixup_dst=dev(fixup_dst),
         color_band=color_band,
         color_groups=color_groups,
+        color_fixup_split=color_fixup_split,
     )
 
 

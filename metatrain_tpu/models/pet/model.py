@@ -187,6 +187,7 @@ class PET(AtomisticNNModel):
             # colored NEF layout)
             "color_band": batch.color_band,
             "color_groups": batch.color_groups,
+            "color_fixup_split": batch.color_fixup_split,
             "nbr_fixup_src": batch.nbr_fixup_src,
             "nbr_fixup_dst": batch.nbr_fixup_dst,
             "cutoff_factors": cutoff_factors,

@@ -359,7 +359,7 @@ def _grouped_band_dma(
 
 def _grouped_kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, *scratch,
-    A, M, D, BA, K, groups, mgx,
+    A, M, D, BA, K, groups, mgx, k_split=0, heavy_blocks=(),
 ):
     """Grouped-window variant: slots are partitioned into sigma-paired
     groups, each with its own (narrow) circular window at offset delta
@@ -441,20 +441,50 @@ def _grouped_kernel(
     res_all = jnp.concatenate(res_groups, axis=0)  # (M, BA, D)
 
     if K:
-        dst = dstloc_ref[0]  # (1, K) int32
-        rows = jax.lax.broadcasted_iota(jnp.int32, (M * BA, K), 0)
-        onehot_fix = (rows == dst).astype(dtype)
-        keep = 1.0 - jnp.sum(
-            onehot_fix.astype(jnp.float32), axis=1, keepdims=True
-        ).astype(dtype)
-        corr = jax.lax.dot_general(
-            onehot_fix,
-            vals_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        res_flat = res_all.reshape(M * BA, D) * keep + corr
-        res_all = res_flat.reshape(M, BA, D)
+        # two-tier fixup: the per-block fixup count is spiky (seam and
+        # outlier-mode blocks carry 2-3x the mean), so tier 1 covers the
+        # typical block width and tier 2 -- the same matmul over the
+        # remaining columns -- runs ONLY on the statically-known heavy
+        # blocks (their extra rows sit in columns [k1, K); light blocks
+        # have dst == -1 there, so skipping is exact)
+        k1 = k_split if k_split else K
+
+        def apply_fix(res, dst, vals):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (M * BA, dst.shape[-1]), 0
+            )
+            onehot_fix = (rows == dst).astype(dtype)
+            keep = 1.0 - jnp.sum(
+                onehot_fix.astype(jnp.float32), axis=1, keepdims=True
+            ).astype(dtype)
+            corr = jax.lax.dot_general(
+                onehot_fix,
+                vals,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            return res * keep + corr
+
+        res_flat = apply_fix(
+            res_all.reshape(M * BA, D),
+            dstloc_ref[0][:, :k1],
+            vals_ref[0][:k1],
+        )
+        out_ref[:] = jnp.swapaxes(res_flat.reshape(M, BA, D), 0, 1)
+        if k1 < K:
+            is_heavy = jnp.zeros((), jnp.bool_)
+            for i in heavy_blocks:
+                is_heavy = jnp.logical_or(is_heavy, g == i)
+
+            @pl.when(is_heavy)
+            def _():
+                fixed2 = apply_fix(
+                    res_flat, dstloc_ref[0][:, k1:], vals_ref[0][k1:]
+                )
+                out_ref[:] = jnp.swapaxes(
+                    fixed2.reshape(M, BA, D), 0, 1
+                )
+        return
 
     out_ref[:] = jnp.swapaxes(res_all, 0, 1)
 
@@ -499,7 +529,10 @@ def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[
     return BA, mgx
 
 
-def _kernel_impl_grouped(x, nbr_indices, fixup_src, fixup_dst, groups, interpret: bool):
+def _kernel_impl_grouped(
+    x, nbr_indices, fixup_src, fixup_dst, groups, interpret: bool,
+    fixup_split=(0, ()),
+):
     A, M, D = x.shape
     BA, mgx = grouped_geometry(A, groups, M)
     G = A // BA
@@ -529,10 +562,12 @@ def _kernel_impl_grouped(x, nbr_indices, fixup_src, fixup_dst, groups, interpret
         for (_, cap, _, width, _) in groups
     ] + [pltpu.SemaphoreType.DMA((len(groups), 2, 2))]
 
+    k_split, heavy_blocks = fixup_split
     return pl.pallas_call(
         functools.partial(
             _grouped_kernel, A=A, M=M, D=D, BA=BA, K=K, groups=groups,
-            mgx=mgx,
+            mgx=mgx, k_split=int(k_split),
+            heavy_blocks=tuple(heavy_blocks),
         ),
         grid=(G,),
         in_specs=[
@@ -762,7 +797,8 @@ colored_permute_p = jex_core.Primitive("colored_permute")
 
 
 def colored_permute(
-    x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int, groups=()
+    x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int, groups=(),
+    fixup_split=(0, ()),
 ):
     """``x.reshape(A*M, D)[rev].reshape(A, M, D)`` via the banded colored
     kernel (TPU) or a plain gather (other backends / band == 0).
@@ -798,6 +834,7 @@ def colored_permute(
         fixup_dst,
         band=int(band),
         groups=tuple(tuple(int(v) for v in g) for g in groups),
+        fixup_split=(int(fixup_split[0]), tuple(int(i) for i in fixup_split[1])),
     )
 
 
@@ -843,7 +880,8 @@ def use_kernel_grouped(x_shape, dtype, groups) -> bool:
     return vmem <= _VMEM_BUDGET
 
 
-def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(), interpret=None):
+def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(),
+          fixup_split=(0, ()), interpret=None):
     from . import pallas_enabled
 
     A, M, D = x.shape
@@ -852,7 +890,8 @@ def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(), interpr
     if not interpret and pallas_enabled():
         if groups and use_kernel_grouped(x.shape, x.dtype, groups):
             return _kernel_impl_grouped(
-                x, nbr_indices, fixup_src, fixup_dst, groups, interpret=False
+                x, nbr_indices, fixup_src, fixup_dst, groups,
+                interpret=False, fixup_split=fixup_split,
             )
         if not groups and use_kernel(x.shape, x.dtype, band):
             return _kernel_impl(
@@ -862,28 +901,33 @@ def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(), interpr
     return jnp.take(flat, rev, axis=0).reshape(A, M, D)
 
 
-def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=()):
+def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band,
+                   groups=(), fixup_split=(0, ())):
     return x.update(shape=x.shape, dtype=x.dtype)
 
 
-def _jvp(primals, tangents, *, band, groups=()):
+def _jvp(primals, tangents, *, band, groups=(), fixup_split=(0, ())):
     x, rev, idx, fsrc, fdst = primals
     dx = tangents[0]
-    out = colored_permute(x, rev, idx, fsrc, fdst, band=band, groups=groups)
+    out = colored_permute(x, rev, idx, fsrc, fdst, band=band, groups=groups,
+                          fixup_split=fixup_split)
     if type(dx) is ad.Zero:
         return out, ad.Zero.from_primal_value(out)
-    dout = colored_permute(dx, rev, idx, fsrc, fdst, band=band, groups=groups)
+    dout = colored_permute(dx, rev, idx, fsrc, fdst, band=band,
+                           groups=groups, fixup_split=fixup_split)
     return out, dout
 
 
-def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=()):
+def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=(),
+               fixup_split=(0, ())):
     if type(ct) is ad.Zero:
         return ad.Zero.from_primal_value(x), None, None, None, None
     # involution: the exact adjoint is the same permutation (the grouped
     # non-servable set is symmetric and real masked rows carry exactly
     # zero cotangents)
     return (
-        colored_permute(ct, rev, idx, fsrc, fdst, band=band, groups=groups),
+        colored_permute(ct, rev, idx, fsrc, fdst, band=band, groups=groups,
+                        fixup_split=fixup_split),
         None,
         None,
         None,
@@ -891,7 +935,7 @@ def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=()):
     )
 
 
-def _batching(args, dims, *, band, groups=()):
+def _batching(args, dims, *, band, groups=(), fixup_split=(0, ())):
     x, rev, idx, fsrc, fdst = args
     if any(d is not None for d in dims[1:]):
         raise NotImplementedError("batched permutation indices")
@@ -901,7 +945,8 @@ def _batching(args, dims, *, band, groups=()):
     x_moved = jnp.moveaxis(x, xdim, -1)  # (A, M, D, B)
     A, M = idx.shape
     merged = x_moved.reshape(A, M, -1)
-    out = colored_permute(merged, rev, idx, fsrc, fdst, band=band, groups=groups)
+    out = colored_permute(merged, rev, idx, fsrc, fdst, band=band,
+                          groups=groups, fixup_split=fixup_split)
     out = out.reshape(x_moved.shape)
     return jnp.moveaxis(out, -1, xdim), xdim
 
