@@ -176,7 +176,7 @@ class SystemBatch:
         nbr_fixup_dst: Optional[Array] = None,
         color_band: int = 0,
         color_groups: tuple = (),
-        color_fixup_split: tuple = (0, ()),
+        color_fixup_split: tuple = (0, 0),
     ):
         self.positions = positions
         self.types = types
@@ -464,9 +464,10 @@ def grouped_fixups(
     the fixup lists, exactly as in :func:`colored_fixups`.
 
     Returns ``(groups, fixup_src, fixup_dst, fixup_split)`` where
-    ``fixup_split = (k1, heavy_blocks)`` is the two-tier fixup split
-    (``(0, ())`` for single-tier), or ``((), empty, empty, (0, ()))``
-    when the plain gather is modeled faster (the caller falls back).
+    ``fixup_split = (K_A, ov_base)`` is the range-split fixup spec
+    (``(0, 0)`` for a single full-range tier), or
+    ``((), empty, empty, (0, 0))`` when the plain gather is modeled
+    faster (the caller falls back).
     """
     from ..ops.pallas.color_gather import (
         GATHER_SECONDS_PER_ROW,
@@ -478,7 +479,7 @@ def grouped_fixups(
     empty = np.zeros((0, 0), np.int32)
     geom = grouped_geometry(A, groups, M)
     if geom is None:
-        return (), empty, empty, (0, ())
+        return (), empty, empty, (0, 0)
     BA, _ = geom
     G = A // BA
 
@@ -507,48 +508,39 @@ def grouped_fixups(
 
     rows = np.nonzero(bad.reshape(-1))[0]
     blocks = rows // (BA * M)
-    K = _fixup_width(blocks, G)
+    a_of = rows // M
+    m_of = rows % M
 
-    # two-tier fixup split: the per-block count is spiky (seam/outlier
-    # blocks carry 2-3x the mean), so tier 1 covers the 85th-percentile
-    # block and the statically-known heavy blocks run a second fixup
-    # matmul over the remaining columns (ops/pallas/color_gather
-    # ``_grouped_kernel``); light blocks skip it entirely
-    counts = np.bincount(blocks, minlength=G) if len(rows) else np.zeros(G, np.int64)
-    k1 = K
-    heavy: tuple = ()
-    if K:
-        q85 = _fixup_width_from_max(int(np.quantile(counts, 0.85)))
-        if 0 < q85 < K:
-            hv = np.nonzero(counts > q85)[0]
-            # only worthwhile when few blocks pay tier 2
-            if 0 < len(hv) <= G // 3:
-                k1 = q85
-                heavy = tuple(int(i) for i in hv)
+    # Range-restricted fixup (ops/pallas/color_gather._grouped_kernel):
+    # the host fill routes unassigned edges into the highest free slots
+    # (the overflow group sits at the end of the slot space), so fixup
+    # destinations concentrate in the top slots -- the correction matmul
+    # only spans rows [base_r * BA, M * BA), typically 3-5x fewer.
+    base_r = int(m_of.min(initial=M))
+    K = _fixup_width(blocks, G)
 
     # cost vs the plain XLA gather (same constants as colored_fixups)
     row_cost = sum(
         cap * (BA + 2 * width) for (_, cap, _, width, _) in groups
     )
-    fix_cost = M * (k1 + (K - k1) * len(heavy) / max(G, 1))
+    fix_cost = (M - base_r) * K
     cost = (
         2.0 * BA * feature_dim * (row_cost + fix_cost) * G
         / MATMUL_FLOPS_PER_SECOND
         + G * K * GATHER_SECONDS_PER_ROW
     )
     if cost >= A * M * GATHER_SECONDS_PER_ROW:
-        return (), empty, empty, (0, ())
+        return (), empty, empty, (0, 0)
 
     src = np.zeros((G, max(K, 0)), dtype=np.int32)
     dst = np.full((G, max(K, 0)), -1, dtype=np.int32)
     if K:
-        a = rows // M
-        m = rows % M
+        counts = np.bincount(blocks, minlength=G)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         k = np.arange(len(rows), dtype=np.int64) - starts[blocks]
         src[blocks, k] = nbr_reverse.reshape(-1)[rows]
-        dst[blocks, k] = m * BA + (a - blocks * BA)
-    return tuple(groups), src, dst, (int(k1) if k1 < K else 0, heavy)
+        dst[blocks, k] = (m_of - base_r) * BA + (a_of - blocks * BA)
+    return tuple(groups), src, dst, (int(K) if 0 < base_r else 0, int(base_r))
 
 
 def _fixup_width(blocks: np.ndarray, n_blocks: int) -> int:
@@ -687,7 +679,7 @@ def batch_from_systems(
 
     color_band = 0
     color_groups: tuple = ()
-    color_fixup_split: tuple = (0, ())
+    color_fixup_split: tuple = (0, 0)
     fixup_src = fixup_dst = np.zeros((0,), np.int32)
     if systems and all(n.colored for n in neighbors):
         from ..ops.pallas.color_gather import MIN_ROWS

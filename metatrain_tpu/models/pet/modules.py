@@ -538,7 +538,7 @@ def reverse_edges(edge_array, batch_data):
             batch_data["nbr_fixup_dst"],
             band=band,
             groups=groups,
-            fixup_split=batch_data.get("color_fixup_split", (0, ())),
+            fixup_split=batch_data.get("color_fixup_split", (0, 0)),
         )
     from ...ops.involution import permute_rows
 

@@ -490,8 +490,12 @@ def _grouped_slots(
         )
 
     def fill(fwd, rev, n_unassigned):
-        """First-free fill for unassigned edges (their rows become
-        kernel fixups), per direction independently."""
+        """Free-slot fill for unassigned edges (their rows become
+        kernel fixups), per direction independently. Prefers the
+        HIGHEST free slot: the wide overflow group sits at the end of
+        the slot space, and fixup rows living in its range are patched
+        by the kernel's cheap range-restricted correction matmul
+        (``color_gather._grouped_kernel`` fixup split)."""
         slots_full = np.concatenate([fwd, rev]).astype(np.int64)
         if n_unassigned:
             used = np.zeros((n_atoms, width), dtype=bool)
@@ -500,8 +504,8 @@ def _grouped_slots(
             for e in np.nonzero(~ok)[0]:
                 a = cen[e]
                 free = np.nonzero(~used[a])[0]
-                slots_full[e] = free[0]
-                used[a, free[0]] = True
+                slots_full[e] = free[-1]
+                used[a, free[-1]] = True
         return slots_full
 
     # MD rebuild fast path: reuse the cached winning spec for this

@@ -359,7 +359,7 @@ def _grouped_band_dma(
 
 def _grouped_kernel(
     idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, *scratch,
-    A, M, D, BA, K, groups, mgx, k_split=0, heavy_blocks=(),
+    A, M, D, BA, K, groups, mgx, k_split=0, ov_base=0,
 ):
     """Grouped-window variant: slots are partitioned into sigma-paired
     groups, each with its own (narrow) circular window at offset delta
@@ -441,17 +441,17 @@ def _grouped_kernel(
     res_all = jnp.concatenate(res_groups, axis=0)  # (M, BA, D)
 
     if K:
-        # two-tier fixup: the per-block fixup count is spiky (seam and
-        # outlier-mode blocks carry 2-3x the mean), so tier 1 covers the
-        # typical block width and tier 2 -- the same matmul over the
-        # remaining columns -- runs ONLY on the statically-known heavy
-        # blocks (their extra rows sit in columns [k1, K); light blocks
-        # have dst == -1 there, so skipping is exact)
-        k1 = k_split if k_split else K
-
-        def apply_fix(res, dst, vals):
+        # Range-split fixup: the host fill routes unassigned edges into
+        # the wide overflow group's slots whenever one is free, so most
+        # fixup destinations live in the slot range [ov_base, M) -- the
+        # main correction matmul only spans those (M - ov_base) * BA
+        # rows (~4-8x fewer); a second small matmul over all rows
+        # patches the stragglers (dst column split is static: tier A in
+        # [0, k_split), tier B in [k_split, K)). Both one-hot matmuls
+        # are exact; dst == -1 matches nothing.
+        def apply_fix(res2d, dst, vals):
             rows = jax.lax.broadcasted_iota(
-                jnp.int32, (M * BA, dst.shape[-1]), 0
+                jnp.int32, (res2d.shape[0], dst.shape[-1]), 0
             )
             onehot_fix = (rows == dst).astype(dtype)
             keep = 1.0 - jnp.sum(
@@ -463,28 +463,35 @@ def _grouped_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
-            return res * keep + corr
+            return res2d * keep + corr
 
-        res_flat = apply_fix(
-            res_all.reshape(M * BA, D),
-            dstloc_ref[0][:, :k1],
-            vals_ref[0][:k1],
-        )
-        out_ref[:] = jnp.swapaxes(res_flat.reshape(M, BA, D), 0, 1)
-        if k1 < K:
-            is_heavy = jnp.zeros((), jnp.bool_)
-            for i in heavy_blocks:
-                is_heavy = jnp.logical_or(is_heavy, g == i)
-
-            @pl.when(is_heavy)
-            def _():
-                fixed2 = apply_fix(
-                    res_flat, dstloc_ref[0][:, k1:], vals_ref[0][k1:]
+        k1 = k_split
+        if k1:
+            # tier B (full-range stragglers) first, then the restricted
+            # tier A: a fixup matmul consuming the concat result below
+            # trips Mosaic ("Invalid input layout", v5e 2026-08), so the
+            # concat must come last
+            if k1 < K:
+                res_flat = apply_fix(
+                    res_all.reshape(M * BA, D),
+                    dstloc_ref[0][:, k1:],
+                    vals_ref[0][k1:],
                 )
-                out_ref[:] = jnp.swapaxes(
-                    fixed2.reshape(M, BA, D), 0, 1
-                )
-        return
+                res_all = res_flat.reshape(M, BA, D)
+            M_ov = M - ov_base
+            res_ov = apply_fix(
+                res_all[ov_base:].reshape(M_ov * BA, D),
+                dstloc_ref[0][:, :k1],
+                vals_ref[0][:k1],
+            )
+            res_all = jnp.concatenate(
+                [res_all[:ov_base], res_ov.reshape(M_ov, BA, D)], axis=0
+            )
+        else:
+            res_flat = apply_fix(
+                res_all.reshape(M * BA, D), dstloc_ref[0], vals_ref[0]
+            )
+            res_all = res_flat.reshape(M, BA, D)
 
     out_ref[:] = jnp.swapaxes(res_all, 0, 1)
 
@@ -531,7 +538,7 @@ def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[
 
 def _kernel_impl_grouped(
     x, nbr_indices, fixup_src, fixup_dst, groups, interpret: bool,
-    fixup_split=(0, ()),
+    fixup_split=(0, 0),
 ):
     A, M, D = x.shape
     BA, mgx = grouped_geometry(A, groups, M)
@@ -562,12 +569,11 @@ def _kernel_impl_grouped(
         for (_, cap, _, width, _) in groups
     ] + [pltpu.SemaphoreType.DMA((len(groups), 2, 2))]
 
-    k_split, heavy_blocks = fixup_split
+    k_split, ov_base = fixup_split
     return pl.pallas_call(
         functools.partial(
             _grouped_kernel, A=A, M=M, D=D, BA=BA, K=K, groups=groups,
-            mgx=mgx, k_split=int(k_split),
-            heavy_blocks=tuple(heavy_blocks),
+            mgx=mgx, k_split=int(k_split), ov_base=int(ov_base),
         ),
         grid=(G,),
         in_specs=[
@@ -798,7 +804,7 @@ colored_permute_p = jex_core.Primitive("colored_permute")
 
 def colored_permute(
     x, rev, nbr_indices, fixup_src, fixup_dst, *, band: int, groups=(),
-    fixup_split=(0, ()),
+    fixup_split=(0, 0),
 ):
     """``x.reshape(A*M, D)[rev].reshape(A, M, D)`` via the banded colored
     kernel (TPU) or a plain gather (other backends / band == 0).
@@ -834,7 +840,7 @@ def colored_permute(
         fixup_dst,
         band=int(band),
         groups=tuple(tuple(int(v) for v in g) for g in groups),
-        fixup_split=(int(fixup_split[0]), tuple(int(i) for i in fixup_split[1])),
+        fixup_split=(int(fixup_split[0]), int(fixup_split[1])),
     )
 
 
@@ -881,7 +887,7 @@ def use_kernel_grouped(x_shape, dtype, groups) -> bool:
 
 
 def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(),
-          fixup_split=(0, ()), interpret=None):
+          fixup_split=(0, 0), interpret=None):
     from . import pallas_enabled
 
     A, M, D = x.shape
@@ -902,11 +908,11 @@ def _impl(x, rev, nbr_indices, fixup_src, fixup_dst, *, band, groups=(),
 
 
 def _abstract_eval(x, rev, nbr_indices, fixup_src, fixup_dst, *, band,
-                   groups=(), fixup_split=(0, ())):
+                   groups=(), fixup_split=(0, 0)):
     return x.update(shape=x.shape, dtype=x.dtype)
 
 
-def _jvp(primals, tangents, *, band, groups=(), fixup_split=(0, ())):
+def _jvp(primals, tangents, *, band, groups=(), fixup_split=(0, 0)):
     x, rev, idx, fsrc, fdst = primals
     dx = tangents[0]
     out = colored_permute(x, rev, idx, fsrc, fdst, band=band, groups=groups,
@@ -919,7 +925,7 @@ def _jvp(primals, tangents, *, band, groups=(), fixup_split=(0, ())):
 
 
 def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=(),
-               fixup_split=(0, ())):
+               fixup_split=(0, 0)):
     if type(ct) is ad.Zero:
         return ad.Zero.from_primal_value(x), None, None, None, None
     # involution: the exact adjoint is the same permutation (the grouped
@@ -935,7 +941,7 @@ def _transpose(ct, x, rev, idx, fsrc, fdst, *, band, groups=(),
     )
 
 
-def _batching(args, dims, *, band, groups=(), fixup_split=(0, ())):
+def _batching(args, dims, *, band, groups=(), fixup_split=(0, 0)):
     x, rev, idx, fsrc, fdst = args
     if any(d is not None for d in dims[1:]):
         raise NotImplementedError("batched permutation indices")

@@ -160,6 +160,9 @@ def test_grouped_kernel_bitwise(grouped_batch):
             batch.nbr_fixup_dst,
             batch.color_groups,
             interpret=True,
+            # the dst column layout is defined by the split spec: they
+            # must always travel together (the primitive carries both)
+            fixup_split=batch.color_fixup_split,
         )
     )
     rev = np.asarray(batch.nbr_reverse).reshape(-1)
@@ -189,6 +192,7 @@ def test_transpose_same_permutation(grouped_batch):
             batch.nbr_fixup_dst,
             band=batch.color_band,
             groups=batch.color_groups,
+            fixup_split=batch.color_fixup_split,
         )
 
     rev = np.asarray(rev_flat)
