@@ -98,6 +98,30 @@ test_set: 0.1
 validation_set: 0.1
 """
 
+CARBON_OPTIONS = """\
+seed: 42
+architecture:
+  name: pet
+  model:
+    cutoff: 4.5
+  training:
+    num_epochs: {epochs}
+    batch_size: 10
+training_set:
+  systems:
+    read_from: ./carbon_reduced_100.xyz
+    length_unit: angstrom
+  targets:
+    energy:
+      key: energy
+      unit: eV
+      forces:
+        key: force
+      virial: on
+test_set: 0.1
+validation_set: 0.1
+"""
+
 SOAP_OPTIONS = """\
 seed: 42
 architecture:
@@ -139,6 +163,16 @@ def main():
             PET_OPTIONS.format(epochs=200),
             [eth],
             "same protocol, 200 epochs",
+        )
+    if which in ("all", "carbon"):
+        # periodic system with energy + forces + VIRIAL targets (the
+        # north-star parity condition names virial MAE; the reference's
+        # carbon fixture carries per-frame CASTEP virials)
+        run_case(
+            "pet_carbon_virial_100ep",
+            CARBON_OPTIONS.format(epochs=100),
+            [REF / "tests/resources/carbon_reduced_100.xyz"],
+            "periodic carbon, energy+forces+virial, 100 epochs",
         )
     if which in ("all", "soap"):
         run_case(
