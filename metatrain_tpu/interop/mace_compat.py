@@ -1,0 +1,466 @@
+"""Pure-JAX re-execution of a mace-torch MACE forward from an imported
+foundation state dict (the interior-weight transplant, VERDICT r3 #3).
+
+The reference wraps a live ``mace.modules.MACE`` module
+(``/root/reference/src/metatrain/experimental/mace/model.py:198-231``);
+this module evaluates the same function from the checkpoint's tensors
+directly -- no mace-torch, no e3nn -- covering the default architecture
+class (``RealAgnosticResidualInteractionBlock`` interactions, bessel
+radial basis, polynomial cutoff, silu gate, linear + non-linear
+readouts, symmetric-contraction products). The convention-sensitive
+pieces (real spherical harmonics, Wigner 3j, e3nn Linear /
+TensorProduct normalizations) come from
+:mod:`metatrain_tpu.interop.e3nn_compat`, whose 3j tensors are
+numerically validated as intertwiners of its own spherical-harmonics
+basis at build time. The symmetric-contraction U tensors are NOT
+re-derived: mace registers them as buffers, so they ship inside the
+foundation file and are consumed as-is (no basis-change risk).
+
+Convention notes (documented assumptions, see PERF/STATUS docs):
+
+- mace edge vectors point sender -> receiver = neighbor -> center,
+  i.e. the NEGATIVE of this framework's NEF edge vectors; the sign is
+  flipped before the spherical harmonics.
+- the e3nn Wigner-3j GLOBAL SIGN per (l1, l2, l3) follows the
+  Condon-Shortley complex 3j pushed through e3nn's documented
+  ``(-i)^l`` real basis change; this is e3nn's own construction, but no
+  e3nn installation exists in this environment to cross-check the
+  result, so it is the one convention taken from spec rather than
+  verified (flagged in ``tests/test_mace_compat.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .e3nn_compat import (
+    irreps_dim,
+    o3_linear,
+    parse_irreps,
+    sh_e3nn,
+    split_irreps,
+    tp_out_irreps_with_instructions,
+    w3j,
+)
+
+
+#: E[silu(t)^2]^(1/2) under t ~ N(0,1): e3nn normalizes hidden
+#: activations of FullyConnectedNet by this constant (computed by the
+#: same Gauss-Hermite style estimate e3nn uses at import time)
+def _act_norm_silu() -> float:
+    t = np.linspace(-12.0, 12.0, 200001)
+    pdf = np.exp(-0.5 * t * t) / math.sqrt(2 * math.pi)
+    silu = t / (1.0 + np.exp(-t))
+    integ = getattr(np, "trapezoid", np.trapz)
+    return float(np.sqrt(integ(silu**2 * pdf, t)))
+
+
+_SILU_NORM = _act_norm_silu()
+
+
+def _silu(x, xp):
+    return x / (1.0 + xp.exp(-x))
+
+
+def fully_connected_net(x, layer_weights: Sequence, xp):
+    """e3nn.nn.FullyConnectedNet forward: per layer ``x @ (w/sqrt(h_in))``
+    with variance-normalized silu between layers (none after the last)."""
+    n = len(layer_weights)
+    for i, w in enumerate(layer_weights):
+        h_in = w.shape[0]
+        x = x @ (w / math.sqrt(h_in))
+        if i < n - 1:
+            x = _silu(x, xp) / _SILU_NORM
+    return x
+
+
+def bessel_basis(lengths, bessel_weights, r_max: float, xp):
+    """mace BesselBasis: sqrt(2/r_max) * sin(w_n r) / r."""
+    r = xp.clip(lengths, 1e-10, None)[..., None]
+    return (
+        math.sqrt(2.0 / r_max)
+        * xp.sin(bessel_weights[None, :] * r)
+        / r
+    )
+
+
+def polynomial_cutoff(lengths, r_max: float, p: int, xp):
+    """mace PolynomialCutoff (Klicpera et al.): smooth to zero at r_max."""
+    u = lengths / r_max
+    f = (
+        1.0
+        - ((p + 1.0) * (p + 2.0) / 2.0) * u**p
+        + p * (p + 2.0) * u ** (p + 1)
+        - (p * (p + 1.0) / 2.0) * u ** (p + 2)
+    )
+    return xp.where(u < 1.0, f, 0.0)
+
+
+def _conv_tp_uvu(
+    node_blocks, sh_list, tp_weights, irreps_node, sh_lmax, target_irreps, xp
+):
+    """e3nn 'uvu' TensorProduct node_feats (x) edge_sh with per-edge
+    weights (shared_weights=False), mace instruction enumeration.
+
+    :param node_blocks: per-irrep (E, mul, 2l+1) sender features.
+    :param sh_list: per-l (E, 2l+1) edge spherical harmonics.
+    :param tp_weights: (E, n_paths * mul) flat per-edge weights in
+        instruction order.
+    :return: (out_blocks, irreps_out) with out_blocks per sorted output
+        irrep (E, mul, 2l+1).
+    """
+    sh_irreps = [(1, l, (-1) ** l) for l in range(sh_lmax + 1)]
+    irreps_out, instructions = tp_out_irreps_with_instructions(
+        irreps_node, sh_irreps, target_irreps
+    )
+    # paths into each output (for e3nn path_normalization='element';
+    # each 'uvu' path contributes fan mul_in2 = 1)
+    n_into = [0] * len(irreps_out)
+    for _, _, i_out, _ in instructions:
+        n_into[i_out] += 1
+
+    out_blocks: List[Optional[Any]] = [None] * len(irreps_out)
+    # weights laid out in PRE-SORT enumeration order, mul entries each
+    for i1, i2, i_out, pos in instructions:
+        mul, l1, _ = irreps_node[i1]
+        _, l2, _ = sh_irreps[i2]
+        _, l3, _ = irreps_out[i_out]
+        wslice = tp_weights[:, pos * mul : (pos + 1) * mul]  # (E, mul)
+        W = xp.asarray(
+            w3j(l1, l2, l3), dtype=node_blocks[0].dtype
+        )  # (2l1+1, 2l2+1, 2l3+1), unit Frobenius
+        alpha = math.sqrt((2 * l3 + 1) / n_into[i_out])
+        contrib = alpha * xp.einsum(
+            "eum,en,mnk,eu->euk",
+            node_blocks[i1],
+            sh_list[l2],
+            W,
+            wslice,
+        )
+        out_blocks[i_out] = (
+            contrib if out_blocks[i_out] is None else out_blocks[i_out] + contrib
+        )
+    for i_out, (mul, l, _) in enumerate(irreps_out):
+        if out_blocks[i_out] is None:
+            out_blocks[i_out] = xp.zeros(
+                (node_blocks[0].shape[0], mul, 2 * l + 1),
+                dtype=node_blocks[0].dtype,
+            )
+    return out_blocks, irreps_out
+
+
+def _skip_tp_scalar_attrs(node_blocks, attrs, weight_flat, irreps_in, irreps_out, xp):
+    """e3nn FullyConnectedTensorProduct(node_feats, species_onehot ->
+    irreps_out): with scalar attrs every path is (l, 0e) -> l, weight
+    (mul_in, n_elements, mul_out) per path in instruction order,
+    normalized by sqrt(mul_in * n_elements) (one path per output)."""
+    n_el = attrs.shape[-1]
+    out_blocks = []
+    off = 0
+    for mul_out, l_out, p_out in irreps_out:
+        blk = None
+        for i_in, (mul_in, l_in, p_in) in enumerate(irreps_in):
+            if (l_in, p_in) != (l_out, p_out):
+                continue
+            size = mul_in * n_el * mul_out
+            w = weight_flat[off : off + size].reshape(mul_in, n_el, mul_out)
+            off += size
+            contrib = xp.einsum(
+                "aum,ae,uev->avm", node_blocks[i_in], attrs, w
+            ) / math.sqrt(mul_in * n_el)
+            blk = contrib if blk is None else blk + contrib
+        if blk is None:
+            blk = xp.zeros(
+                (node_blocks[0].shape[0], mul_out, 2 * l_out + 1),
+                dtype=node_blocks[0].dtype,
+            )
+        out_blocks.append(blk)
+    if off != len(weight_flat):
+        raise ValueError(
+            f"skip_tp weight size mismatch: consumed {off} of "
+            f"{len(weight_flat)}"
+        )
+    return out_blocks
+
+
+def _symmetric_contraction(
+    x_cat, attrs, contraction_state: Dict[str, Any], correlation: int, xp
+):
+    """mace SymmetricContraction.Contraction forward for ONE output
+    irrep, consuming the SHIPPED U_matrix buffers.
+
+    mace's recursion (symmetric_contraction.py): start from the highest
+    order, repeatedly contract one copy of x:
+
+        out = einsum(U_max, w_max[z], x)       (highest correlation)
+        for nu = correlation-1 .. 1:
+            c = einsum(U_nu, w_nu[z]) + out
+            out = einsum(c, x)
+
+    :param x_cat: (A, C, D) A-basis features, D = (lmax+1)^2.
+    :param attrs: (A, n_elements) one-hot species.
+    :param contraction_state: this contraction's tensors:
+        ``U_matrix_{nu}`` buffers and ``weights_max`` / ``weights.{k}``.
+    """
+    D = x_cat.shape[-1]
+
+    def U(nu):
+        for key in (f"U_matrix_{nu}", f"U_{nu}", f"U_tensors.{nu}"):
+            if key in contraction_state:
+                return xp.asarray(
+                    contraction_state[key], dtype=x_cat.dtype
+                )
+        raise KeyError(
+            f"U matrix for correlation {nu} not found in the foundation "
+            f"file (keys: {sorted(contraction_state)})"
+        )
+
+    w_max = xp.asarray(
+        contraction_state["weights_max"], dtype=x_cat.dtype
+    )  # (n_el, P_numax, C)
+    Umax = U(correlation)
+    # U layout (mace U_matrix_real): (..outM.., D * correlation, P):
+    # leading 2L+1 axis only when L > 0
+    # out = einsum("...ik,ekc,bci,be->bc...", U, w, x, attrs)
+    out = xp.einsum(
+        "...ik,ekc,bci,be->bc...", Umax, w_max, x_cat, attrs
+    )
+    for nu in range(correlation - 1, 0, -1):
+        # mace appends ParameterList entries for nu = correlation-1..1
+        w_nu = xp.asarray(
+            contraction_state[f"weights.{correlation - 1 - nu}"],
+            dtype=x_cat.dtype,
+        )
+        c_tensor = xp.einsum(
+            "...k,ekc,be->bc...", U(nu), w_nu, attrs
+        )
+        c_tensor = c_tensor + out
+        out = xp.einsum("bc...i,bci->bc...", c_tensor, x_cat)
+    return out  # (A, C) for L=0, (A, C, 2L+1) for L>0
+
+
+class MACECompat:
+    """Callable mace-torch-compatible forward over a foundation state.
+
+    Parameters are the (converted, numpy) foundation tensors themselves;
+    the object only stores static architecture facts so the forward is
+    a pure function of ``(state, positions-dependent batch data)`` and
+    can be jitted / differentiated / finetuned directly.
+    """
+
+    def __init__(self, config: Dict[str, Any]):
+        self.r_max = float(config["r_max"])
+        self.num_interactions = int(config["num_interactions"])
+        self.correlation = int(config.get("correlation", 3))
+        self.max_ell = int(config.get("max_ell", 3))
+        self.num_elements = len(config["atomic_numbers"])
+        C = int(config["num_channels"])
+        self.num_channels = C
+        hidden = config.get("hidden_irreps")
+        lmax_h = int(config.get("hidden_lmax", 2))
+        if hidden:
+            self.hidden_irreps = parse_irreps(hidden)
+        else:
+            self.hidden_irreps = [
+                (C, l, (-1) ** l) for l in range(lmax_h + 1)
+            ]
+        self.num_cutoff_basis = int(config.get("num_cutoff_basis", 5))
+        self.avg_num_neighbors = float(
+            config.get("avg_num_neighbors", 1.0) or 1.0
+        )
+        # interaction targets: C x (all sh parities) -- natural only
+        self.interaction_irreps = [
+            (C, l, (-1) ** l) for l in range(self.max_ell + 1)
+        ]
+
+    # -- helpers ----------------------------------------------------------
+
+    def _scalars(self, irreps):
+        return [(mul, l, p) for (mul, l, p) in irreps if l == 0]
+
+    def forward(self, state: Dict[str, Any], batch_data: Dict[str, Any], xp):
+        """Per-atom interaction energies (A,) BEFORE scale/shift and
+        atomic baselines (those ride the composition/scaler models).
+
+        ``batch_data``: species_onehot (A, n_el), edge vectors in NEF
+        layout (A, M, 3) pointing center -> neighbor, distances (A, M),
+        nbr_indices (A, M), nbr_mask (A, M).
+        """
+        C = self.num_channels
+        onehot = batch_data["species_onehot"]
+        A = onehot.shape[0]
+        nbr_idx = batch_data["nbr_indices"]
+        mask = batch_data["nbr_mask"]
+        AM = nbr_idx.size
+
+        def g(name):
+            return xp.asarray(state[name], dtype=xp.float32)
+
+        # node embedding: Linear(onehot scalars -> C scalars)
+        node_feats_scalar = o3_linear(
+            onehot,
+            g("node_embedding.linear.weight").reshape(-1),
+            [(self.num_elements, 0, 1)],
+            [(C, 0, 1)],
+            xp=xp,
+        )  # (A, C)
+        feats_irreps: List[Tuple[int, int, int]] = [(C, 0, 1)]
+        feats_blocks = [node_feats_scalar[:, :, None]]  # (A, C, 1)
+
+        # edges: mace vectors point sender->receiver = -(our NEF vector)
+        vec = -batch_data["edge_vectors"].reshape(AM, 3)
+        lengths = batch_data["edge_distances"].reshape(AM)
+        sh = sh_e3nn(vec, self.max_ell, xp=xp)
+        bessel_w = g("radial_embedding.bessel_fn.bessel_weights")
+        edge_feats = bessel_basis(lengths, bessel_w, self.r_max, xp)
+        cut = polynomial_cutoff(
+            lengths, self.r_max, self.num_cutoff_basis, xp
+        )
+        edge_feats = edge_feats * cut[:, None]
+        edge_mask = mask.reshape(AM).astype(xp.float32)
+
+        sender = nbr_idx.reshape(AM)
+        avg_nbrs = self.avg_num_neighbors
+
+        node_energies = xp.zeros((A,), dtype=xp.float32)
+        for i in range(self.num_interactions):
+            last = i == self.num_interactions - 1
+            pre = f"interactions.{i}."
+            out_irreps = (
+                self._scalars(self.hidden_irreps) if last else self.hidden_irreps
+            )
+
+            # residual skip from the INPUT features
+            sc_blocks = _skip_tp_scalar_attrs(
+                feats_blocks,
+                onehot,
+                g(pre + "skip_tp.weight").reshape(-1),
+                feats_irreps,
+                out_irreps,
+                xp=xp,
+            )
+
+            up = o3_linear(
+                xp.concatenate(
+                    [b.reshape(A, -1) for b in feats_blocks], axis=-1
+                ),
+                g(pre + "linear_up.weight").reshape(-1),
+                feats_irreps,
+                feats_irreps,
+                xp=xp,
+            )
+            up_blocks = split_irreps(up, feats_irreps, xp=xp)
+
+            # radial MLP -> per-edge TP weights
+            layer_names = [
+                k
+                for k in sorted(state)
+                if k.startswith(pre + "conv_tp_weights.layer")
+                and k.endswith(".weight")
+            ]
+            tp_w = fully_connected_net(
+                edge_feats, [g(k) for k in layer_names], xp
+            )
+            tp_w = tp_w * edge_mask[:, None]
+
+            sender_blocks = [b[sender] for b in up_blocks]
+            msg_blocks, mid_irreps = _conv_tp_uvu(
+                sender_blocks,
+                sh,
+                tp_w,
+                feats_irreps,
+                self.max_ell,
+                self.interaction_irreps,
+                xp=xp,
+            )
+            # scatter back to centers: NEF rows ARE (center, slot)
+            M = nbr_idx.shape[1]
+            agg_blocks = [
+                xp.sum(
+                    b.reshape((A, M) + b.shape[1:]), axis=1
+                )
+                / avg_nbrs
+                for b in msg_blocks
+            ]
+            mlin = o3_linear(
+                xp.concatenate(
+                    [b.reshape(A, -1) for b in agg_blocks], axis=-1
+                ),
+                g(pre + "linear.weight").reshape(-1),
+                mid_irreps,
+                self.interaction_irreps,
+                xp=xp,
+            )
+
+            # product basis: symmetric contractions on (A, C, D) stack
+            # (mace reshape_irreps: per-irrep (A, C, 2l+1) blocks
+            # concatenated on the last axis -- NOT a flat reshape, the
+            # e3nn packing is l-major)
+            mlin_blocks = split_irreps(
+                mlin, self.interaction_irreps, xp=xp
+            )
+            x_cat = xp.concatenate(mlin_blocks, axis=-1)
+            ppre = f"products.{i}.symmetric_contractions.contractions."
+            prod_blocks = []
+            for j, (mul_out, l_out, p_out) in enumerate(out_irreps):
+                cstate = {
+                    k[len(ppre) + len(str(j)) + 1 :]: state[k]
+                    for k in state
+                    if k.startswith(f"{ppre}{j}.")
+                }
+                out = _symmetric_contraction(
+                    x_cat, onehot, cstate, self.correlation, xp
+                )
+                if out.ndim == 2:
+                    out = out[:, :, None]
+                prod_blocks.append(out)
+            plin = o3_linear(
+                xp.concatenate(
+                    [b.reshape(A, -1) for b in prod_blocks], axis=-1
+                ),
+                g(f"products.{i}.linear.weight").reshape(-1),
+                out_irreps,
+                out_irreps,
+                xp=xp,
+            )
+            new_blocks = split_irreps(plin, out_irreps, xp=xp)
+            feats_blocks = [
+                nb + sb for nb, sb in zip(new_blocks, sc_blocks)
+            ]
+            feats_irreps = out_irreps
+
+            # readout on the scalar channel
+            scal = feats_blocks[0][:, :, 0]  # (A, C)
+            rpre = f"readouts.{i}."
+            if (rpre + "linear.weight") in state:
+                e = o3_linear(
+                    scal,
+                    g(rpre + "linear.weight").reshape(-1),
+                    [(C, 0, 1)],
+                    [(1, 0, 1)],
+                    xp=xp,
+                )[:, 0]
+            else:
+                h_dim = state[rpre + "linear_1.weight"].size // C
+                h = o3_linear(
+                    scal,
+                    g(rpre + "linear_1.weight").reshape(-1),
+                    [(C, 0, 1)],
+                    [(h_dim, 0, 1)],
+                    xp=xp,
+                )
+                # e3nn.nn.Activation normalizes the act's second moment
+                h = _silu(h, xp) / _SILU_NORM
+                e = o3_linear(
+                    h,
+                    g(rpre + "linear_2.weight").reshape(-1),
+                    [(h_dim, 0, 1)],
+                    [(1, 0, 1)],
+                    xp=xp,
+                )[:, 0]
+            node_energies = node_energies + e
+
+        return node_energies
