@@ -66,12 +66,20 @@ def _walk_module(obj, prefix: str, out: Dict[str, Any]) -> None:
         if child is not None:
             _walk_module(child, f"{prefix}{name}.", out)
     # plain attributes occasionally hold tensors (e.g. r_max as a
-    # 0-d tensor attribute on old mace versions)
+    # 0-d tensor attribute on old mace versions); plain numeric attrs
+    # (avg_num_neighbors, r_max floats) become 0-d arrays -- the compat
+    # forward needs them and pickled modules keep them in __dict__
     for name, value in state.items():
         if name.startswith("_"):
             continue
         if hasattr(value, "numpy") and name not in out:
             out[prefix + name] = value
+        elif (
+            isinstance(value, (int, float))
+            and not isinstance(value, bool)
+            and name not in out
+        ):
+            out[prefix + name] = np.asarray(value)
 
 
 def load_mace_foundation_state(path: str) -> Dict[str, np.ndarray]:
@@ -154,9 +162,41 @@ def _config_from_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             nus.add(int(nu))
     cfg["correlation"] = len(nus) + 1 if nus else 3
 
-    # max_ell of node features: infer from skip_tp / linear shapes is
-    # version-dependent; foundation MACE models (MP-0 family) carry l<=2
-    cfg["max_ell"] = 2 if cfg["num_interactions"] > 1 else 1
+    # max_ell (edge SH degree): the FIRST interaction's input features
+    # are pure scalars, so its conv_tp has exactly one 'uvu' instruction
+    # per SH degree -- the radial MLP's last layer emits C * (max_ell+1)
+    # weights
+    last_layer = None
+    for key in sorted(state):
+        if key.startswith("interactions.0.conv_tp_weights.layer") and (
+            key.endswith(".weight")
+        ):
+            last_layer = key
+    if last_layer is not None:
+        n_w = int(state[last_layer].shape[-1])
+        if n_w % cfg["num_channels"] == 0:
+            cfg["max_ell"] = n_w // cfg["num_channels"] - 1
+        else:
+            cfg["max_ell"] = 3
+    else:
+        cfg["max_ell"] = 2 if cfg["num_interactions"] > 1 else 1
+
+    # hidden lmax: one symmetric contraction per hidden irrep (natural
+    # parities) on a non-last product block
+    contractions = {
+        key.split(".contractions.", 1)[1].split(".", 1)[0]
+        for key in state
+        if key.startswith("products.0.symmetric_contractions.contractions.")
+    }
+    if contractions and cfg["num_interactions"] > 1:
+        cfg["hidden_lmax"] = len(contractions) - 1
+
+    p = state.get("radial_embedding.cutoff_fn.p")
+    if p is not None:
+        cfg["num_cutoff_basis"] = int(np.ravel(p)[0])
+    ann = state.get("interactions.0.avg_num_neighbors")
+    if ann is not None:
+        cfg["avg_num_neighbors"] = float(np.ravel(ann)[0])
 
     # multi-head models: atomic_energies (H, S) / scale_shift (H,)
     ae = state.get("atomic_energies_fn.atomic_energies")
@@ -253,35 +293,102 @@ def convert_mace_foundation(
         },
     )
 
-    hypers = {
-        "cutoff": cfg["r_max"],
-        "num_radial": cfg["num_radial"],
-        "max_ell": cfg["max_ell"],
-        "num_channels": min(cfg["num_channels"], 128),
-        "num_interactions": cfg["num_interactions"],
-        "correlation": cfg["correlation"],
-    }
-    model = MACE(hypers, dataset_info)
-    params = model.init_params(jax.random.PRNGKey(0))
+    # interior-transplant path (r4): when the file carries the complete
+    # default-architecture interior -- including mace's U-matrix buffers
+    # -- build a foundation-compat model whose parameters ARE the
+    # imported tensors, re-executed by interop/mace_compat. The imported
+    # checkpoint then predicts with the FOUNDATION's interior, not a
+    # fresh init.
+    interior_keys = [
+        k
+        for k in state
+        if k.startswith(
+            ("node_embedding.", "radial_embedding.", "interactions.",
+             "products.", "readouts.")
+        )
+    ]
+    has_u = any(".U_matrix_" in k or ".U_" in k for k in state)
+    interior_complete = (
+        "node_embedding.linear.weight" in state
+        and "interactions.0.linear_up.weight" in state
+        and any(k.endswith("weights_max") for k in state)
+        and any(
+            k.startswith("interactions.0.conv_tp_weights.") for k in state
+        )
+        and has_u
+    )
 
-    # species embedding: the one interior tensor with an exact native
-    # counterpart (linear on one-hot == embedding table). e3nn stores a
-    # flat (n_species * C) weight, species-major.
-    emb = state.get("node_embedding.linear.weight")
-    if emb is not None:
-        n_species = len(atomic_types)
-        table = np.asarray(emb, np.float32).reshape(n_species, -1)
-        # mace-torch species order == sorted atomic numbers (one-hot
-        # built from argsorted atomic_numbers); ours is sorted too
-        order = np.argsort(cfg["atomic_numbers"])
-        table = table[order]
-        C = model.hypers["num_channels"]
-        if table.shape[1] >= C:
-            emb_path = ("params", "species_embedding", "embedding")
-            tree = params
-            for key in emb_path[:-1]:
-                tree = tree[key]
-            tree[emb_path[-1]] = jnp.asarray(table[:, :C])
+    if interior_complete:
+        trainable = {}
+        static = {}
+        for k in interior_keys:
+            v = np.asarray(state[k])
+            if v.ndim == 0:
+                continue  # scalar attrs ride foundation_config
+            if ".U_matrix" in k or k.endswith("bessel_weights") or ".U_" in k:
+                static[k] = jnp.asarray(v, jnp.float32)
+            else:
+                trainable[k] = jnp.asarray(v, jnp.float32)
+        hypers = {
+            "cutoff": cfg["r_max"],
+            "num_channels": cfg["num_channels"],
+            "num_interactions": cfg["num_interactions"],
+            "correlation": cfg["correlation"],
+            "max_ell": cfg["max_ell"],
+            "foundation_compat": True,
+            "foundation_config": {
+                "r_max": cfg["r_max"],
+                "num_interactions": cfg["num_interactions"],
+                "correlation": cfg["correlation"],
+                "max_ell": cfg["max_ell"],
+                "atomic_numbers": cfg["atomic_numbers"],
+                "num_channels": cfg["num_channels"],
+                "hidden_lmax": cfg.get("hidden_lmax", 2),
+                "num_cutoff_basis": cfg.get("num_cutoff_basis", 5),
+                "avg_num_neighbors": cfg.get("avg_num_neighbors", 1.0),
+                # our sorted species index -> the file's element index
+                "element_perm": [
+                    cfg["atomic_numbers"].index(z) for z in atomic_types
+                ],
+            },
+        }
+        model = MACE(hypers, dataset_info)
+        params = {
+            "params": {
+                "foundation": trainable,
+                "foundation_static": static,
+            }
+        }
+    else:
+        hypers = {
+            "cutoff": cfg["r_max"],
+            "num_radial": cfg["num_radial"],
+            "max_ell": cfg["max_ell"],
+            "num_channels": min(cfg["num_channels"], 128),
+            "num_interactions": cfg["num_interactions"],
+            "correlation": cfg["correlation"],
+        }
+        model = MACE(hypers, dataset_info)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        # species embedding: the one interior tensor with an exact native
+        # counterpart (linear on one-hot == embedding table). e3nn stores
+        # a flat (n_species * C) weight, species-major.
+        emb = state.get("node_embedding.linear.weight")
+        if emb is not None:
+            n_species = len(atomic_types)
+            table = np.asarray(emb, np.float32).reshape(n_species, -1)
+            # mace-torch species order == sorted atomic numbers (one-hot
+            # built from argsorted atomic_numbers); ours is sorted too
+            order = np.argsort(cfg["atomic_numbers"])
+            table = table[order]
+            C = model.hypers["num_channels"]
+            if table.shape[1] >= C:
+                emb_path = ("params", "species_embedding", "embedding")
+                tree = params
+                for key in emb_path[:-1]:
+                    tree = tree[key]
+                tree[emb_path[-1]] = jnp.asarray(table[:, :C])
 
     ckpt_dataset_info = dataset_info.to_dict()
 

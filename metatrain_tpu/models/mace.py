@@ -542,6 +542,69 @@ class MACEModule(nn.Module):
         return results
 
 
+class _FoundationCompatShim:
+    """Duck-typed stand-in for a flax module (``init``/``apply``) whose
+    parameters are the imported mace-torch foundation tensors; the
+    forward re-executes the mace architecture from them
+    (:mod:`metatrain_tpu.interop.mace_compat`). Scalar-energy targets
+    only (the foundation readouts are scalar); non-trainable foundation
+    buffers (U matrices, bessel frequencies) ride the parameter tree
+    under ``foundation_static`` behind a ``stop_gradient`` so finetuning
+    never drifts them.
+    """
+
+    def __init__(self, config, output_shapes, target_names):
+        from ..interop.mace_compat import MACECompat
+
+        self.compat = MACECompat(config)
+        self.output_shapes = output_shapes
+        self.target_names = tuple(target_names)
+        self.num_elements = self.compat.num_elements
+        # our species_index is sorted-atomic-types order; the foundation
+        # tensors' element axis follows the FILE's atomic_numbers order
+        perm = config.get("element_perm")
+        self._element_perm = (
+            np.asarray(perm, np.int32)
+            if perm is not None
+            else np.arange(self.num_elements, dtype=np.int32)
+        )
+
+    def init(self, rng, batch_data, targets):  # pragma: no cover - guard
+        raise RuntimeError(
+            "foundation-compat MACE parameters come from "
+            "`mtt-tpu import-torch <foundation file>`, not fresh init"
+        )
+
+    def apply(self, params, batch_data, targets, **_kwargs):
+        p = params["params"]
+        state = dict(p["foundation"])
+        state.update(
+            jax.tree_util.tree_map(
+                jax.lax.stop_gradient, dict(p.get("foundation_static", {}))
+            )
+        )
+        file_idx = jnp.asarray(self._element_perm)[
+            batch_data["species_index"]
+        ]
+        onehot = jax.nn.one_hot(
+            file_idx, self.num_elements, dtype=jnp.float32
+        )
+        bd = dict(batch_data)
+        bd["species_onehot"] = onehot
+        energies = self.compat.forward(state, bd, jnp)  # (A,)
+        out = {}
+        for name in targets:
+            shapes = self.output_shapes[name]
+            (block_key,) = tuple(shapes)
+            if shapes[block_key] != 1:
+                raise NotImplementedError(
+                    "foundation-compat MACE serves scalar energy "
+                    "targets only"
+                )
+            out[name] = {block_key: energies[:, None]}
+        return out
+
+
 class MACE(AtomisticNNModel):
     ARCHITECTURE_NAME = "experimental.mace"
     __checkpoint_version__ = 3
@@ -598,7 +661,16 @@ class MACE(AtomisticNNModel):
             target_specs[name] = specs
 
         self.cutoff = float(full["cutoff"])
-        if legacy:
+        if full.get("foundation_compat"):
+            # imported mace-torch foundation interior: the module
+            # re-executes the mace forward from the transplanted tensors
+            # (interop/mace_compat); parameters ARE those tensors
+            self.module = _FoundationCompatShim(
+                dict(full["foundation_config"]),
+                self.output_shapes,
+                tuple(self.target_infos),
+            )
+        elif legacy:
             self.module = MACEModule(
                 hypers=dict(full),
                 num_species=len(self.atomic_types),
