@@ -370,7 +370,7 @@ class ArchitectureTests:
     @pytest.fixture(
         scope="class",
         params=["per_atom_scalar", "multi_property", "cartesian_rank1",
-                "cartesian_rank2", "spherical_l2"],
+                "cartesian_rank2", "spherical_l2", "multispherical"],
     )
     def typed_dataset(self, request):
         kind = request.param
@@ -383,6 +383,46 @@ class ArchitectureTests:
         for i in range(8):
             s = _molecule(5, seed=20 + i)
             systems.append(s)
+        if kind == "multispherical":
+            # one target with several irrep blocks (reference
+            # ``utils/testing/output.py`` multispherical matrix)
+            info = get_generic_target_info(
+                "spherical",
+                1,
+                "",
+                "multi",
+                irreps=[
+                    {"o3_lambda": 0, "o3_sigma": 1},
+                    {"o3_lambda": 2, "o3_sigma": 1},
+                ],
+            )
+            from ..containers import Labels, TensorBlock, TensorMap
+
+            target_maps = []
+            for s in systems:
+                blocks = []
+                for layout_key, layout_block in info.layout.items():
+                    lam = int(layout_key[info.layout.keys.names.index(
+                        "o3_lambda")])
+                    blocks.append(
+                        TensorBlock(
+                            values=jnp.asarray(
+                                rng.normal(size=(1, 2 * lam + 1, 1))
+                            ),
+                            samples=Labels(
+                                ["system"],
+                                np.zeros((1, 1), dtype=np.int32),
+                            ),
+                            components=tuple(layout_block.components),
+                            properties=layout_block.properties,
+                        )
+                    )
+                target_maps.append(TensorMap(info.layout.keys, blocks))
+            types = sorted({int(t) for s in systems for t in s.types})
+            dataset = Dataset(systems, {"target": target_maps})
+            return kind, dataset, DatasetInfo(
+                "angstrom", types, {"target": info}
+            )
         if kind == "per_atom_scalar":
             info = get_generic_target_info(
                 "scalar", 1, "eV", "energy", per_atom=True
@@ -451,14 +491,15 @@ class ArchitectureTests:
         )
         params = model.init_params(jax.random.PRNGKey(0))
         batch = self._batch(model, [dataset[0].system, dataset[1].system])
-        out = model.forward(params, batch, ["target"])["target"].block(0)
-        layout_block = ds_info.targets["target"].layout.block(0)
-        values = np.asarray(out.values)
-        assert np.isfinite(values).all()
-        expected_trailing = tuple(
-            len(c) for c in layout_block.components
-        ) + (len(layout_block.properties),)
-        assert values.shape[1:] == expected_trailing
+        out_map = model.forward(params, batch, ["target"])["target"]
+        layout = ds_info.targets["target"].layout
+        for bi, (_, layout_block) in enumerate(layout.items()):
+            values = np.asarray(out_map.block(bi).values)
+            assert np.isfinite(values).all()
+            expected_trailing = tuple(
+                len(c) for c in layout_block.components
+            ) + (len(layout_block.properties),)
+            assert values.shape[1:] == expected_trailing
 
         trainer = arch_module.__trainer__(
             {"num_epochs": 1, "batch_size": 4, **self.trainer_overrides}
@@ -718,3 +759,212 @@ class ArchitectureTests:
 
         raw = load_checkpoint_file(path)
         assert raw["model_ckpt_version"] == type(model).__checkpoint_version__
+
+    def test_checkpoint_has_required_fields(self, model_and_params):
+        """Every checkpoint carries the loader contract fields
+        (reference checkpoint schema, ``utils/io.py:190-258``)."""
+        model, params = model_and_params
+        model.params = params
+        ckpt = model.get_checkpoint()
+        for field in (
+            "architecture_name",
+            "model_ckpt_version",
+            "hypers",
+            "dataset_info",
+        ):
+            assert field in ckpt, field
+        assert ckpt["architecture_name"] == self.architecture
+
+    # -- Physics sanity (reference OutputTests extensions) -------------------
+
+    def test_translation_invariance(self, model_and_params):
+        """Rigid translation leaves a scalar energy exactly invariant
+        (no augmentation involved -- translation invariance is
+        structural: only relative positions enter)."""
+        if not self.has_scalar_energy:
+            pytest.skip("no scalar energy output")
+        model, params = model_and_params
+        system = _molecule(6, seed=31)
+        shifted = System(
+            system.positions + np.array([1.7, -2.3, 0.9]),
+            system.types,
+            system.cell,
+            system.pbc,
+        )
+        name = self.primary_output
+        e0 = np.asarray(
+            model.forward(params, self._batch(model, [system]), [name])[
+                name
+            ].block(0).values
+        )
+        e1 = np.asarray(
+            model.forward(params, self._batch(model, [shifted]), [name])[
+                name
+            ].block(0).values
+        )
+        np.testing.assert_allclose(e1, e0, rtol=1e-5, atol=1e-6)
+
+    def test_energy_extensivity(self, model_and_params):
+        """Two molecules far outside each other's cutoff predict the sum
+        of their individual energies (locality of the model)."""
+        if not self.has_scalar_energy or not getattr(self, "is_local", True):
+            pytest.skip("not a local scalar-energy model")
+        model, params = model_and_params
+        a = _molecule(5, seed=41)
+        b = _molecule(6, seed=42)
+        cutoff = model.requested_neighbor_cutoff() or 5.0
+        b_far = System(
+            b.positions + np.array([10.0 * cutoff, 0.0, 0.0]),
+            b.types,
+            b.cell,
+            b.pbc,
+        )
+        combined = System(
+            np.concatenate([a.positions, b_far.positions]),
+            np.concatenate([a.types, b_far.types]),
+            a.cell,
+            a.pbc,
+        )
+        name = self.primary_output
+
+        def energy(systems):
+            out = model.forward(
+                params, self._batch(model, systems), [name]
+            )[name].block(0)
+            return float(np.asarray(out.values).sum())
+
+        e_sum = energy([a]) + energy([b_far])
+        e_combined = energy([combined])
+        np.testing.assert_allclose(e_combined, e_sum, rtol=1e-4, atol=1e-5)
+
+    def test_padding_invariance(self, model_and_params):
+        """Predictions must not depend on the batch padding sizes
+        (masked atoms/systems contribute exactly nothing)."""
+        model, params = model_and_params
+        system = _molecule(6, seed=51)
+        name = self.primary_output
+        tight = self._batch(model, [system])
+        systems = [self.decorate_system(_molecule(6, seed=51))]
+        cutoff = model.requested_neighbor_cutoff() or 5.0
+        nbrs = [compute_neighbor_data(s, cutoff=cutoff) for s in systems]
+        loose = batch_from_systems(
+            systems,
+            nbrs,
+            n_atoms_padded=tight.n_atoms_padded + 128,
+            n_systems_padded=tight.n_systems_padded + 2,
+            max_neighbors=tight.max_neighbors + 16,
+            dtype=jnp.float32,
+            extra_keys=list(model.requested_extra_system_keys())
+            if hasattr(model, "requested_extra_system_keys")
+            else [],
+        )
+        out_t = model.forward(params, tight, [name])[name].block(0)
+        out_l = model.forward(params, loose, [name])[name].block(0)
+        vt = np.asarray(out_t.values)
+        vl = np.asarray(out_l.values)
+        # compare the REAL rows (leading: real systems/atoms come first)
+        n = min(vt.shape[0], vl.shape[0])
+        real = np.asarray(
+            (tight.system_mask if vt.shape[0] == tight.n_systems_padded
+             else tight.atom_mask)
+        )[:n]
+        np.testing.assert_allclose(
+            vl[:n][real], vt[:n][real], rtol=1e-4, atol=1e-5
+        )
+
+    def test_supported_dtypes_forward(
+        self, arch_module, dataset_and_info, model_extra_hypers
+    ):
+        """The model evaluates finitely in every declared compute dtype
+        (reference ``__supported_dtypes__`` contract)."""
+        _, ds_info = dataset_and_info
+        model_cls = arch_module.__model__
+        if self.train_before_forward:
+            pytest.skip("fit-based model: covered by exported-dtype suite")
+        for dtype in model_cls.__supported_dtypes__:
+            try:
+                model = model_cls(
+                    self._model_hypers(model_extra_hypers),
+                    ds_info,
+                    compute_dtype=dtype,
+                )
+            except TypeError:
+                pytest.skip("architecture has a fixed compute dtype")
+            params = model.init_params(jax.random.PRNGKey(1))
+            name = self.primary_output
+            batch = self._batch(model, [_molecule(5, seed=61)], dtype=dtype)
+            out = model.forward(params, batch, [name])[name].block(0)
+            assert np.isfinite(np.asarray(out.values)).all(), dtype
+
+    # -- Features / last-layer features (reference ``output.py:608-759``) ----
+
+    def test_features_output(self, model_and_params):
+        """The generic ``"features"`` auxiliary output: a per-atom
+        TensorMap with a consistent feature width, zero on padding."""
+        model, params = model_and_params
+        batch = self._batch(model, [_molecule(6, seed=71)])
+        try:
+            out = model.forward(params, batch, ["features"])
+        except (NotImplementedError, KeyError):
+            pytest.skip("architecture exposes no per-atom features")
+        block = out["features"].block(0)
+        values = np.asarray(block.values)
+        assert values.ndim == 2 and values.shape[1] > 0
+        amask = np.asarray(batch.atom_mask)
+        assert np.isfinite(values).all()
+        assert np.all(values[~amask] == 0.0)
+
+    def test_last_layer_features_output(self, model_and_params):
+        """``mtt::aux::{target}_last_layer_features`` matches the
+        declared ``last_layer_feature_size`` (LLPR contract)."""
+        model, params = model_and_params
+        name = self.primary_output
+        aux = f"mtt::aux::{name}_last_layer_features"
+        batch = self._batch(model, [_molecule(6, seed=72)])
+        try:
+            size = model.last_layer_feature_size
+            out = model.forward(params, batch, [aux])
+        except (NotImplementedError, KeyError, AttributeError):
+            pytest.skip("architecture exposes no last-layer features")
+        values = np.asarray(out[aux].block(0).values)
+        assert values.shape[1] == size
+        assert np.isfinite(values).all()
+
+    # -- Finetune epoch accounting (reference ``training.py:193-370``) -------
+
+    def test_finetune_epoch_accounting(
+        self, arch_module, dataset_and_info, model_extra_hypers, tmp_path
+    ):
+        """Finetune context restarts the epoch counter at zero (fresh
+        trainer state), while restart context continues -- the reference
+        continuation semantics."""
+        if not self.supports_restart:
+            pytest.skip("architecture does not checkpoint trainer state")
+        dataset, ds_info = dataset_and_info
+        model = arch_module.__model__(
+            self._model_hypers(model_extra_hypers), ds_info
+        )
+        trainer_hypers = {
+            "num_epochs": 2,
+            "batch_size": 5,
+            **self.trainer_overrides,
+        }
+        trainer = arch_module.__trainer__(trainer_hypers)
+        trainer.train(
+            model, jnp.float32, [dataset], [dataset], str(tmp_path / "a")
+        )
+        path = str(tmp_path / "fin.ckpt")
+        trainer.save_checkpoint(model, path)
+        trained_epoch = getattr(trainer, "epoch", None)
+
+        # finetune: model weights load, trainer state does NOT -- the
+        # finetune run counts its own epochs from zero
+        finetuned = model_from_checkpoint(path, context="finetune")
+        trainer2 = arch_module.__trainer__(trainer_hypers)
+        assert getattr(trainer2, "epoch", 0) == 0
+        trainer2.train(
+            finetuned, jnp.float32, [dataset], [dataset],
+            str(tmp_path / "b"),
+        )
+        if trained_epoch is not None:
+            assert getattr(trainer2, "epoch", 0) <= trained_epoch + 1

@@ -48,7 +48,7 @@ class TestSoapBpnn(ArchitectureTests):
     supports_forces = True
     supported_target_types = (
         "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
-        "cartesian_rank2", "spherical_l2",
+        "cartesian_rank2", "spherical_l2", "multispherical",
     )
     equivariant_target_types = (
         "cartesian_rank1", "cartesian_rank2", "spherical_l2"
@@ -73,7 +73,8 @@ class TestMACE(ArchitectureTests):
     }
     supports_forces = True
     supported_target_types = (
-        "scalar", "multi_property", "cartesian_rank1", "spherical_l2"
+        "scalar", "multi_property", "cartesian_rank1", "spherical_l2",
+        "multispherical",
     )
     equivariant_target_types = ("cartesian_rank1", "spherical_l2")
 
@@ -97,6 +98,7 @@ class TestSPACE(ArchitectureTests):
         "cartesian_rank1",
         "cartesian_rank2",
         "spherical_l2",
+        "multispherical",
     )
     equivariant_target_types = (
         "cartesian_rank1", "cartesian_rank2", "spherical_l2"
