@@ -362,10 +362,14 @@ def convert_torch_checkpoint(
         else load_torch_checkpoint(path_or_ckpt)
     )
     arch = ckpt.get("architecture_name")
+    if arch == "soap_bpnn":
+        from .soap_bpnn_import import convert_soap_bpnn_checkpoint
+
+        return convert_soap_bpnn_checkpoint(ckpt, use_best=use_best)
     if arch != "pet":
         raise ValueError(
-            f"torch checkpoint conversion supports the PET architecture "
-            f"(got {arch!r})"
+            f"torch checkpoint conversion supports the PET and "
+            f"SOAP-BPNN architectures (got {arch!r})"
         )
     version = ckpt.get("model_ckpt_version")
     if version != 16:

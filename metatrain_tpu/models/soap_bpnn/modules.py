@@ -39,21 +39,15 @@ class SphericalExpansion(nn.Module):
     num_species: int
     num_pseudo_species: int = 0  # 0 -> one-hot species channels
     radial_kind: str = "bessel"
+    #: torch-spex compat: ((values rows...), (derivative rows...),
+    #: spacing, (n_per_l...)) -- the checkpoint's splined radial basis
+    #: with per-l function counts; hashable tuples (static module field)
+    spex_spline: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, edge_vectors, edge_distances, nbr_species_index, nbr_mask):
         A, M = edge_distances.shape
-        n_max = self.max_radial + 1
-
-        rb = radial_basis(
-            edge_distances,
-            self.cutoff,
-            n_max,
-            self.radial_kind,
-            self.cutoff_width,
-        )  # (A, M, n)
-        rb = jnp.where(nbr_mask[:, :, None], rb, 0.0).astype(self.dtype)
 
         unit = edge_vectors / jnp.maximum(edge_distances, 1e-10)[:, :, None]
         sph = jnp.concatenate(
@@ -73,6 +67,56 @@ class SphericalExpansion(nn.Module):
                 nbr_species_index, self.num_species, dtype=self.dtype
             )
 
+        if self.spex_spline is not None:
+            # imported reference descriptor: evaluate the checkpoint's
+            # spline (exact spex radial) x shifted-cosine cutoff; per-l
+            # radial counts -> a LIST of per-l coefficient stacks
+            from ...ops.radial import cosine_cutoff, hermite_spline_basis
+
+            values, derivs, spacing, n_per_l = self.spex_spline
+            rb_all = hermite_spline_basis(
+                edge_distances,
+                jnp.asarray(values, self.dtype),
+                jnp.asarray(derivs, self.dtype),
+                float(spacing),
+            )
+            cut = cosine_cutoff(
+                edge_distances, self.cutoff, self.cutoff_width
+            ).astype(self.dtype)
+            rb_all = rb_all * cut[:, :, None]
+            rb_all = jnp.where(nbr_mask[:, :, None], rb_all, 0.0)
+            coeffs_per_l = []
+            off_n = 0
+            off_m = 0
+            acc = jnp.promote_types(jnp.float32, self.dtype)
+            for l, n_l in enumerate(n_per_l):
+                rb = rb_all[:, :, off_n : off_n + n_l]
+                sph_l = sph[:, :, off_m : off_m + 2 * l + 1]
+                chan = (
+                    species_w[:, :, :, None] * rb[:, :, None, :]
+                ).reshape(A, M, -1)
+                coeffs_per_l.append(
+                    jnp.einsum(
+                        "amc,aml->acl",
+                        chan,
+                        sph_l,
+                        preferred_element_type=acc,
+                    )
+                )
+                off_n += n_l
+                off_m += 2 * l + 1
+            return coeffs_per_l
+
+        n_max = self.max_radial + 1
+        rb = radial_basis(
+            edge_distances,
+            self.cutoff,
+            n_max,
+            self.radial_kind,
+            self.cutoff_width,
+        )  # (A, M, n)
+        rb = jnp.where(nbr_mask[:, :, None], rb, 0.0).astype(self.dtype)
+
         # fuse radial x species channel, then contract against harmonics:
         # (A, M, a*n) x (A, M, L) -> (A, a*n, L) -- batched MXU matmul
         chan = (species_w[:, :, :, None] * rb[:, :, None, :]).reshape(
@@ -87,10 +131,25 @@ class SphericalExpansion(nn.Module):
         return coeffs  # (A, n_channels, (l_max+1)^2)
 
 
-def power_spectrum(coeffs: jnp.ndarray, max_angular: int) -> jnp.ndarray:
+def power_spectrum(coeffs, max_angular: int) -> jnp.ndarray:
     """SOAP power spectrum: per-l invariant contraction
     ``p[i, c, c'] = sum_m c[i, c, lm] c[i, c', lm]``
-    (reference ``power_spectrum.py:127-137``), concatenated over l."""
+    (reference ``power_spectrum.py:127-137``), concatenated over l.
+
+    ``coeffs`` is either a single (A, C, (lmax+1)^2) stack (native
+    basis: same radial count per l) or a per-l LIST of (A, C_l, 2l+1)
+    stacks (spex-compat imports: per-l radial counts)."""
+    if isinstance(coeffs, (list, tuple)):
+        A = coeffs[0].shape[0]
+        acc_dtype = jnp.promote_types(jnp.float32, coeffs[0].dtype)
+        blocks = []
+        for c_l in coeffs:
+            C_l = c_l.shape[1]
+            p_l = jnp.einsum(
+                "acm,adm->acd", c_l, c_l, preferred_element_type=acc_dtype
+            )
+            blocks.append(p_l.reshape(A, C_l * C_l))
+        return jnp.concatenate(blocks, axis=1)
     A, C, _ = coeffs.shape
     acc_dtype = jnp.promote_types(jnp.float32, coeffs.dtype)
     blocks = []
@@ -274,6 +333,7 @@ class SoapBpnnModule(nn.Module):
         soap = hp["soap"]
         max_angular = soap["max_angular"]
 
+        spex = hp.get("spex_compat")
         coeffs = SphericalExpansion(
             cutoff=soap["cutoff"]["radius"],
             cutoff_width=soap["cutoff"]["width"],
@@ -283,6 +343,14 @@ class SoapBpnnModule(nn.Module):
             num_pseudo_species=0 if hp["legacy"] else hp.get(
                 "num_pseudo_species", 4
             ),
+            spex_spline=(
+                tuple(tuple(row) for row in spex["spline_values"]),
+                tuple(tuple(row) for row in spex["spline_derivatives"]),
+                float(spex["spline_spacing"]),
+                tuple(spex["n_per_l"]),
+            )
+            if spex
+            else None,
             dtype=self.dtype,
             name="spherical_expansion",
         )(
@@ -292,6 +360,13 @@ class SoapBpnnModule(nn.Module):
             batch_data["nbr_mask"],
         )
         features = power_spectrum(coeffs, max_angular).astype(self.dtype)
+        if spex:
+            for name, specs in (self.target_specs or {}).items():
+                if any(s["type"] != "scalar" for s in specs):
+                    raise NotImplementedError(
+                        "spex-compat imported descriptors serve scalar "
+                        f"targets only (target {name!r})"
+                    )
 
         species_index = batch_data["species_index"]
         bpnn = hp["bpnn"]

@@ -36,6 +36,43 @@ def bessel_basis(
     return math.sqrt(2.0 / cutoff) * jnp.sin(arg) / safe_r[..., None]
 
 
+def hermite_spline_basis(
+    r: jnp.ndarray,
+    values: jnp.ndarray,
+    derivatives: jnp.ndarray,
+    spacing: float,
+) -> jnp.ndarray:
+    """Cubic Hermite interpolation of splined radial functions.
+
+    torch-spex ships its (Laplacian-eigenstate) radial basis as a
+    uniform-knot cubic Hermite spline inside every checkpoint
+    (``soap_calculator.calculator.radial.spliner.spline_{values,
+    derivatives,_spacing}``) -- evaluating it reproduces the reference
+    descriptor's radial functions EXACTLY, with no spex install.
+
+    :param r: (...,) distances.
+    :param values: (n_knots, n_functions) knot values.
+    :param derivatives: (n_knots, n_functions) knot derivatives.
+    :param spacing: uniform knot spacing (knot k at ``k * spacing``).
+    :return: (..., n_functions); zero beyond the last knot.
+    """
+    n_knots = values.shape[0]
+    t = r / spacing
+    idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_knots - 2)
+    u = (t - idx.astype(r.dtype))[..., None]
+    h00 = (1.0 + 2.0 * u) * (1.0 - u) ** 2
+    h10 = u * (1.0 - u) ** 2
+    h01 = u * u * (3.0 - 2.0 * u)
+    h11 = u * u * (u - 1.0)
+    v0 = values[idx]
+    v1 = values[idx + 1]
+    d0 = derivatives[idx]
+    d1 = derivatives[idx + 1]
+    out = h00 * v0 + h10 * spacing * d0 + h01 * v1 + h11 * spacing * d1
+    in_range = (r >= 0.0) & (r <= (n_knots - 1) * spacing)
+    return jnp.where(in_range[..., None], out, 0.0)
+
+
 def gaussian_basis(
     r: jnp.ndarray, cutoff: float, n_max: int
 ) -> jnp.ndarray:
