@@ -277,6 +277,23 @@ def _roll_chunk_dma(x_hbm, band2, sems, c, *, A, BA, mg, NR, start):
                 )
 
 
+def _width_classes(groups):
+    """Consecutive runs of equal-width groups, merged into one scratch
+    band each so their one-hot matmuls batch together (a cap-1 group's
+    (1, BA, W) dot otherwise runs at a fraction of MXU utilization).
+    Returns ``[(group_indices, width, row_offsets, total_cap), ...]``;
+    row_offsets position each group's slots inside the class band.
+    """
+    classes = []
+    for gi, (base, cap, delta, width, pair) in enumerate(groups):
+        if classes and classes[-1][1] == width:
+            gids, w, offsets, total = classes[-1]
+            classes[-1] = (gids + [gi], w, offsets + [total], total + cap)
+        else:
+            classes.append(([gi], width, [0], cap))
+    return classes
+
+
 def _grouped_band_dma(
     x_hbm, band, sems, gi, block, slot, *, A, BA, G, groups, mgx, ext,
     start,
@@ -386,47 +403,59 @@ def _grouped_kernel(
     """
     g = pl.program_id(0)
     G = pl.num_programs(0)
-    ngroups = len(groups)
-    bands = scratch[:ngroups]
-    sems = scratch[ngroups]
+    classes = _width_classes(groups)
+    bands = scratch[: len(classes)]
+    sems = scratch[len(classes)]
     ext = x_hbm.shape[1] != A
     G_static = A // BA
 
-    def dma(gi, block, slot, start):
+    def dma(ci, gi_local, block, slot, start):
+        gids, _, offsets, _ = classes[ci]
+        gi = gids[gi_local]
+        cap = groups[gi][1]
+        band = bands[ci]
         _grouped_band_dma(
-            x_hbm, bands[gi], sems, gi, block, slot, A=A, BA=BA,
+            x_hbm,
+            band.at[:, pl.ds(offsets[gi_local], cap)],
+            sems, gi, block, slot, A=A, BA=BA,
             G=G_static, groups=groups, mgx=mgx, ext=ext, start=start,
         )
 
+    def all_dma(block, slot, start):
+        for ci, (gids, _, _, _) in enumerate(classes):
+            for j in range(len(gids)):
+                dma(ci, j, block, slot, start)
+
     @pl.when(g == 0)
     def _():
-        for gi in range(ngroups):
-            dma(gi, 0, 0, start=True)
+        all_dma(0, 0, start=True)
 
     slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
-    for gi in range(ngroups):
-        dma(gi, g, slot, start=False)
+    all_dma(g, slot, start=False)
 
     @pl.when(g + 1 < G)
     def _():
-        for gi in range(ngroups):
-            dma(gi, g + 1, 1 - slot, start=True)
+        all_dma(g + 1, 1 - slot, start=True)
 
     dtype = out_ref.dtype
     res_groups = []
-    for gi, (base, cap, delta, width, pair) in enumerate(groups):
-        W = BA + 2 * width
-        window = bands[gi].at[slot]  # (cap, W, D)
-        # local window row of the matched atom for this group's offset
-        idx_g = jax.lax.slice(idx_ref[:], (0, base), (BA, base + cap))
-        l = idx_g + (width - delta) - g * BA
-        l = jnp.where(l < 0, l + A, l)
-        l = jnp.where(l >= A, l - A, l)  # delta can push either way
-        l = jnp.clip(l, 0, W - 1)
-        lT = jnp.swapaxes(l, 0, 1)  # (cap, BA)
+    for ci, (gids, width_c, offsets, class_cap) in enumerate(classes):
+        W = BA + 2 * width_c
+        window = bands[ci].at[slot]  # (class_cap, W, D)
+        # per-slot local window rows: each group's own circular offset
+        l_parts = []
+        for gi in gids:
+            base, cap, delta, width, pair = groups[gi]
+            idx_g = jax.lax.slice(idx_ref[:], (0, base), (BA, base + cap))
+            l = idx_g + (width - delta) - g * BA
+            l = jnp.where(l < 0, l + A, l)
+            l = jnp.where(l >= A, l - A, l)  # delta can push either way
+            l = jnp.clip(l, 0, W - 1)
+            l_parts.append(jnp.swapaxes(l, 0, 1))  # (cap, BA)
+        lT = jnp.concatenate(l_parts, axis=0)  # (class_cap, BA)
         chunks = []
-        for c0 in range(0, cap, _COLOR_CHUNK):
-            c1 = min(c0 + _COLOR_CHUNK, cap)
+        for c0 in range(0, class_cap, _COLOR_CHUNK):
+            c1 = min(c0 + _COLOR_CHUNK, class_cap)
             cmp = jax.lax.broadcasted_iota(jnp.int32, (c1 - c0, BA, W), 2)
             lc = jax.lax.slice(lT, (c0, 0), (c1, BA))
             onehot = (cmp == lc[:, :, None]).astype(dtype)
@@ -565,8 +594,8 @@ def _kernel_impl_grouped(
         vals = jnp.zeros((G, 1, D), x.dtype)
 
     scratch = [
-        pltpu.VMEM((2, cap, BA + 2 * width, D), x.dtype)
-        for (_, cap, _, width, _) in groups
+        pltpu.VMEM((2, class_cap, BA + 2 * width, D), x.dtype)
+        for (_, width, _, class_cap) in _width_classes(groups)
     ] + [pltpu.SemaphoreType.DMA((len(groups), 2, 2))]
 
     k_split, ov_base = fixup_split
