@@ -907,6 +907,8 @@ class ArchitectureTests:
             out = model.forward(params, batch, ["features"])
         except (NotImplementedError, KeyError):
             pytest.skip("architecture exposes no per-atom features")
+        if "features" not in out:
+            pytest.skip("architecture exposes no per-atom features")
         block = out["features"].block(0)
         values = np.asarray(block.values)
         assert values.ndim == 2 and values.shape[1] > 0

@@ -165,6 +165,9 @@ class TestScaler(ArchitectureTests):
     supports_stress = False
     supports_restart = False
     train_before_forward = True
+    # the standalone scaler predicts a per-structure statistic, not a
+    # sum of local atomic contributions
+    is_local = False
 
 
 class TestLLPR(ArchitectureTests):
