@@ -68,11 +68,17 @@ def build(dtype, n_cells=10):
         hypers.update({"fused_layers": False, "fused_attention": False})
     model = PET(hypers, dataset_info, compute_dtype=dtype)
     params = model.init_params(jax.random.PRNGKey(0))
-    nbr = compute_neighbor_data(system, cutoff=model.cutoff)
+    # colored grouped NEF layout: the reversed-edge permutes (and their
+    # grad-of-grad replays) run on the MXU kernels in training too
+    colored = os.environ.get("MTT_TRAIN_BENCH_COLORED", "1") != "0"
+    nbr = compute_neighbor_data(system, cutoff=model.cutoff, colored=colored)
+    A_pad = bucket_atoms(len(system), 1.05)
+    if colored:
+        A_pad = -(-len(system) // 256) * 256
     batch = batch_from_systems(
         [system],
         [nbr],
-        n_atoms_padded=bucket_atoms(len(system), 1.05),
+        n_atoms_padded=A_pad,
         n_systems_padded=2,
         max_neighbors=bucket_neighbors(nbr.max_neighbors, 1.0),
         dtype=jnp.float32,

@@ -79,6 +79,11 @@ def convert_soap_bpnn_checkpoint(
             "not a soap_bpnn checkpoint: "
             f"{ckpt.get('architecture_name')!r}"
         )
+    if "model_data" not in ckpt:
+        raise ValueError(
+            "soap_bpnn checkpoint has no model_data section (hypers + "
+            "dataset_info); is this a real torch metatrain checkpoint?"
+        )
     torch_hypers = dict(ckpt["model_data"]["model_hypers"])
     dataset_info = _dataset_info_from_stub(ckpt["model_data"]["dataset_info"])
     state = (

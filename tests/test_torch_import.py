@@ -117,7 +117,13 @@ def test_rejects_old_versions(tmp_path):
 def test_rejects_other_architectures():
     from metatrain_tpu.interop import convert_torch_checkpoint
 
+    # soap_bpnn now has its own converter (r4); unknown archs still
+    # refuse with a clear error
     with pytest.raises(ValueError, match="PET"):
+        convert_torch_checkpoint(
+            {"architecture_name": "gap", "model_ckpt_version": 1}
+        )
+    with pytest.raises(ValueError, match="model_data"):
         convert_torch_checkpoint(
             {"architecture_name": "soap_bpnn", "model_ckpt_version": 1}
         )
