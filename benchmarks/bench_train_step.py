@@ -60,9 +60,14 @@ def build(dtype, n_cells=10):
             "energy": get_energy_target_info("eV", add_position_gradients=True)
         },
     )
-    # remat: training with forces double-backs through every layer; the
-    # rematerialized path is the intended memory/FLOP trade
-    hypers = {"remat": True}
+    # remat measured r4 on v5e at this scale: OFF is 296.6 vs 324.4
+    # ms/step ON, and remat does NOT lift the ~4-5k atom HBM ceiling
+    # (the second-order sweep's replay storage dominates: 19.2 GB at
+    # 5324 atoms either way) -- so the production default (remat off)
+    # is also the measured-fastest; MTT_TRAIN_BENCH_REMAT=1 re-enables
+    hypers = {
+        "remat": os.environ.get("MTT_TRAIN_BENCH_REMAT", "0") == "1"
+    }
     if os.environ.get("MTT_TRAIN_BENCH_XLA"):
         # pure-XLA layer path: native grad-of-grad, no kernel replay
         hypers.update({"fused_layers": False, "fused_attention": False})
