@@ -537,7 +537,10 @@ def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[
     """
     if not groups:
         return None
-    BA = 256 if A % 256 == 0 else 128
+    # 128-atom blocks: windows are BA + 2w wide, so the smaller block
+    # cuts the one-hot matmul rows ~15% at bench geometry AND halves the
+    # per-block max fixup count (the MXU row dim stays full at 128)
+    BA = 128
     if A % BA or A < BA:
         return None
     next_base = 0
