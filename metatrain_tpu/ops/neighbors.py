@@ -555,8 +555,8 @@ def _grouped_slots(
         dm = np.bincount(cen[np.abs(dd + delta) <= w], minlength=n_atoms)
         demands.append([dp, dm])
     weights = [1] + [2] * (len(deltas) - 1)  # pair groups cost 2x slots
-    BA = 128  # must match color_gather.grouped_geometry
-    G_blocks = A_pad // BA
+    G_blocks = A_pad // 256
+    BA = 256
 
     def used_slots(cp_list):
         return sum(cp * wt for cp, wt in zip(cp_list, weights))

@@ -537,10 +537,7 @@ def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[
     """
     if not groups:
         return None
-    # 128-atom blocks: windows are BA + 2w wide, so the smaller block
-    # cuts the one-hot matmul rows ~15% at bench geometry AND halves the
-    # per-block max fixup count (the MXU row dim stays full at 128)
-    BA = 128
+    BA = 256 if A % 256 == 0 else 128
     if A % BA or A < BA:
         return None
     next_base = 0
