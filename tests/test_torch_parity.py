@@ -95,7 +95,7 @@ def _run_reference(hypers, pos, species):
     energy = preds["energy"][0].sum()
     (grad,) = torch.autograd.grad(energy, positions)
     state = {("backend." + k): v for k, v in backend.state_dict().items()}
-    return float(energy), grad.numpy(), state
+    return float(energy.detach()), grad.numpy(), state
 
 
 def _run_ours(hypers, pos, species, state):
@@ -178,3 +178,141 @@ def test_pet_energy_force_parity(config):
     scale_g = np.abs(ref_g).max()
     assert rel_e < 1e-10, f"energy mismatch: {our_e} vs {ref_e} (rel {rel_e:.2e})"
     assert max_g < 1e-9 * max(scale_g, 1.0), f"force mismatch: {max_g:.2e}"
+
+
+def test_pet_periodic_virial_parity():
+    """PERIODIC cell: energies, forces AND the strain gradient (virial)
+    agree with the upstream torch backend at machine precision -- the
+    north-star parity condition's virial channel, cross-framework
+    (PARITY.md section 3). The torch side applies the same strain trick
+    the reference's ``evaluate_model`` uses
+    (``utils/evaluate_model.py:296-350``)."""
+    import torch
+
+    from metatrain_tpu.ops.neighbors import neighbor_pairs
+
+    hypers = dict(BASE_HYPERS)
+    rng = np.random.default_rng(7)
+    cell_np = np.eye(3) * 5.2
+    frac = np.array(
+        [[0.0, 0.0, 0.0], [0.5, 0.5, 0.0], [0.5, 0.0, 0.5],
+         [0.0, 0.5, 0.5], [0.25, 0.25, 0.25], [0.75, 0.75, 0.25]]
+    )
+    pos = frac @ cell_np + rng.normal(0, 0.08, size=(6, 3))
+    species = rng.choice(ATOMIC_TYPES, size=6)
+
+    # ---- reference torch backend with the strain trick ---------------
+    PETBackend = import_reference_backend()
+    torch.manual_seed(1)
+    backend = PETBackend(hypers, ATOMIC_TYPES)
+    backend.add_output("energy", {"energy___0": [1]})
+    backend = backend.double().eval()
+
+    c, nb, sh = neighbor_pairs(
+        pos, cell_np, np.ones(3, bool), hypers["cutoff"], full_list=True
+    )
+    pos0 = torch.tensor(pos, dtype=torch.float64, requires_grad=True)
+    eps = torch.zeros((3, 3), dtype=torch.float64, requires_grad=True)
+    deformation = torch.eye(3, dtype=torch.float64) + eps
+    pos_def = pos0 @ deformation
+    cells_def = (
+        torch.tensor(cell_np, dtype=torch.float64) @ deformation
+    )[None]
+    sysidx = torch.zeros(len(pos), dtype=torch.long)
+    bd = backend.preprocess(
+        pos_def,
+        torch.tensor(c),
+        torch.tensor(nb),
+        torch.tensor(species.astype(np.int64)),
+        cells_def,
+        torch.tensor(sh, dtype=torch.long),
+        sysidx,
+        float(hypers["cutoff_width_adaptive"]),
+    )
+    node_f, edge_f = backend.calculate_features(bd)
+    preds, _, _ = backend.predict(
+        node_f, edge_f, bd, cells_def, sysidx, ["energy"]
+    )
+    energy_t = preds["energy"][0].sum()
+    ref_g, ref_dstrain = torch.autograd.grad(energy_t, (pos0, eps))
+    ref_e = float(energy_t.detach())
+    ref_g = ref_g.numpy()
+    ref_dstrain = ref_dstrain.numpy()
+    state = {("backend." + k): v for k, v in backend.state_dict().items()}
+
+    # ---- ours: the shared autograd engine ----------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from metatrain_tpu.containers import System, batch_from_systems
+    from metatrain_tpu.data.target_info import (
+        DatasetInfo,
+        get_energy_target_info,
+    )
+    from metatrain_tpu.engine.evaluate import evaluate_model
+    from metatrain_tpu.interop.torch_ckpt import convert_torch_checkpoint
+    from metatrain_tpu.models.pet import PET
+    from metatrain_tpu.ops.neighbors import compute_neighbor_data
+
+    di = DatasetInfo(
+        length_unit="angstrom",
+        atomic_types=ATOMIC_TYPES,
+        targets={
+            "energy": get_energy_target_info(
+                "eV",
+                add_position_gradients=True,
+                add_strain_gradients=True,
+            )
+        },
+    )
+    conv = convert_torch_checkpoint(
+        {
+            "architecture_name": "pet",
+            "model_ckpt_version": 16,
+            "model_data": {"model_hypers": hypers, "dataset_info": di},
+            "model_state_dict": state,
+            "best_model_state_dict": None,
+        }
+    )
+    model = PET(conv["hypers"], di, compute_dtype=jnp.float64)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float64), conv["params"]
+    )
+    system = System(
+        positions=pos,
+        types=species.astype(np.int32),
+        cell=cell_np,
+        pbc=np.ones(3, bool),
+    )
+    nbr = compute_neighbor_data(system, cutoff=hypers["cutoff"])
+    batch = batch_from_systems(
+        [system],
+        [nbr],
+        n_atoms_padded=16,
+        n_systems_padded=2,
+        max_neighbors=nbr.max_neighbors + 1,
+        dtype=jnp.float64,
+    )
+    preds = evaluate_model(
+        model.forward,
+        params,
+        batch,
+        {"energy": di.targets["energy"]},
+        is_training=False,
+    )
+    block = preds["energy"].block()
+    our_e = float(np.asarray(block.values)[0, 0])
+    our_g = np.asarray(block.gradient("positions").values).reshape(-1, 3)[
+        : len(pos)
+    ]
+    our_dstrain = np.asarray(block.gradient("strain").values)[0, :, :, 0]
+
+    rel_e = abs(our_e - ref_e) / abs(ref_e)
+    assert rel_e < 1e-10, f"energy mismatch (rel {rel_e:.2e})"
+    max_g = np.abs(our_g - ref_g).max()
+    assert max_g < 1e-9 * max(np.abs(ref_g).max(), 1.0)
+    max_v = np.abs(our_dstrain - ref_dstrain).max()
+    assert max_v < 1e-9 * max(np.abs(ref_dstrain).max(), 1.0), (
+        f"virial/strain mismatch: {max_v:.2e}\n"
+        f"ours:\n{our_dstrain}\nref:\n{ref_dstrain}"
+    )
