@@ -242,6 +242,93 @@ def _symmetric_contraction(
     return out  # (A, C) for L=0, (A, C, 2L+1) for L>0
 
 
+def validate_u_equivariance(
+    state: Dict[str, Any], max_ell: int, correlation: int, atol: float = 3e-4
+) -> None:
+    """Assert the imported U-matrix buffers intertwine THIS module's
+    spherical-harmonics basis.
+
+    The transplant is only valid if the foundation file's e3nn basis and
+    the compat layer's basis agree (same real-SH convention, same
+    Wigner-3j signs). mace builds its U tensors from e3nn w3j products,
+    so checking each shipped U against rotations derived from
+    :func:`e3nn_compat.sh_e3nn` turns any convention mismatch into a
+    LOUD import error instead of silently-wrong predictions.
+    """
+    from .e3nn_compat import _wigner_D_samples
+
+    D_feat_dim = (max_ell + 1) ** 2
+    rot_blocks = []  # per sample rotation: blockdiag over l
+    n_rot = None
+    per_l = [
+        _wigner_D_samples(l)[1] for l in range(max_ell + 1)
+    ]
+    n_rot = len(per_l[0])
+    for r in range(n_rot):
+        blk = np.zeros((D_feat_dim, D_feat_dim))
+        off = 0
+        for l in range(max_ell + 1):
+            w = 2 * l + 1
+            blk[off : off + w, off : off + w] = per_l[l][r]
+            off += w
+        rot_blocks.append(blk)
+
+    checked = 0
+    for key in sorted(state):
+        if ".U_matrix_" not in key:
+            continue
+        U = np.asarray(state[key], np.float64)
+        nu = int(key.rsplit("_", 1)[1])
+        # layout ([2L+1 when L>0], D x nu, P); infer the leading M axis
+        has_m = U.ndim == nu + 2
+        if not has_m and U.ndim != nu + 1:
+            continue  # unknown layout: skip rather than misjudge
+        if {U.shape[-2 - i] for i in range(nu)} != {D_feat_dim}:
+            continue
+        L_dim = U.shape[0] if has_m else 1
+        # D_L from the output dimension
+        L = (L_dim - 1) // 2
+        D_L = (
+            [np.eye(1)] * n_rot
+            if L == 0
+            else _wigner_D_samples(L)[1]
+        )
+        for r in range(n_rot):
+            rotated = U if has_m else U[None]
+            # rotate the output axis
+            DL = D_L[r] if L > 0 else np.eye(1)
+            rotated = np.einsum("mn,n...->m...", DL, rotated)
+            # rotate each input feature axis
+            for ax in range(nu):
+                rotated = np.moveaxis(
+                    np.einsum(
+                        "ij,j...->i...",
+                        rot_blocks[r],
+                        np.moveaxis(rotated, 1 + ax, 0),
+                    ),
+                    0,
+                    1 + ax,
+                )
+            base = U if has_m else U[None]
+            dev = np.abs(rotated - base).max()
+            scale = max(np.abs(base).max(), 1.0)
+            if dev > atol * scale:
+                raise ValueError(
+                    f"foundation U buffer {key!r} does not intertwine "
+                    f"this framework's spherical-harmonics basis "
+                    f"(deviation {dev:.2e}); the file's e3nn convention "
+                    "differs from the compat layer's -- refusing the "
+                    "interior transplant (the baselines-only import "
+                    "path still works)"
+                )
+        checked += 1
+    if checked == 0:
+        raise ValueError(
+            "no U-matrix buffers found to validate -- cannot confirm "
+            "basis-convention agreement for the interior transplant"
+        )
+
+
 class MACECompat:
     """Callable mace-torch-compatible forward over a foundation state.
 

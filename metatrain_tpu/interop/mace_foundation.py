@@ -319,6 +319,14 @@ def convert_mace_foundation(
     )
 
     if interior_complete:
+        # loud convention gate: the shipped U buffers must intertwine
+        # OUR spherical-harmonics basis, otherwise the transplant would
+        # silently compute a different function (interop/mace_compat)
+        from .mace_compat import validate_u_equivariance
+
+        validate_u_equivariance(
+            state, cfg["max_ell"], cfg["correlation"]
+        )
         trainable = {}
         static = {}
         for k in interior_keys:

@@ -229,6 +229,26 @@ def test_equivariance_through_evaluate(foundation_checkpoint):
     )
 
 
+def test_convention_mismatch_refused():
+    """A foundation file whose U buffers live in a DIFFERENT real-SH
+    basis must be refused loudly (the w3j-sign/convention gate), not
+    imported into a silently-wrong interior."""
+    from metatrain_tpu.interop.mace_compat import validate_u_equivariance
+
+    state = synthetic_state(seed=9, scale=0.3)
+    # corrupt one U: flip the sign of a single l-block column range,
+    # which breaks intertwining with the true basis
+    key = next(k for k in state if "U_matrix_2" in k)
+    U = np.array(state[key])
+    U[..., 1, :] = -U[..., 1, :] if U.ndim == 3 else U[..., 1, :]
+    sl = [slice(None)] * U.ndim
+    sl[-2] = slice(1, 4)
+    U[tuple(sl)] = -U[tuple(sl)]
+    state[key] = U
+    with pytest.raises(ValueError, match="intertwine|convention"):
+        validate_u_equivariance(state, MAX_ELL, CORRELATION)
+
+
 def test_finetune_step_keeps_static_tensors(foundation_checkpoint):
     """One gradient step moves the trainable interior but never the
     U-matrix / bessel buffers (stop_gradient + static split)."""
