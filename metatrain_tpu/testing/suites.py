@@ -760,6 +760,49 @@ class ArchitectureTests:
         raw = load_checkpoint_file(path)
         assert raw["model_ckpt_version"] == type(model).__checkpoint_version__
 
+    def test_selected_atoms_sum_semantics(self, model_and_params):
+        """Per-structure outputs with a selected-atoms mask sum ONLY the
+        selected atoms' contributions (reference ``output.py:470-501``):
+        selecting everything equals no selection, and for local additive
+        models the two complementary halves sum to the total."""
+        if not self.has_scalar_energy:
+            pytest.skip("no scalar energy output")
+        model, params = model_and_params
+        batch = self._batch(model, [_molecule(6, seed=81)])
+        name = self.primary_output
+        amask = np.asarray(batch.atom_mask)
+
+        import jax.numpy as jnp_
+
+        def total(selection):
+            out = model.forward(
+                params, batch, [name],
+                None if selection is None else jnp_.asarray(selection),
+            )
+            return float(np.asarray(out[name].block(0).values).sum())
+
+        full = total(None)
+        np.testing.assert_allclose(total(amask), full, rtol=1e-6)
+        half = amask.copy()
+        idx = np.nonzero(amask)[0]
+        half[idx[: len(idx) // 2]] = False
+        other = amask & ~half
+        if getattr(self, "is_local", True):
+            np.testing.assert_allclose(
+                total(half) + total(other), full, rtol=1e-4, atol=1e-6
+            )
+
+    def test_supported_outputs_contract(self, model_and_params):
+        """``supported_outputs`` exposes every dataset target with its
+        TargetInfo (unit/quantity/layout) -- the capability surface the
+        exporter and MD engines read."""
+        model, params = model_and_params
+        outputs = model.supported_outputs()
+        for name, info in model.dataset_info.targets.items():
+            assert name in outputs, name
+            assert outputs[name].unit == info.unit
+            assert outputs[name].quantity == info.quantity
+
     def test_checkpoint_has_required_fields(self, model_and_params):
         """Every checkpoint carries the loader contract fields
         (reference checkpoint schema, ``utils/io.py:190-258``)."""
