@@ -4,10 +4,13 @@ foundation state dict (the interior-weight transplant, VERDICT r3 #3).
 The reference wraps a live ``mace.modules.MACE`` module
 (``/root/reference/src/metatrain/experimental/mace/model.py:198-231``);
 this module evaluates the same function from the checkpoint's tensors
-directly -- no mace-torch, no e3nn -- covering the default architecture
-class (``RealAgnosticResidualInteractionBlock`` interactions, bessel
-radial basis, polynomial cutoff, silu gate, linear + non-linear
-readouts, symmetric-contraction products). The convention-sensitive
+directly -- no mace-torch, no e3nn -- covering both interaction-block
+classes real foundation files use (``RealAgnosticResidualInteractionBlock``,
+mace's default, and the non-residual ``RealAgnosticInteractionBlock``
+that mace's ``MACE`` model class pins as the FIRST interaction;
+detected per block from the skip_tp weight count, see
+``_interaction_class``), bessel radial basis, polynomial cutoff, silu
+gate, linear + non-linear readouts, symmetric-contraction products. The convention-sensitive
 pieces (real spherical harmonics, Wigner 3j, e3nn Linear /
 TensorProduct normalizations) come from
 :mod:`metatrain_tpu.interop.e3nn_compat`, whose 3j tensors are
@@ -368,6 +371,56 @@ class MACECompat:
     def _scalars(self, irreps):
         return [(mul, l, p) for (mul, l, p) in irreps if l == 0]
 
+    @staticmethod
+    def _fctp_numel(irreps_in, irreps_out, n_el: int) -> int:
+        """Weight count of FullyConnectedTensorProduct(in, scalar attrs
+        -> out): one (mul_in, n_el, mul_out) path per matching irrep."""
+        return sum(
+            mi * n_el * mo
+            for mi, li, pi in irreps_in
+            for mo, lo, po in irreps_out
+            if (li, pi) == (lo, po)
+        )
+
+    def _interaction_class(
+        self, skip_numel: int, feats_irreps, out_irreps
+    ) -> str:
+        """Detect the mace interaction-block class from the skip_tp
+        weight count (the two classes wire skip_tp differently):
+
+        - ``RealAgnosticResidualInteractionBlock`` (mace default):
+          ``skip_tp = FCTP(node_feats_irreps, attrs, hidden_irreps)``
+          applied to the INPUT features; the product adds it (self
+          connection).
+        - ``RealAgnosticInteractionBlock`` (mace's pinned FIRST
+          interaction for non-residual models):
+          ``skip_tp = FCTP(target_irreps, attrs, target_irreps)``
+          applied to the MESSAGE after ``linear``; no self connection
+          in the product (``use_sc=False``).
+
+        Ambiguity (equal counts — only when the irreps coincide) resolves
+        to residual, mace's default.  Unknown counts refuse loudly.
+        Ref: mace/modules/blocks.py (upstream), wrapped by
+        ``/root/reference/src/metatrain/experimental/mace/model.py:125-183``.
+        """
+        n_el = self.num_elements
+        n_res = self._fctp_numel(feats_irreps, out_irreps, n_el)
+        n_nonres = self._fctp_numel(
+            self.interaction_irreps, self.interaction_irreps, n_el
+        )
+        if skip_numel == n_res:
+            return "residual"
+        if skip_numel == n_nonres:
+            return "nonresidual"
+        raise ValueError(
+            f"unrecognized MACE interaction class: skip_tp carries "
+            f"{skip_numel} weights; expected {n_res} "
+            f"(RealAgnosticResidualInteractionBlock) or {n_nonres} "
+            f"(RealAgnosticInteractionBlock) — refusing the interior "
+            f"transplant for an unknown block layout (the baselines-only "
+            f"import path still works)"
+        )
+
     def forward(self, state: Dict[str, Any], batch_data: Dict[str, Any], xp):
         """Per-atom interaction energies (A,) BEFORE scale/shift and
         atomic baselines (those ride the composition/scaler models).
@@ -420,15 +473,22 @@ class MACECompat:
                 self._scalars(self.hidden_irreps) if last else self.hidden_irreps
             )
 
-            # residual skip from the INPUT features
-            sc_blocks = _skip_tp_scalar_attrs(
-                feats_blocks,
-                onehot,
-                g(pre + "skip_tp.weight").reshape(-1),
-                feats_irreps,
-                out_irreps,
-                xp=xp,
+            skip_w = g(pre + "skip_tp.weight").reshape(-1)
+            klass = self._interaction_class(
+                skip_w.size, feats_irreps, out_irreps
             )
+            if klass == "residual":
+                # residual skip from the INPUT features
+                sc_blocks = _skip_tp_scalar_attrs(
+                    feats_blocks,
+                    onehot,
+                    skip_w,
+                    feats_irreps,
+                    out_irreps,
+                    xp=xp,
+                )
+            else:
+                sc_blocks = None  # skip_tp acts on the message below
 
             up = o3_linear(
                 xp.concatenate(
@@ -489,6 +549,17 @@ class MACECompat:
             mlin_blocks = split_irreps(
                 mlin, self.interaction_irreps, xp=xp
             )
+            if klass == "nonresidual":
+                # RealAgnosticInteractionBlock: skip_tp mixes the MESSAGE
+                # with the species one-hot (target -> target irreps)
+                mlin_blocks = _skip_tp_scalar_attrs(
+                    mlin_blocks,
+                    onehot,
+                    skip_w,
+                    self.interaction_irreps,
+                    self.interaction_irreps,
+                    xp=xp,
+                )
             x_cat = xp.concatenate(mlin_blocks, axis=-1)
             ppre = f"products.{i}.symmetric_contractions.contractions."
             prod_blocks = []
@@ -514,9 +585,14 @@ class MACECompat:
                 xp=xp,
             )
             new_blocks = split_irreps(plin, out_irreps, xp=xp)
-            feats_blocks = [
-                nb + sb for nb, sb in zip(new_blocks, sc_blocks)
-            ]
+            if sc_blocks is not None:
+                feats_blocks = [
+                    nb + sb for nb, sb in zip(new_blocks, sc_blocks)
+                ]
+            else:
+                # non-residual block: no self connection in the product
+                # (mace EquivariantProductBasisBlock use_sc=False)
+                feats_blocks = list(new_blocks)
             feats_irreps = out_irreps
 
             # readout on the scalar channel

@@ -24,14 +24,17 @@ e3nn installed:
    its scaler fixed to the extracted scale -- ready for finetuning on a
    target dataset (``mtt-tpu train ... --finetune``).
 
-Scope note (documented limitation): mace-torch's interior weights
-(e3nn tensor-product paths, symmetric-contraction couplings) parameterize
-a different function class than the native module, and this environment
-ships neither mace-torch nor e3nn to validate a basis-change transplant
-against. The imported checkpoint therefore carries the COMPLETE original
-tensor inventory under ``foundation_state`` (nothing is dropped), the
-energy offset/scale physics transfers exactly, and the equivariant
-interior starts fresh for finetuning.
+Interior transplant (r4+): for supported interaction classes the
+imported model predicts with the FOUNDATION's equivariant interior — a
+pure-JAX re-execution of the mace-torch forward from the imported
+tensors (``interop/mace_compat.py``), with the shipped U-matrix buffers
+consumed as-is and a runtime convention gate that verifies every U
+buffer intertwines this framework's spherical-harmonics basis (a
+convention mismatch refuses the transplant loudly instead of importing
+a silently-wrong interior). Unsupported interaction classes fall back
+to the baselines-only import; either way the checkpoint carries the
+COMPLETE original tensor inventory under ``foundation_state`` (nothing
+is dropped) and the energy offset/scale physics transfers exactly.
 """
 
 from __future__ import annotations

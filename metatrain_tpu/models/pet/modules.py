@@ -340,6 +340,43 @@ class FusedTransformerLayer(nn.Module):
             and jax.default_backend() == "tpu"
             and self.dtype in (jnp.float32, jnp.bfloat16)
         )
+        import os as _os
+
+        if _os.environ.get("MTT_INT8_CALIBRATE", "0") == "1":
+            # W8A8 calibration probe: sow the absmaxes of the activations
+            # the static-int8 path quantizes (collected by
+            # fused_layer.calibrate_from_sow)
+            from ...ops.pallas.fused_layer import layer_probe_stats
+
+            self.sow(
+                "intermediates",
+                "int8_probe",
+                layer_probe_stats(
+                    edge_emb.astype(self.dtype),
+                    center_token.astype(self.dtype),
+                    cf_tokens,
+                    weights,
+                    self.num_heads,
+                    scale,
+                ),
+            )
+        calib = None
+        if use_kernel:
+            from ...ops.pallas.fused_layer import (
+                get_int8_calib,
+                use_int8_static,
+            )
+
+            if use_int8_static(self.dtype):
+                key = "/".join(self.scope.path)
+                calib = get_int8_calib(key)
+                if calib is None:
+                    raise RuntimeError(
+                        "MTT_INT8_STATIC=1 but no int8 calibration is "
+                        f"registered for layer {key!r}; run a forward "
+                        "under MTT_INT8_CALIBRATE=1 and "
+                        "fused_layer.calibrate_from_sow first"
+                    )
         if use_kernel:
             edge_out, center_attn = fused_transformer_layer(
                 edge_emb.astype(self.dtype),
@@ -348,6 +385,7 @@ class FusedTransformerLayer(nn.Module):
                 weights,
                 self.num_heads,
                 scale,
+                calib,
             )
         else:
             from ...ops.pallas.fused_layer import _layer_math

@@ -170,6 +170,118 @@ def _quantize_i8(x, eps=1e-12):
     return xq, s
 
 
+# ---------------------------------------------------------------------------
+# W8A8 static-scale int8 (r5): the r3/r4 dynamic-absmax int8 path lost
+# 2-4 ms to quantization VPU passes (absmax reductions + separate
+# round/clip passes per tensor).  This variant makes every quantization
+# scale a STATIC float calibrated once per parameter set, so the
+# round/clip/astype(int8) chain fuses into the PRODUCING op's existing
+# output stage (the RMSNorm write, the QKV dequant+bias chain) -- zero
+# extra VPU passes -- and the int8 matmuls run at 2x the bf16 MXU rate
+# (v5e: 394 int8 TOPS vs 197 bf16 TFLOPS).  Quantized matmuls: QKV,
+# scores, FFN-in, FFN-out (AV and out-proj stay bf16: attention weights
+# need a per-row dynamic range).  INFERENCE-ONLY (the gate requires
+# no_param_grads()): weight-gradient paths never see int8, and the
+# first-order force backward uses straight-through estimation (the
+# quantized primal values with exact-path gradient operands).  The
+# bench's force-deviation guard and MAE parity gate adjudicate accuracy
+# (BASELINE.md conditions on MAE parity, not dtype).
+# ---------------------------------------------------------------------------
+
+
+class Int8Calib(NamedTuple):
+    """Static absmax calibration for one fused layer (python floats; part
+    of the jit cache key).  Activation entries come from a probe forward
+    (:func:`calibrate_int8`), weight entries from the concrete params."""
+
+    normed: float  # RMSNorm(attn) output
+    q: float  # q after bias
+    k: float  # k after bias
+    h_norm: float  # RMSNorm(mlp) output
+    ffn_h: float  # value * sigmoid(gate)
+    w_q: float
+    w_k: float
+    w_v: float
+    w_in: float
+    w_fo: float
+
+
+#: layer-path -> Int8Calib registry (set by calibrate_int8 / importers)
+_INT8_CALIB: dict = {}
+
+
+def set_int8_calib(key: str, calib: Int8Calib) -> None:
+    _INT8_CALIB[key] = calib
+
+
+def get_int8_calib(key: str):
+    return _INT8_CALIB.get(key)
+
+
+def clear_int8_calib() -> None:
+    _INT8_CALIB.clear()
+
+
+def use_int8_static(dtype) -> bool:
+    """W8A8 static-int8 gate: env-enabled, bf16 compute, inference-only
+    traces (no parameter gradients), qside-capable layer geometry is
+    checked separately."""
+    if os.environ.get("MTT_INT8_STATIC", "0") != "1":
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    from ..inference import param_grads_needed
+
+    return not param_grads_needed()
+
+
+def _qs_static(x, absmax: float):
+    """Static-scale int8 quantization (fuses into the producer's output
+    chain: mul + round + clip + astype)."""
+    inv = 127.0 / max(float(absmax), 1e-12)
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv), -127.0, 127.0
+    ).astype(jnp.int8)
+
+
+def _rms_norm_q(x, scale, absmax: float, eps=None):
+    """RMSNorm emitting int8 directly (one fused output chain)."""
+    if eps is None:
+        eps = _rms_eps(x.dtype)
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return _qs_static(y, absmax)
+
+
+def _dot_i8(x_i8, w_i8, deq: float, b):
+    """int8 x int8 -> i32 matmul with static dequant + bias, f32 out."""
+    out = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return out.astype(jnp.float32) * deq + b.astype(jnp.float32)
+
+
+def quantize_layer_weights(w: "LayerWeights", calib: Int8Calib):
+    """int8 copies of the W8A8-quantized weight tensors (computed OUTSIDE
+    the kernel in XLA -- tiny elementwise work, once per call)."""
+    D = w.w_qkv.shape[0]
+    return (
+        _qs_static(w.w_qkv[:, :D], calib.w_q),
+        _qs_static(w.w_qkv[:, D : 2 * D], calib.w_k),
+        _qs_static(w.w_qkv[:, 2 * D :], calib.w_v),
+        _qs_static(w.w_in, calib.w_in),
+        _qs_static(w.w_ffn_out, calib.w_fo),
+    )
+
+
+def _deq(a: float, b: float) -> float:
+    return (max(float(a), 1e-12) / 127.0) * (max(float(b), 1e-12) / 127.0)
+
+
 # The q-side expansion is only worthwhile under the VMEM-blocked kernel;
 # on the full-array XLA fallback path (MTT_PALLAS=0 / unsupported
 # shapes) its (A, T, H*T) f32 score/exp intermediates materialize in HBM
@@ -259,13 +371,21 @@ def _window_attention_qside(
     BA, T, D = q.shape
     H = num_heads
     head_dim = D // H
-    HT = H * T
     acc = jnp.promote_types(jnp.float32, q.dtype)
-    cd = q.dtype
 
     scores = _qside_scores(
         q, k, H, head_dim, scale, acc, int8, straight_through
     )  # (BA, T_q, H*T_k)
+    return _qside_tail(scores, v, cf, num_heads, acc, q.dtype)
+
+
+def _qside_tail(scores, v, cf, num_heads, acc, cd):
+    """Softmax-with-cutoff + grouped AV from precomputed q-side scores
+    (shared by the exact, dynamic-int8 and static-W8A8 score paths)."""
+    BA, T, HT = scores.shape
+    H = num_heads
+    head_dim = v.shape[-1] // H
+    D = v.shape[-1]
     if acc == jnp.float64:
         scores = scores - jnp.max(scores, axis=2, keepdims=True)
     e = jnp.exp(scores)
@@ -405,7 +525,7 @@ def _window_attention_block(
 
 def _layer_math(
     edges, center, cf, w: LayerWeights, num_heads: int, scale: float,
-    int8: bool = False, straight_through: bool = False,
+    int8: bool = False, straight_through: bool = False, w8a8=None,
 ):
     """PreLN layer on one block: returns (edge_out, center_attn_out).
 
@@ -415,6 +535,10 @@ def _layer_math(
     :param center: (BA, D) center tokens.
     :param cf: (BA, M) multiplicative attention mask (cutoff factors on
         the keys axis; slot M-1 -- the center -- must be 1).
+    :param w8a8: optional ``(Int8Calib, int8-weight tuple)`` enabling the
+        static-scale W8A8 path (QKV / scores / FFN matmuls int8; AV and
+        out-proj bf16).  Quantization scales are STATIC floats, so every
+        round/clip chain fuses into an existing output stage.
     """
     BA, M, D = edges.shape
     compute_dtype = edges.dtype
@@ -427,17 +551,51 @@ def _layer_math(
     tokens = jnp.where(
         is_reserved, center.astype(compute_dtype)[:, None, :], edges
     )
-    normed = _rms_norm(tokens, wc.norm_attn)
-    qkv = _matmul_bias(
-        normed.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, compute_dtype
-    ).reshape(BA, M, 3 * D)
-    q = qkv[:, :, :D]
-    k = qkv[:, :, D : 2 * D]
-    v = qkv[:, :, 2 * D :]
+    if w8a8 is not None:
+        calib, wi8 = w8a8
+        wq_i8, wk_i8, wv_i8, w_in_i8, w_fo_i8 = wi8
+        head_dim = D // num_heads
+        acc = jnp.float32
+        normed_i8 = _rms_norm_q(tokens, wc.norm_attn, calib.normed).reshape(
+            BA * M, D
+        )
+        b = wc.b_qkv.astype(jnp.float32)
+        q_f = _dot_i8(normed_i8, wq_i8, _deq(calib.normed, calib.w_q), b[:D])
+        k_f = _dot_i8(
+            normed_i8, wk_i8, _deq(calib.normed, calib.w_k), b[D : 2 * D]
+        )
+        v = (
+            _dot_i8(
+                normed_i8, wv_i8, _deq(calib.normed, calib.w_v), b[2 * D :]
+            )
+            .astype(compute_dtype)
+            .reshape(BA, M, D)
+        )
+        # re-quantize q/k for the int8 score matmul (one fused chain each)
+        q_i8 = _qs_static(q_f, calib.q).reshape(BA, M, D)
+        k_i8 = _qs_static(k_f, calib.k).reshape(BA, M, D)
+        k_exp_i8 = _expand_heads_i8(k_i8, num_heads, head_dim)
+        scores_i32 = jax.lax.dot_general(
+            q_i8, k_exp_i8,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        scores = scores_i32.astype(acc) * (
+            _deq(calib.q, calib.k) * scale
+        )
+        attn = _qside_tail(scores, v, cf, num_heads, acc, compute_dtype)
+    else:
+        normed = _rms_norm(tokens, wc.norm_attn)
+        qkv = _matmul_bias(
+            normed.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, compute_dtype
+        ).reshape(BA, M, 3 * D)
+        q = qkv[:, :, :D]
+        k = qkv[:, :, D : 2 * D]
+        v = qkv[:, :, 2 * D :]
 
-    attn = _window_attention_block(
-        q, k, v, cf, num_heads, scale, int8, straight_through
-    )
+        attn = _window_attention_block(
+            q, k, v, cf, num_heads, scale, int8, straight_through
+        )
     attn_out = _matmul_bias(
         attn.reshape(BA * M, D), wc.w_out, wc.b_out, compute_dtype
     ).reshape(BA, M, D)
@@ -445,16 +603,35 @@ def _layer_math(
     center_attn = attn_out[:, M - 1, :]  # (BA, D)
 
     res = tokens + attn_out
-    h_norm = _rms_norm(res, wc.norm_mlp)
     d_ff = wc.w_ffn_out.shape[0]
-    # vg stays in the f32 accumulator: Mosaic's logistic lowering rejects
-    # bf16 operands (f32-scalar broadcast into bf16 vectors)
-    vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)
-    value, gate = vg[:, :d_ff], vg[:, d_ff:]
-    ffn_h = (value * jax.nn.sigmoid(gate)).astype(compute_dtype)
-    ffn_out = _matmul_bias(
-        ffn_h, wc.w_ffn_out, wc.b_ffn_out, compute_dtype
-    ).reshape(BA, M, D)
+    if w8a8 is not None:
+        h_norm_i8 = _rms_norm_q(res, wc.norm_mlp, calib.h_norm).reshape(
+            BA * M, D
+        )
+        vg = _dot_i8(
+            h_norm_i8, w_in_i8, _deq(calib.h_norm, calib.w_in),
+            wc.b_in.astype(jnp.float32),
+        )
+        value, gate = vg[:, :d_ff], vg[:, d_ff:]
+        ffn_h_i8 = _qs_static(value * jax.nn.sigmoid(gate), calib.ffn_h)
+        ffn_out = (
+            _dot_i8(
+                ffn_h_i8, w_fo_i8, _deq(calib.ffn_h, calib.w_fo),
+                wc.b_ffn_out.astype(jnp.float32),
+            )
+            .astype(compute_dtype)
+            .reshape(BA, M, D)
+        )
+    else:
+        h_norm = _rms_norm(res, wc.norm_mlp)
+        # vg stays in the f32 accumulator: Mosaic's logistic lowering
+        # rejects bf16 operands (f32-scalar broadcast into bf16 vectors)
+        vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)
+        value, gate = vg[:, :d_ff], vg[:, d_ff:]
+        ffn_h = (value * jax.nn.sigmoid(gate)).astype(compute_dtype)
+        ffn_out = _matmul_bias(
+            ffn_h, wc.w_ffn_out, wc.b_ffn_out, compute_dtype
+        ).reshape(BA, M, D)
     edge_out = res + ffn_out
     # zero the reserved slot: downstream edge arrays must keep it masked
     # (FFN ran over it harmlessly; cheaper than slicing sublanes)
@@ -480,7 +657,7 @@ def _rank1_broadcast(col, row_vec):
 def _layer_bwd_math(
     edges, center, cf, w: LayerWeights, g_edge, g_center,
     num_heads: int, scale: float, weight_grads: bool,
-    int8: bool = False, straight_through: bool = False,
+    int8: bool = False, straight_through: bool = False, w8a8=None,
 ):
     """Hand-written backward of :func:`_layer_math` (mexp layout only).
 
@@ -491,6 +668,11 @@ def _layer_bwd_math(
     skipped, and the softmax backward uses the
     ``w * (dW - cf (x) colsum(dW * w))`` form whose only broadcast is a
     depth-1 outer-product matmul (see :func:`_rank1_broadcast`).
+
+    With ``w8a8`` the recompute reproduces the static-int8 forward's
+    primal values exactly (same quantized matmuls) while every gradient
+    matmul uses the dequantized operands (straight-through estimation);
+    ``w8a8`` implies ``weight_grads=False`` (inference-only gate).
 
     Returns ``(d_edges, d_center, d_cf_f32, dw | None)``.
     """
@@ -511,16 +693,37 @@ def _layer_bwd_math(
     eps = _rms_eps(cd)  # torch RMSNorm(eps=None) parity (finfo eps)
     x1 = tokens.astype(acc)
     r1 = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=-1, keepdims=True) + eps)
-    n1 = (x1 * r1 * wc.norm_attn).astype(cd)
-    qkv = _matmul_bias(
-        n1.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, cd
-    ).reshape(BA, M, 3 * D)
-    q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
+    if w8a8 is not None:
+        calib, wi8 = w8a8
+        wq_i8, wk_i8, wv_i8, w_in_i8, w_fo_i8 = wi8
+        n1_f = x1 * r1 * wc.norm_attn.astype(acc)
+        n1 = n1_f.astype(cd)  # dequantized STE operand (dW unused)
+        n1_i8 = _qs_static(n1_f, calib.normed).reshape(BA * M, D)
+        b = wc.b_qkv.astype(jnp.float32)
+        q_f = _dot_i8(n1_i8, wq_i8, _deq(calib.normed, calib.w_q), b[:D])
+        k_f = _dot_i8(
+            n1_i8, wk_i8, _deq(calib.normed, calib.w_k), b[D : 2 * D]
+        )
+        q = q_f.astype(cd).reshape(BA, M, D)
+        k = k_f.astype(cd).reshape(BA, M, D)
+        v = (
+            _dot_i8(n1_i8, wv_i8, _deq(calib.normed, calib.w_v), b[2 * D :])
+            .astype(cd)
+            .reshape(BA, M, D)
+        )
+    else:
+        n1 = (x1 * r1 * wc.norm_attn).astype(cd)
+        qkv = _matmul_bias(
+            n1.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, cd
+        ).reshape(BA, M, 3 * D)
+        q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
 
     cf_acc = cf.astype(acc)
     # must mirror _window_attention_block's formulation choice exactly,
     # including the full-array row guard (see _QSIDE_MAX_ROWS)
-    qside = BA <= _QSIDE_MAX_ROWS and _use_qside(T, D, num_heads)
+    qside = BA <= _QSIDE_MAX_ROWS and (
+        w8a8 is not None or _use_qside(T, D, num_heads)
+    )
     if qside:
         # q-side layout recompute (mirrors _window_attention_qside,
         # including int8 score quantization when enabled -- the bwd must
@@ -528,9 +731,19 @@ def _layer_bwd_math(
         # matmuls below stay bf16 (straight-through quantization)
         HT = H * T
         k_exp = _expand_heads_scaled(k, H, head_dim, scale)
-        scores = _qside_scores(
-            q, k, H, head_dim, scale, acc, int8, straight_through
-        )  # (BA, T_q, HT)
+        if w8a8 is not None:
+            q_i8 = _qs_static(q_f, calib.q).reshape(BA, M, D)
+            k_i8 = _qs_static(k_f, calib.k).reshape(BA, M, D)
+            k_exp_i8 = _expand_heads_i8(k_i8, H, head_dim)
+            scores = jax.lax.dot_general(
+                q_i8, k_exp_i8,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(acc) * (_deq(calib.q, calib.k) * scale)
+        else:
+            scores = _qside_scores(
+                q, k, H, head_dim, scale, acc, int8, straight_through
+            )  # (BA, T_q, HT)
         e = jnp.exp(scores)
         rr = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (T, HT), 1)
@@ -603,7 +816,16 @@ def _layer_bwd_math(
     r2 = jax.lax.rsqrt(jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps)
     h_norm = (x2 * r2 * wc.norm_mlp).astype(cd)
     d_ff = wc.w_ffn_out.shape[0]
-    vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)  # f32
+    if w8a8 is not None:
+        h_norm_i8 = _qs_static(
+            x2 * r2 * wc.norm_mlp.astype(acc), calib.h_norm
+        ).reshape(BA * M, D)
+        vg = _dot_i8(
+            h_norm_i8, w_in_i8, _deq(calib.h_norm, calib.w_in),
+            wc.b_in.astype(jnp.float32),
+        )  # f32, matches the fwd primal exactly
+    else:
+        vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)
     value, gate = vg[:, :d_ff], vg[:, d_ff:]
     sig = jax.nn.sigmoid(gate)
     ffn_h = (value * sig).astype(cd)
@@ -785,11 +1007,22 @@ def _layer_bwd_math(
     return d_edges, d_center, d_cf, dw
 
 
-def _fwd_kernel(edges_ref, center_ref, cf_ref, *rest, num_heads, scale, int8):
-    *weight_refs, edge_out_ref, center_out_ref = rest
+def _fwd_kernel(
+    edges_ref, center_ref, cf_ref, *rest, num_heads, scale, int8, calib=None
+):
+    n_w = len(LayerWeights._fields)
+    weight_refs = rest[:n_w]
+    rest = rest[n_w:]
+    if calib is not None:
+        w8a8 = (calib, tuple(r[:] for r in rest[:5]))
+        rest = rest[5:]
+    else:
+        w8a8 = None
+    edge_out_ref, center_out_ref = rest
     w = LayerWeights(*(ref[:] for ref in weight_refs))
     edge_out, center_attn = _layer_math(
-        edges_ref[:], center_ref[:], cf_ref[:], w, num_heads, scale, int8
+        edges_ref[:], center_ref[:], cf_ref[:], w, num_heads, scale, int8,
+        w8a8=w8a8,
     )
     edge_out_ref[:] = edge_out
     center_out_ref[:] = center_attn
@@ -805,11 +1038,18 @@ def _bwd_kernel(
     n_weights,
     weight_grads,
     int8,
+    calib=None,
 ):
     weight_refs = rest[:n_weights]
-    g_edge_ref, g_center_ref = rest[n_weights : n_weights + 2]
-    d_edges_ref, d_center_ref, d_cf_ref = rest[n_weights + 2 : n_weights + 5]
-    dw_refs = rest[n_weights + 5 :]
+    rest = rest[n_weights:]
+    if calib is not None:
+        w8a8 = (calib, tuple(r[:] for r in rest[:5]))
+        rest = rest[5:]
+    else:
+        w8a8 = None
+    g_edge_ref, g_center_ref = rest[:2]
+    d_edges_ref, d_center_ref, d_cf_ref = rest[2:5]
+    dw_refs = rest[5:]
 
     w = LayerWeights(*(ref[:] for ref in weight_refs))
 
@@ -818,7 +1058,7 @@ def _bwd_kernel(
         d_edges, d_center, d_cf, dw = _layer_bwd_math(
             edges_ref[:], center_ref[:], cf_ref[:], w,
             g_edge_ref[:], g_center_ref[:], num_heads, scale, weight_grads,
-            int8,
+            int8, w8a8=w8a8,
         )
         if dw is None:
             dw = ()
@@ -891,7 +1131,14 @@ def _weight_spec(w):
     )
 
 
-def _forward_impl(edges, center, cf, weights: LayerWeights, num_heads, scale):
+def _w8a8_applicable(M, D, num_heads, calib) -> bool:
+    """The static-int8 path is qside-shaped only (and needs a calib)."""
+    return calib is not None and _use_mexp(M, D, num_heads) and num_heads % 2 == 0
+
+
+def _forward_impl(
+    edges, center, cf, weights: LayerWeights, num_heads, scale, calib=None
+):
     A, M, D = edges.shape
     BA = _block_atoms(M)
     edges_p = _pad_atoms(edges, BA)
@@ -901,20 +1148,26 @@ def _forward_impl(edges, center, cf, weights: LayerWeights, num_heads, scale):
     cf_p = _pad_atoms(cf, BA, value=1.0)
     A_p = edges_p.shape[0]
 
+    if not _w8a8_applicable(M, D, num_heads, calib):
+        calib = None
+    wi8 = quantize_layer_weights(weights, calib) if calib else ()
+
     spec3 = pl.BlockSpec((BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_c = pl.BlockSpec((BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     weight_specs = [_weight_spec(w) for w in weights]
+    wi8_specs = [_weight_spec(w) for w in wi8]
 
     edge_out, center_out = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             num_heads=num_heads,
             scale=scale,
-            int8=_use_int8_scores(edges.dtype),
+            int8=_use_int8_scores(edges.dtype) and calib is None,
+            calib=calib,
         ),
         grid=(A_p // BA,),
-        in_specs=[spec3, spec_c, spec2] + weight_specs,
+        in_specs=[spec3, spec_c, spec2] + weight_specs + wi8_specs,
         out_specs=(spec3, spec_c),
         out_shape=(
             jax.ShapeDtypeStruct((A_p, M, D), edges.dtype),
@@ -925,22 +1178,27 @@ def _forward_impl(edges, center, cf, weights: LayerWeights, num_heads, scale):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_use_interpret(),
-    )(edges_p, center_p, cf_p, *weights)
+    )(edges_p, center_p, cf_p, *weights, *wi8)
     return edge_out[:A], center_out[:A]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_transformer_layer(
-    edges, center, cf, weights: LayerWeights, num_heads, scale
+    edges, center, cf, weights: LayerWeights, num_heads, scale, calib=None
 ):
     """Fused PreLN layer on the reserved-slot token layout:
     ((A, M, D) edges, (A, D) center) -> ((A, M, D) edge tokens with slot
-    M-1 zeroed, (A, D) center attention output)."""
-    return _forward_impl(edges, center, cf, weights, num_heads, scale)
+    M-1 zeroed, (A, D) center attention output).
+
+    ``calib`` (static, optional): :class:`Int8Calib` enabling the
+    static-scale W8A8 int8 path (inference traces only)."""
+    return _forward_impl(edges, center, cf, weights, num_heads, scale, calib)
 
 
-def _fused_fwd(edges, center, cf, weights, num_heads, scale):
-    out = fused_transformer_layer(edges, center, cf, weights, num_heads, scale)
+def _fused_fwd(edges, center, cf, weights, num_heads, scale, calib=None):
+    out = fused_transformer_layer(
+        edges, center, cf, weights, num_heads, scale, calib
+    )
     return out, (edges, center, cf, weights)
 
 
@@ -976,7 +1234,7 @@ def _bwd_math_reference(
     return d_edges, d_center, d_cf.astype(jnp.float32), dw32
 
 
-def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
+def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False, calib=None):
     @jax.custom_vjp
     def bwd_op(edges, center, cf, weights: LayerWeights, g_edge, g_center):
         A, M, D = edges.shape
@@ -989,12 +1247,16 @@ def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
         A_p = edges_p.shape[0]
         n_weights = len(weights)
 
+        use_calib = calib if _w8a8_applicable(M, D, num_heads, calib) else None
+        wi8 = quantize_layer_weights(weights, use_calib) if use_calib else ()
+
         spec3 = pl.BlockSpec(
             (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
         spec_c = pl.BlockSpec((BA, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
         weight_specs = [_weight_spec(w) for w in weights]
+        wi8_specs = [_weight_spec(w) for w in wi8]
         # weight-grad outputs: every grid step maps to block 0 (revisited
         # accumulator in VMEM, written back once at the end)
         dw_specs = [_weight_spec(w) for w in weights] if weight_grads else []
@@ -1011,11 +1273,13 @@ def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
                 scale=scale,
                 n_weights=n_weights,
                 weight_grads=weight_grads,
-                int8=int8,
+                int8=int8 and use_calib is None,
+                calib=use_calib,
             ),
             grid=(A_p // BA,),
             in_specs=[spec3, spec_c, spec2]
             + weight_specs
+            + wi8_specs
             + [spec3, spec_c],
             out_specs=(spec3, spec_c, spec2, *dw_specs),
             out_shape=(
@@ -1031,7 +1295,7 @@ def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=_use_interpret(),
-        )(edges_p, center_p, cf_p, *weights, g_edge_p, g_center_p)
+        )(edges_p, center_p, cf_p, *weights, *wi8, g_edge_p, g_center_p)
         d_edges, d_center, d_cf, *dw = outs
         if not weight_grads:
             dw = [jnp.zeros(w.shape, jnp.float32) for w in weights]
@@ -1060,7 +1324,7 @@ def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False):
 _BWD_OPS = {}
 
 
-def _fused_bwd(num_heads, scale, residuals, g):
+def _fused_bwd(num_heads, scale, calib, residuals, g):
     from ..inference import param_grads_needed
 
     edges, center, cf, weights = residuals
@@ -1068,10 +1332,14 @@ def _fused_bwd(num_heads, scale, residuals, g):
     # trace-time flag: under no_param_grads() (inference force calls) the
     # weight-gradient matmuls and their accumulators are skipped entirely
     weight_grads = param_grads_needed()
-    int8 = _use_int8_scores(edges.dtype)
-    key = (num_heads, float(scale), weight_grads, int8)
+    if weight_grads:
+        calib = None  # W8A8 is inference-only (see use_int8_static)
+    int8 = _use_int8_scores(edges.dtype) and calib is None
+    key = (num_heads, float(scale), weight_grads, int8, calib)
     if key not in _BWD_OPS:
-        _BWD_OPS[key] = _make_bwd_op(num_heads, scale, weight_grads, int8)
+        _BWD_OPS[key] = _make_bwd_op(
+            num_heads, scale, weight_grads, int8, calib
+        )
     d_edges, d_center, d_cf, dw = _BWD_OPS[key](
         edges, center, cf, weights, g_edge, g_center
     )
@@ -1087,3 +1355,87 @@ fused_transformer_layer.defvjp(_fused_fwd, _fused_bwd)
 def reference_fused_layer(edges, center, cf, weights, num_heads, scale):
     """Pure-XLA reference of the same math (tests)."""
     return _layer_math(edges, center, cf, weights, num_heads, scale)
+
+
+# -- W8A8 calibration --------------------------------------------------------
+
+
+def layer_probe_stats(edges, center, cf, w: LayerWeights, num_heads, scale):
+    """Absmaxes of the activations the W8A8 path quantizes, from an exact
+    forward over the full arrays: ``[normed, q, k, h_norm, ffn_h]``.
+    Sown by the flax module under ``MTT_INT8_CALIBRATE=1`` and collected
+    by :func:`calibrate_from_sow`."""
+    BA, M, D = edges.shape
+    cd = edges.dtype
+    wc = LayerWeights(*(x.astype(cd) for x in w))
+    row = jax.lax.broadcasted_iota(jnp.int32, (BA, M, 1), 1)
+    is_reserved = row == M - 1
+    tokens = jnp.where(is_reserved, center.astype(cd)[:, None, :], edges)
+    normed = _rms_norm(tokens, wc.norm_attn)
+    qkv = _matmul_bias(
+        normed.reshape(BA * M, D), wc.w_qkv, wc.b_qkv, cd
+    ).reshape(BA, M, 3 * D)
+    q, k, v = qkv[:, :, :D], qkv[:, :, D : 2 * D], qkv[:, :, 2 * D :]
+    attn = _window_attention_block(q, k, v, cf, num_heads, scale)
+    attn_out = _matmul_bias(
+        attn.reshape(BA * M, D), wc.w_out, wc.b_out, cd
+    ).reshape(BA, M, D)
+    res = tokens + attn_out
+    h_norm = _rms_norm(res, wc.norm_mlp)
+    d_ff = wc.w_ffn_out.shape[0]
+    vg = _matmul_bias(h_norm.reshape(BA * M, D), wc.w_in, wc.b_in)
+    value, gate = vg[:, :d_ff], vg[:, d_ff:]
+    ffn_h = value * jax.nn.sigmoid(gate)
+
+    def am(x):
+        return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+    return jnp.stack([am(normed), am(q), am(k), am(h_norm), am(ffn_h)])
+
+
+def calibrate_from_sow(intermediates, params) -> int:
+    """Fill the int8 calib registry from a sown probe run.
+
+    :param intermediates: the ``"intermediates"`` collection of a
+        ``module.apply(..., mutable=["intermediates"])`` forward run
+        under ``MTT_INT8_CALIBRATE=1``.
+    :param params: the matching concrete ``"params"`` collection (weight
+        absmaxes are read directly from the parameters).
+    :return: number of layers calibrated.
+    """
+    import numpy as np
+
+    count = 0
+
+    def walk(inter, par, path):
+        nonlocal count
+        if not isinstance(inter, dict):
+            return
+        if "int8_probe" in inter:
+            stats = np.asarray(inter["int8_probe"][0], np.float64)
+            D = np.asarray(par["w_qkv"]).shape[0]
+            wq = np.asarray(par["w_qkv"], np.float64)
+
+            def am(x):
+                return float(np.max(np.abs(np.asarray(x, np.float64))))
+
+            calib = Int8Calib(
+                normed=float(stats[0]),
+                q=float(stats[1]),
+                k=float(stats[2]),
+                h_norm=float(stats[3]),
+                ffn_h=float(stats[4]),
+                w_q=am(wq[:, :D]),
+                w_k=am(wq[:, D : 2 * D]),
+                w_v=am(wq[:, 2 * D :]),
+                w_in=am(par["w_in"]),
+                w_fo=am(par["w_ffn_out"]),
+            )
+            set_int8_calib("/".join(path), calib)
+            count += 1
+            return
+        for name, child in inter.items():
+            walk(child, par.get(name, {}), path + (name,))
+
+    walk(intermediates, params, ())
+    return count
