@@ -237,10 +237,31 @@ def batch_targets(
 
         if per_atom:
             values = np.zeros((A,) + comp_shape + (n_props,), dtype=np.float64)
-            for sys_i, tmap in enumerate(per_system):
-                b = tmap.blocks()[key_idx]
-                values[offsets[sys_i] : offsets[sys_i + 1]] = np.asarray(b.values)
-            mask = atom_mask
+            # atomic-basis blocks carry only a SUBSET of each system's
+            # atoms (those of the block's atom_type): scatter rows by the
+            # block's own "atom" sample column and mask the rest out
+            subset = any(
+                len(tmap.blocks()[key_idx].samples) != n
+                for tmap, n in zip(per_system, atom_counts)
+            )
+            if subset:
+                sub_mask = np.zeros((A,), dtype=bool)
+                for sys_i, tmap in enumerate(per_system):
+                    b = tmap.blocks()[key_idx]
+                    atom_col = b.samples.names.index("atom")
+                    rows = offsets[sys_i] + np.asarray(
+                        b.samples.values[:, atom_col], dtype=np.int64
+                    )
+                    values[rows] = np.asarray(b.values)
+                    sub_mask[rows] = True
+                mask = sub_mask
+            else:
+                for sys_i, tmap in enumerate(per_system):
+                    b = tmap.blocks()[key_idx]
+                    values[offsets[sys_i] : offsets[sys_i + 1]] = np.asarray(
+                        b.values
+                    )
+                mask = atom_mask
         else:
             values = np.zeros((S,) + comp_shape + (n_props,), dtype=np.float64)
             for sys_i, tmap in enumerate(per_system):

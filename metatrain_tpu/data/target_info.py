@@ -180,7 +180,12 @@ def get_generic_target_info(
     :param target_type: "scalar", "cartesian" or "spherical".
     :param rank: Cartesian tensor rank (1 -> xyz, 2 -> xyz_1 x xyz_2).
     :param irreps: for spherical targets, a list of ``{"o3_lambda": l,
-        "o3_sigma": s}`` dicts, one block per irrep.
+        "o3_sigma": s}`` dicts, one block per irrep. An ATOMIC-BASIS
+        spherical target passes a dict ``{atom_type: [{"num": n,
+        "o3_lambda": l, "o3_sigma": s}, ...]}`` instead (reference
+        ``utils/data/target_info.py:615-680``): per-atom samples, block
+        keys gain ``atom_type``, and each irrep's ``num`` multiplicity
+        multiplies the property count.
     """
     sample_names = ["system", "atom"] if per_atom else ["system"]
     properties = Labels(
@@ -202,6 +207,39 @@ def get_generic_target_info(
         layout = TensorMap(
             Labels.single(), [_empty_block(sample_names, components, properties)]
         )
+    elif target_type == "spherical" and isinstance(irreps, dict):
+        # atomic-basis layout: one block per (irrep, atom_type); blocks
+        # carry only samples of atoms of their type. The multiplicity
+        # ``num`` multiplies the property axis, like the reference's
+        # per-(type, irrep) basis functions.
+        if not per_atom:
+            raise ValueError("atomic-basis spherical targets are per-atom")
+        key_rows = []
+        blocks = []
+        for atom_type in sorted(int(t) for t in irreps):
+            for ir in irreps[atom_type]:
+                lam = int(ir["o3_lambda"])
+                sig = int(ir.get("o3_sigma", 1))
+                num = int(ir.get("num", 1))
+                key_rows.append([lam, sig, atom_type])
+                components = [
+                    Labels(
+                        ["o3_mu"],
+                        np.arange(-lam, lam + 1, dtype=np.int32).reshape(-1, 1),
+                    )
+                ]
+                props = Labels(
+                    [property_name],
+                    np.arange(
+                        num * num_properties, dtype=np.int32
+                    ).reshape(-1, 1),
+                )
+                blocks.append(_empty_block(sample_names, components, props))
+        keys = Labels(
+            ["o3_lambda", "o3_sigma", "atom_type"],
+            np.array(key_rows, dtype=np.int32),
+        )
+        layout = TensorMap(keys, blocks)
     elif target_type == "spherical":
         if not irreps:
             raise ValueError("spherical targets need `irreps`")

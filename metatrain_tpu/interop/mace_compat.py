@@ -467,7 +467,13 @@ class MACECompat:
 
         node_energies = xp.zeros((A,), dtype=xp.float32)
         for i in range(self.num_interactions):
-            last = i == self.num_interactions - 1
+            # mace restricts to scalars only for layers built in its
+            # ``range(num_interactions - 1)`` loop (models.py): the FIRST
+            # interaction always outputs the full hidden irreps, so a
+            # single-interaction model is never scalar-restricted
+            last = (
+                i == self.num_interactions - 1 and self.num_interactions > 1
+            )
             pre = f"interactions.{i}."
             out_irreps = (
                 self._scalars(self.hidden_irreps) if last else self.hidden_irreps

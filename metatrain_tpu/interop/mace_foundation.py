@@ -163,7 +163,23 @@ def _config_from_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         nu = key.split(".weights.", 1)[1].split(".", 1)[0]
         if nu.isdigit():
             nus.add(int(nu))
-    cfg["correlation"] = len(nus) + 1 if nus else 3
+    # the shipped U buffers name their correlation order directly
+    # (U_matrix_{nu} / U_{nu} / U_tensors.{nu}); the highest present is
+    # the contraction order -- more reliable than counting weights.{nu}
+    # entries (a correlation-1 model has only weights_max + U_matrix_1)
+    u_orders = set()
+    for key in state:
+        if ".symmetric_contractions." not in key:
+            continue
+        tail = key.rsplit("_", 1)[-1].rsplit(".", 1)[-1]
+        if (".U_matrix_" in key or ".U_" in key or ".U_tensors." in key) and (
+            tail.isdigit()
+        ):
+            u_orders.add(int(tail))
+    if u_orders:
+        cfg["correlation"] = max(u_orders)
+    else:
+        cfg["correlation"] = len(nus) + 1 if nus else 3
 
     # max_ell (edge SH degree): the FIRST interaction's input features
     # are pure scalars, so its conv_tp has exactly one 'uvu' instruction
@@ -257,6 +273,117 @@ def convert_mace_foundation(
     0-epoch training to set composition/scaling) -- here the extracted
     baselines/scale are written directly as fixed weights.
     """
+    state = load_mace_foundation_state(path)
+    return _convert_mace_state(
+        state, target_name, target_unit, head_name, length_unit
+    )
+
+
+def convert_mace_metatrain_checkpoint(
+    ckpt: Dict[str, Any], use_best: bool = True
+) -> Dict[str, Any]:
+    """Convert a torch metatrain ``experimental.mace`` checkpoint.
+
+    The reference model wraps a live mace-torch module as
+    ``self.mace_model`` (``experimental/mace/model.py:196-231``) and
+    saves its tensors under the ``mace_model.`` state-dict prefix
+    (``model.py:756-781``) -- so this is the foundation importer
+    (mace_compat interior transplant included) applied to the stripped
+    inner state, with target metadata taken from the checkpoint's own
+    ``dataset_info`` instead of defaults.
+    """
+    state_raw = (
+        (ckpt.get("best_model_state_dict") or ckpt["model_state_dict"])
+        if use_best
+        else ckpt["model_state_dict"]
+    )
+    prefix = "mace_model."
+    state = {}
+    for k, v in state_raw.items():
+        if not k.startswith(prefix):
+            continue
+        arr = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+        state[k[len(prefix):]] = np.asarray(arr)
+    if not state:
+        raise ValueError(
+            "experimental.mace checkpoint has no mace_model.* tensors"
+        )
+    from .torch_ckpt import _dataset_info_from_stub
+
+    dataset_info = _dataset_info_from_stub(ckpt["model_data"]["dataset_info"])
+
+    # metatrain checkpoints carry the AUTHORITATIVE architecture hypers
+    # (model_data["hypers"]) -- prefer them over shape-based recovery,
+    # which degenerates on micro models (e.g. 1-channel corpus files)
+    th = dict(ckpt["model_data"].get("hypers") or {})
+    cfg_overrides: Dict[str, Any] = {}
+    if "r_max" in th:
+        cfg_overrides["r_max"] = float(th["r_max"])
+    for src, dst in (
+        ("num_interactions", "num_interactions"),
+        ("correlation", "correlation"),
+        ("max_ell", "max_ell"),
+        ("num_radial_basis", "num_radial"),
+        ("num_cutoff_basis", "num_cutoff_basis"),
+        ("avg_num_neighbors", "avg_num_neighbors"),
+    ):
+        if th.get(src) is not None:
+            cfg_overrides[dst] = (
+                float(th[src]) if dst == "avg_num_neighbors" else int(th[src])
+            )
+    hidden = th.get("hidden_irreps")
+    if isinstance(hidden, str) and "x" in hidden:
+        # "Cx0e + Cx1o + ..." -> channel count + hidden lmax
+        terms = [t.strip() for t in hidden.split("+")]
+        try:
+            muls = [int(t.split("x", 1)[0]) for t in terms]
+            ls = [int(t.split("x", 1)[1].rstrip("eo")) for t in terms]
+            cfg_overrides["num_channels"] = muls[0]
+            cfg_overrides["hidden_lmax"] = max(ls)
+        except ValueError:
+            pass
+    for name in ("interaction", "interaction_first"):
+        cls = th.get(name)
+        if cls is not None and cls not in (
+            "RealAgnosticResidualInteractionBlock",
+            "RealAgnosticInteractionBlock",
+        ):
+            raise NotImplementedError(
+                f"experimental.mace import: interaction class {cls!r} "
+                "is not supported (residual and non-residual "
+                "RealAgnostic blocks are)"
+            )
+    energy_targets = [
+        n
+        for n, info in dataset_info.targets.items()
+        if info.quantity == "energy" or n == "energy"
+    ]
+    if len(energy_targets) != 1:
+        raise NotImplementedError(
+            "experimental.mace import supports exactly one energy "
+            f"target (checkpoint has {list(dataset_info.targets)})"
+        )
+    target_name = energy_targets[0]
+    out = _convert_mace_state(
+        state,
+        target_name,
+        dataset_info.targets[target_name].unit or "eV",
+        "default",
+        dataset_info.length_unit or "angstrom",
+        cfg_overrides=cfg_overrides,
+    )
+    out["torch_source_version"] = ckpt.get("model_ckpt_version")
+    return out
+
+
+def _convert_mace_state(
+    state: Dict[str, np.ndarray],
+    target_name: str,
+    target_unit: str,
+    head_name: str,
+    length_unit: str,
+    cfg_overrides: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
 
@@ -265,8 +392,8 @@ def convert_mace_foundation(
     from ..models.mace import MACE
     from ..models.scaler import Scaler
 
-    state = load_mace_foundation_state(path)
     cfg = _config_from_state(state)
+    cfg.update(cfg_overrides or {})
 
     # reference: get_mace_head_index resolves the head by name; without
     # the live module only index resolution is possible -- "default"

@@ -94,10 +94,8 @@ def convert_soap_bpnn_checkpoint(
         for k, v in state.items()
     }
     if not torch_hypers.get("legacy", True):
-        raise NotImplementedError(
-            "soap_bpnn import: alchemical (non-legacy) descriptors carry "
-            "a pseudo-species embedding inside spex; only legacy "
-            "(Orthogonal species) checkpoints are supported"
+        return _convert_alchemical(
+            ckpt, torch_hypers, dataset_info, state
         )
 
     species = sorted(dataset_info.atomic_types)
@@ -233,7 +231,263 @@ def convert_soap_bpnn_checkpoint(
             tree[our_key]["W_out"] = jnp.asarray(W)
             tree[our_key]["b_out"] = jnp.zeros_like(tree[our_key]["b_out"])
 
-    # composition baselines: serialized TensorMap buffer -> native parse
+    # composition + scaler baselines: serialized TensorMap buffers
+    composition_ckpt, scaler_ckpt = _baselines_from_state(
+        state, consumed, species, dataset_info
+    )
+
+    out = {
+        "architecture_name": "soap_bpnn",
+        "scaler": scaler_ckpt,
+        "model_ckpt_version": SoapBpnn.__checkpoint_version__,
+        "hypers": dict(model.hypers),
+        "dataset_info": dataset_info.to_dict(),
+        "params": params,
+        "torch_source_version": ckpt.get("model_ckpt_version"),
+        # tensors not mapped (descriptor internals already captured by
+        # the spline; metatensor helper buffers carry no weights)
+        "unmapped_tensors": sorted(
+            k
+            for k in state
+            if k not in consumed
+            and not k.startswith("soap_calculator.")
+            and "_mts_helper" not in k
+            and "_extra_state" not in k
+            and "dummy_buffer" not in k
+            and "type_to_index" not in k
+        ),
+    }
+    out["composition"] = composition_ckpt
+    return out
+
+
+def _convert_alchemical(ckpt, torch_hypers, dataset_info, state):
+    """Modern/alchemical (``legacy=False``) checkpoint conversion.
+
+    The reference modern model (``soap_bpnn/model.py:229-312``) is: spex
+    descriptor with an Alchemical pseudo-species contraction (a learned
+    (species -> pseudo) linear map SHIPPED in the checkpoint, the same
+    trick as the radial spline), a center-type encoding that multiplies
+    the features, one SHARED LayerNorm, a SHARED bias-free Linear+SiLU
+    chain, and one shared bias-free last linear per block. Every piece
+    maps exactly onto the v3 modern module
+    (``models/soap_bpnn/modules.py``); the alchemical matrix is
+    discovered by SHAPE under ``soap_calculator.calculator.species.*``
+    (spex's parameter naming is not part of the checkpoint contract).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.composition import CompositionModel
+    from ..models.scaler import Scaler
+    from ..models.soap_bpnn import SoapBpnn
+
+    species = sorted(dataset_info.atomic_types)
+    n_species = len(species)
+    max_angular = int(torch_hypers["soap"]["max_angular"])
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return np.asarray(state[key], np.float32)
+
+    spline_v = state["soap_calculator.calculator.radial.spliner.spline_values"]
+    spline_d = state[
+        "soap_calculator.calculator.radial.spliner.spline_derivatives"
+    ]
+    spacing = float(
+        state["soap_calculator.calculator.radial.spliner.spline_spacing"]
+    )
+
+    # -- alchemical contraction: the (species -> pseudo) linear map -----
+    cand = [
+        (k, np.asarray(v))
+        for k, v in state.items()
+        if k.startswith("soap_calculator.calculator.species.")
+        and getattr(v, "ndim", 0) == 2
+    ]
+    if len(cand) != 1:
+        raise ValueError(
+            "alchemical soap_bpnn import: expected exactly one 2-D "
+            "species-contraction tensor under soap_calculator.calculator"
+            f".species.*, found {[k for k, _ in cand]}"
+        )
+    alch_key, alch = cand[0]
+    if alch.shape[0] == alch.shape[1]:
+        raise ValueError(
+            "alchemical soap_bpnn import: square species-contraction "
+            f"matrix {alch.shape} is orientation-ambiguous; cannot "
+            "import safely"
+        )
+    if alch.shape[0] == n_species:
+        pass  # (species, pseudo): embedding orientation
+    elif alch.shape[1] == n_species:
+        alch = alch.T  # torch Linear (pseudo, species) layout
+    else:
+        raise ValueError(
+            f"species-contraction matrix {alch.shape} does not match "
+            f"{n_species} atomic types"
+        )
+    n_pseudo = int(alch.shape[1])
+    consumed.add(alch_key)
+
+    # -- geometry from shipped tensors ----------------------------------
+    if "layernorm_for_tensors.weight" in state:
+        soap_size = int(state["layernorm_for_tensors.weight"].shape[0])
+        use_ln = True
+    else:
+        first_lin = min(
+            (
+                k
+                for k in state
+                if k.startswith("bpnn_for_tensors.") and k.endswith(".weight")
+            ),
+            key=lambda k: int(k.split(".")[1]),
+            default=None,
+        )
+        if first_lin is None:
+            raise ValueError(
+                "alchemical soap_bpnn import: no layernorm or bpnn "
+                "weights to derive the descriptor width from"
+            )
+        soap_size = int(np.asarray(state[first_lin]).shape[1])
+        use_ln = False
+    n_per_l = _derive_n_per_l(
+        np.asarray(spline_v).shape[1], max_angular + 1,
+        soap_size // n_pseudo**2,
+    )
+
+    layer_ids = sorted(
+        {
+            int(k.split(".")[1])
+            for k in state
+            if k.startswith("bpnn_for_tensors.") and k.endswith(".weight")
+        }
+    )
+    num_hidden = len(layer_ids)  # reference Linear count (k)
+    neurons = (
+        int(np.asarray(state[f"bpnn_for_tensors.{layer_ids[0]}.weight"]).shape[0])
+        if layer_ids
+        else int(torch_hypers.get("bpnn", {}).get("num_neurons_per_layer", 32))
+    )
+    if num_hidden == 0:
+        raise NotImplementedError(
+            "alchemical soap_bpnn import: num_hidden_layers=0 "
+            "checkpoints (features feed the last layers directly) are "
+            "not supported by the v3 modern module"
+        )
+
+    for name, head_type in dict(torch_hypers.get("heads", {})).items():
+        if head_type not in (None, "linear"):
+            raise NotImplementedError(
+                f"alchemical soap_bpnn import: head type {head_type!r} "
+                f"for target {name!r} is not linear"
+            )
+
+    hypers = {
+        "soap": dict(torch_hypers["soap"]),
+        "bpnn": {
+            "layernorm": use_ln,
+            "num_hidden_layers": num_hidden - 1,
+            "num_neurons_per_layer": neurons,
+        },
+        "legacy": False,
+        "num_pseudo_species": n_pseudo,
+        "heads": {name: "linear" for name in dataset_info.targets},
+        "zbl": False,
+        "add_lambda_basis": bool(torch_hypers.get("add_lambda_basis", True)),
+        "spex_compat": {
+            "spline_values": np.asarray(spline_v, np.float64).tolist(),
+            "spline_derivatives": np.asarray(spline_d, np.float64).tolist(),
+            "spline_spacing": spacing,
+            "n_per_l": n_per_l,
+        },
+    }
+
+    model = SoapBpnn(hypers, dataset_info)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tree = params["params"]
+
+    emb = tree["spherical_expansion"]["alchemical_embedding"]["embedding"]
+    if tuple(emb.shape) != tuple(alch.shape):
+        raise ValueError(
+            f"alchemical embedding shape mismatch: module {emb.shape} "
+            f"vs checkpoint {alch.shape}"
+        )
+    tree["spherical_expansion"]["alchemical_embedding"]["embedding"] = (
+        jnp.asarray(alch, jnp.float32)
+    )
+    tree["center_encoding"]["embedding"] = jnp.asarray(
+        take("center_encoding.weight")
+    )
+    if use_ln:
+        tree["layernorm_shared"]["scale"] = jnp.asarray(
+            take("layernorm_for_tensors.weight")
+        )
+        tree["layernorm_shared"]["bias"] = jnp.asarray(
+            take("layernorm_for_tensors.bias")
+        )
+    for ordinal, lid in enumerate(layer_ids):
+        tree[f"bpnn_shared_{ordinal}"]["kernel"] = jnp.asarray(
+            take(f"bpnn_for_tensors.{lid}.weight").T
+        )
+
+    for name in dataset_info.targets:
+        prefix = f"last_layers.{name}."
+        blocks = sorted(
+            {
+                k[len(prefix):].split(".", 1)[0]
+                for k in state
+                if k.startswith(prefix)
+            }
+        )
+        our_keys = sorted(
+            k
+            for k in tree
+            if k.startswith(f"last_layer_{name}".replace(":", "_"))
+        )
+        for block_name, our_key in zip(blocks, our_keys):
+            tree[our_key]["kernel"] = jnp.asarray(
+                take(
+                    f"{prefix}{block_name}.module_map.module_list.0.weight"
+                ).T
+            )
+
+    composition_ckpt, scaler_ckpt = _baselines_from_state(
+        state, consumed, species, dataset_info
+    )
+
+    out = {
+        "architecture_name": "soap_bpnn",
+        "scaler": scaler_ckpt,
+        "model_ckpt_version": SoapBpnn.__checkpoint_version__,
+        "hypers": dict(model.hypers),
+        "dataset_info": dataset_info.to_dict(),
+        "params": params,
+        "torch_source_version": ckpt.get("model_ckpt_version"),
+        "composition": composition_ckpt,
+        "unmapped_tensors": sorted(
+            k
+            for k in state
+            if k not in consumed
+            and not k.startswith("soap_calculator.")
+            and "_mts_helper" not in k
+            and "_extra_state" not in k
+            and "dummy_buffer" not in k
+            and "type_to_index" not in k
+            and "species_to_species_index" not in k
+        ),
+    }
+    return out
+
+
+def _baselines_from_state(state, consumed, species, dataset_info):
+    """Composition + scaler sub-checkpoints from serialized TensorMap
+    buffers (shared by the legacy and alchemical converters)."""
+    from ..models.composition import CompositionModel
+    from ..models.scaler import Scaler
+
+    n_species = len(species)
     composition_ckpt = None
     comp_key = next(
         (k for k in state if k.endswith("energy_composition_buffer")), None
@@ -264,8 +518,6 @@ def convert_soap_bpnn_checkpoint(
         except Exception:
             composition_ckpt = None
 
-    # scaler: parse the per-target scale from its serialized TensorMap
-    # (falls back to 1.0 -- untrained reference scalers are identity)
     scale = 1.0
     sc_key = next(
         (k for k in state if k.endswith("energy_per_target_scaler_buffer")),
@@ -310,27 +562,4 @@ def convert_soap_bpnn_checkpoint(
                 for name in dataset_info.targets
             },
         }
-
-    out = {
-        "architecture_name": "soap_bpnn",
-        "scaler": scaler_ckpt,
-        "model_ckpt_version": SoapBpnn.__checkpoint_version__,
-        "hypers": dict(model.hypers),
-        "dataset_info": dataset_info.to_dict(),
-        "params": params,
-        "torch_source_version": ckpt.get("model_ckpt_version"),
-        # tensors not mapped (descriptor internals already captured by
-        # the spline; metatensor helper buffers carry no weights)
-        "unmapped_tensors": sorted(
-            k
-            for k in state
-            if k not in consumed
-            and not k.startswith("soap_calculator.")
-            and "_mts_helper" not in k
-            and "_extra_state" not in k
-            and "dummy_buffer" not in k
-            and "type_to_index" not in k
-        ),
-    }
-    out["composition"] = composition_ckpt
-    return out
+    return composition_ckpt, scaler_ckpt

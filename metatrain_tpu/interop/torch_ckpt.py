@@ -366,10 +366,14 @@ def convert_torch_checkpoint(
         from .soap_bpnn_import import convert_soap_bpnn_checkpoint
 
         return convert_soap_bpnn_checkpoint(ckpt, use_best=use_best)
+    if arch == "experimental.mace":
+        from .mace_foundation import convert_mace_metatrain_checkpoint
+
+        return convert_mace_metatrain_checkpoint(ckpt, use_best=use_best)
     if arch != "pet":
         raise ValueError(
-            f"torch checkpoint conversion supports the PET and "
-            f"SOAP-BPNN architectures (got {arch!r})"
+            f"torch checkpoint conversion supports the PET, SOAP-BPNN "
+            f"and experimental.mace architectures (got {arch!r})"
         )
     version = ckpt.get("model_ckpt_version")
     if version != 16:

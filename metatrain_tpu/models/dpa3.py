@@ -150,11 +150,11 @@ class DPA3(AtomisticNNModel):
         full = copy.deepcopy(DEFAULT_MODEL_HYPERS)
         full.update(hypers or {})
         super().__init__(full, dataset_info, compute_dtype)
-        for name, info in self.target_infos.items():
-            if not info.is_scalar:
-                raise NotImplementedError(
-                    f"DPA3 tensorial target '{name}' is not supported"
-                )
+        # every dataset target gets an output head (reference DPA3 adds a
+        # fitting net per target, ``experimental/dpa3/model.py:196-197``);
+        # tensorial targets predict their flat components from invariant
+        # features -- like the reference, equivariance is learned (via
+        # augmentation), not structural
         self.cutoff = float(full["cutoff"])
         self.cutoff_width = float(full["cutoff_width"])
         self.module = DPA3Module(

@@ -412,6 +412,10 @@ class AtomisticNNModel(ModelInterface):
         if amask is None:
             amask = batch.atom_mask
 
+        key_names = list(info.layout.keys.names)
+        type_col = (
+            key_names.index("atom_type") if "atom_type" in key_names else None
+        )
         blocks = []
         for key_tuple, layout_block in info.layout.items():
             flat = per_block[block_key_str(key_tuple)]
@@ -422,10 +426,18 @@ class AtomisticNNModel(ModelInterface):
             if name == "non_conservative_stress":
                 flat = process_stress_like(flat, batch, n_props).reshape(A, -1)
 
+            block_amask = amask
+            if type_col is not None:
+                # atomic-basis block: restricted to atoms of its type
+                # (reference target_info.py:628-641 keys the blocks by
+                # ``atom_type``; padded/other-type rows are masked zero)
+                z = int(key_tuple[type_col])
+                block_amask = block_amask & (batch.types == z)
+
             if per_atom:
                 values = flat.reshape((A,) + comp_sizes + (n_props,))
                 values = jnp.where(
-                    amask.reshape((A,) + (1,) * (values.ndim - 1)),
+                    block_amask.reshape((A,) + (1,) * (values.ndim - 1)),
                     values,
                     0.0,
                 )
@@ -439,10 +451,10 @@ class AtomisticNNModel(ModelInterface):
                         axis=1,
                     ),
                 )
-                mask = amask
+                mask = block_amask
             else:
                 summed = sum_over_atoms(
-                    flat, batch.system_index, S, amask
+                    flat, batch.system_index, S, block_amask
                 )
                 values = summed.reshape((S,) + comp_sizes + (n_props,))
                 samples = Labels.range("system", S)

@@ -48,7 +48,22 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
 
 class SoapBpnn(AtomisticNNModel):
     ARCHITECTURE_NAME = "soap_bpnn"
-    __checkpoint_version__ = 2
+    __checkpoint_version__ = 3
+
+    @classmethod
+    def upgrade_v2_v3(cls, checkpoint):
+        """v3 realigns the modern/alchemical (``legacy=False``) network
+        with the reference architecture (center-type encoding + shared
+        LayerNorm + shared bias-free MLP, ``soap_bpnn/model.py:268-312``)
+        -- the old per-species alchemical parameter layout cannot be
+        mapped onto it. Legacy checkpoints are structurally unchanged."""
+        if not checkpoint["hypers"].get("legacy", True):
+            raise RuntimeError(
+                "Unable to upgrade the checkpoint: v2 alchemical "
+                "(legacy=False) soap_bpnn parameters use the pre-v3 "
+                "per-species network; retrain or re-import the model"
+            )
+        return dict(checkpoint)
 
     @classmethod
     def upgrade_v1_v2(cls, checkpoint):

@@ -370,21 +370,51 @@ class SoapBpnnModule(nn.Module):
 
         species_index = batch_data["species_index"]
         bpnn = hp["bpnn"]
-        if bpnn["layernorm"]:
-            features = SpeciesLayerNorm(
-                self.num_species, features.shape[-1], self.dtype, name="layernorm"
-            )(features, species_index)
+        if hp["legacy"]:
+            if bpnn["layernorm"]:
+                features = SpeciesLayerNorm(
+                    self.num_species, features.shape[-1], self.dtype,
+                    name="layernorm",
+                )(features, species_index)
 
-        hidden = SpeciesMLP(
-            num_species=self.num_species,
-            d_in=features.shape[-1],
-            d_hidden=bpnn["num_neurons_per_layer"],
-            num_hidden_layers=bpnn["num_hidden_layers"],
-            d_out=bpnn["num_neurons_per_layer"],
-            dtype=self.dtype,
-            name="bpnn",
-        )(features, species_index)
-        hidden = jax.nn.silu(hidden)
+            hidden = SpeciesMLP(
+                num_species=self.num_species,
+                d_in=features.shape[-1],
+                d_hidden=bpnn["num_neurons_per_layer"],
+                num_hidden_layers=bpnn["num_hidden_layers"],
+                d_out=bpnn["num_neurons_per_layer"],
+                dtype=self.dtype,
+                name="bpnn",
+            )(features, species_index)
+            hidden = jax.nn.silu(hidden)
+        else:
+            # modern/alchemical path, reference parity
+            # (soap_bpnn/model.py:268-312,553-583): learned center-type
+            # encoding multiplies the features, then a SHARED LayerNorm
+            # and a SHARED bias-free Linear+SiLU chain (the per-species
+            # structure lives in the encodings, not the network)
+            enc = nn.Embed(
+                self.num_species,
+                features.shape[-1],
+                dtype=self.dtype,
+                name="center_encoding",
+            )(species_index)
+            features = features * enc
+            if bpnn["layernorm"]:
+                # torch.nn.LayerNorm parity: eps=1e-5 (flax defaults 1e-6)
+                features = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name="layernorm_shared"
+                )(features)
+            h = features
+            for li in range(bpnn["num_hidden_layers"] + 1):
+                h = nn.Dense(
+                    bpnn["num_neurons_per_layer"],
+                    use_bias=False,
+                    dtype=self.dtype,
+                    name=f"bpnn_shared_{li}",
+                )(h)
+                h = jax.nn.silu(h)
+            hidden = h
 
         lr = hp.get("long_range") or {}
         if lr.get("enable"):
@@ -423,15 +453,26 @@ class SoapBpnnModule(nn.Module):
             for b_idx, (block_key, size) in enumerate(shapes.items()):
                 spec = specs[b_idx] if specs else {"type": "scalar"}
                 if spec["type"] == "scalar":
-                    per_block[block_key] = SpeciesMLP(
-                        num_species=self.num_species,
-                        d_in=head_features.shape[-1],
-                        d_hidden=1,
-                        num_hidden_layers=0,
-                        d_out=size,
-                        dtype=self.dtype,
-                        name=f"last_layer_{safe}_{block_key}",
-                    )(head_features, species_index)
+                    if hp["legacy"]:
+                        per_block[block_key] = SpeciesMLP(
+                            num_species=self.num_species,
+                            d_in=head_features.shape[-1],
+                            d_hidden=1,
+                            num_hidden_layers=0,
+                            d_out=size,
+                            dtype=self.dtype,
+                            name=f"last_layer_{safe}_{block_key}",
+                        )(head_features, species_index)
+                    else:
+                        # modern: one shared bias-free linear per block
+                        # (reference LinearMap with Labels.single(),
+                        # model.py:1205-1218)
+                        per_block[block_key] = nn.Dense(
+                            size,
+                            use_bias=False,
+                            dtype=self.dtype,
+                            name=f"last_layer_{safe}_{block_key}",
+                        )(head_features)
                 elif spec["type"] == "cartesian_rank2":
                     # rank-2 Cartesian: predict the (0,1), (1,-1), (2,1)
                     # spherical parts and convert with the CG intertwiner

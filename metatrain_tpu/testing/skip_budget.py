@@ -1,0 +1,121 @@
+"""Per-suite-class skip budgets.
+
+Capability flags that quietly ``pytest.skip`` can hollow out a suite
+class while it still reports green (VERDICT r4 weak #5). This plugin
+counts skips per :class:`~metatrain_tpu.testing.ArchitectureTests`
+subclass and FAILS the session when a class exceeds its declared
+``max_suite_skips`` budget — so adding a new capability gate forces an
+explicit budget decision instead of silent erosion.
+
+Usage (repo conftest)::
+
+    from metatrain_tpu.testing.skip_budget import SkipBudgetPlugin
+
+    def pytest_configure(config):
+        config.pluginmanager.register(SkipBudgetPlugin())
+
+Budgets: each suite class may set ``max_suite_skips`` (int). The default
+is derived from the class's own capability flags — every suite check
+skips deterministically on a flag, so the expected count is computable —
+plus a slack of 2 for environment-dependent skips.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def expected_skips(cls) -> int:
+    """Deterministic skip count implied by a suite class's capability
+    flags (kept in sync with the gates in ``suites.py``)."""
+    n = 0
+    all_kinds = (
+        "per_atom_scalar", "multi_property", "cartesian_rank1",
+        "cartesian_rank2", "spherical_l2", "multispherical",
+        "spherical_atomic_basis",
+    )
+    unsupported = [
+        k for k in all_kinds if k not in cls.supported_target_types
+    ]
+    # typed matrix: outputs+training AND equivariance check per kind
+    n += 2 * len(unsupported)
+    # equivariance checks skip for supported-but-not-equivariant kinds
+    n += len(
+        [
+            k
+            for k in all_kinds
+            if k in cls.supported_target_types
+            and k not in cls.equivariant_target_types
+        ]
+    )
+    if not cls.has_scalar_energy:
+        n += 6  # batching, O3, FD forces, selected-atoms, translation,
+        # extensivity (stress/FD gated jointly below)
+    if not (cls.supports_forces and cls.has_scalar_energy):
+        n += 1  # FD forces
+    if not (
+        cls.supports_forces and cls.supports_stress and cls.has_scalar_energy
+    ):
+        n += 1  # FD stress
+    if cls.has_scalar_energy and not cls.is_o3_invariant:
+        n += 1  # O3 invariance learned via augmentation
+    if not cls.supports_restart:
+        n += 2  # restart continuation + finetune accounting
+    if cls.has_scalar_energy and not getattr(cls, "is_local", True):
+        n += 1  # extensivity
+    if cls.train_before_forward:
+        n += 1  # supported-dtypes forward covered by export suite
+    return n
+
+
+class SkipBudgetPlugin:
+    """Counts per-class skips and fails the run on budget violations."""
+
+    # flag-independent skips (features / last-layer exposure, trainer
+    # hypers, fixed compute dtypes) plus environment-dependent ones
+    SLACK = 4
+
+    def __init__(self):
+        self._skips = defaultdict(list)
+        self._classes = {}
+
+    def pytest_collection_modifyitems(self, items):
+        from .suites import ArchitectureTests
+
+        for item in items:
+            cls = getattr(item, "cls", None)
+            if cls is not None and issubclass(cls, ArchitectureTests):
+                self._classes[self._key(item)] = cls
+
+    @staticmethod
+    def _key(item):
+        return item.nodeid.rsplit("::", 1)[0].split("[", 1)[0]
+
+    def pytest_runtest_logreport(self, report):
+        if report.skipped and not report.failed:
+            key = report.nodeid.rsplit("::", 1)[0].split("[", 1)[0]
+            # parametrized ids: strip the [param] suffix off the test part
+            base = key
+            if base in self._classes:
+                self._skips[base].append(report.nodeid)
+
+    def pytest_sessionfinish(self, session, exitstatus):
+        violations = []
+        for key, cls in self._classes.items():
+            budget = getattr(cls, "max_suite_skips", None)
+            if budget is None:
+                budget = expected_skips(cls) + self.SLACK
+            n = len(self._skips.get(key, []))
+            if n > budget:
+                violations.append((key, n, budget))
+        if violations:
+            lines = [
+                f"  {key}: {n} skips > budget {budget}"
+                for key, n, budget in violations
+            ]
+            print(
+                "\nSKIP-BUDGET VIOLATIONS (suite classes skipping more "
+                "than their capability flags justify):\n"
+                + "\n".join(lines)
+            )
+            session.exitstatus = 1

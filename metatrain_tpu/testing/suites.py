@@ -370,7 +370,8 @@ class ArchitectureTests:
     @pytest.fixture(
         scope="class",
         params=["per_atom_scalar", "multi_property", "cartesian_rank1",
-                "cartesian_rank2", "spherical_l2", "multispherical"],
+                "cartesian_rank2", "spherical_l2", "multispherical",
+                "spherical_atomic_basis"],
     )
     def typed_dataset(self, request):
         kind = request.param
@@ -383,6 +384,60 @@ class ArchitectureTests:
         for i in range(8):
             s = _molecule(5, seed=20 + i)
             systems.append(s)
+        if kind == "spherical_atomic_basis":
+            # per-type irrep basis (reference ``utils/testing/
+            # architectures.py:339-386``): blocks keyed (lambda, sigma,
+            # atom_type), each carrying only that type's atoms, with the
+            # ``num`` multiplicity on the property axis
+            ab_irreps = {
+                1: [{"num": 2, "o3_lambda": 0, "o3_sigma": 1},
+                    {"num": 1, "o3_lambda": 1, "o3_sigma": 1}],
+                6: [{"num": 3, "o3_lambda": 0, "o3_sigma": 1},
+                    {"num": 1, "o3_lambda": 2, "o3_sigma": 1}],
+                8: [{"num": 2, "o3_lambda": 0, "o3_sigma": 1},
+                    {"num": 1, "o3_lambda": 1, "o3_sigma": 1}],
+            }
+            info = get_generic_target_info(
+                "spherical", 1, "", "ab", per_atom=True, irreps=ab_irreps
+            )
+            from ..containers import Labels, TensorBlock, TensorMap
+
+            key_names = list(info.layout.keys.names)
+            lam_col = key_names.index("o3_lambda")
+            type_col = key_names.index("atom_type")
+            target_maps = []
+            for s in systems:
+                blocks = []
+                for layout_key, layout_block in info.layout.items():
+                    lam = int(layout_key[lam_col])
+                    z = int(layout_key[type_col])
+                    atoms = np.nonzero(np.asarray(s.types) == z)[0]
+                    n_props = len(layout_block.properties)
+                    blocks.append(
+                        TensorBlock(
+                            values=jnp.asarray(
+                                rng.normal(
+                                    size=(len(atoms), 2 * lam + 1, n_props)
+                                )
+                            ),
+                            samples=Labels(
+                                ["system", "atom"],
+                                np.stack(
+                                    [np.zeros(len(atoms), dtype=np.int32),
+                                     atoms.astype(np.int32)],
+                                    axis=1,
+                                ),
+                            ),
+                            components=tuple(layout_block.components),
+                            properties=layout_block.properties,
+                        )
+                    )
+                target_maps.append(TensorMap(info.layout.keys, blocks))
+            types = sorted({int(t) for s in systems for t in s.types})
+            dataset = Dataset(systems, {"target": target_maps})
+            return kind, dataset, DatasetInfo(
+                "angstrom", types, {"target": info}
+            )
         if kind == "multispherical":
             # one target with several irrep blocks (reference
             # ``utils/testing/output.py`` multispherical matrix)
@@ -1013,3 +1068,69 @@ class ArchitectureTests:
         )
         if trained_epoch is not None:
             assert getattr(trainer2, "epoch", 0) <= trained_epoch + 1
+
+    # -- r5 checks (reference ``output.py``/``checkpoints.py`` parity) -------
+
+    def test_no_output(self, model_and_params):
+        """A forward with no requested outputs returns nothing and does
+        not error (reference ``output.py:156-177``)."""
+        model, params = model_and_params
+        batch = self._batch(model, [_molecule(5, seed=91)])
+        out = model.forward(params, batch, [])
+        assert len(out) == 0
+
+    def test_failed_checkpoint_upgrade(self, arch_module, model_and_params):
+        """A checkpoint claiming a future version is refused with a clear
+        error instead of silently loading (reference
+        ``checkpoints.py:269-299``)."""
+        model, params = model_and_params
+        model.params = params
+        ckpt = model.get_checkpoint()
+        ckpt["model_ckpt_version"] = 99999999999999
+        with pytest.raises((ValueError, RuntimeError), match="version|newer"):
+            model_from_checkpoint(ckpt, context="restart")
+
+    def test_last_layer_features_selected_atoms(self, model_and_params):
+        """Last-layer feature outputs honor the selected-atoms mask:
+        unselected real atoms read exactly zero (reference
+        ``output.py:759-810``)."""
+        model, params = model_and_params
+        name = self.primary_output
+        aux = f"mtt::aux::{name}_last_layer_features"
+        batch = self._batch(model, [_molecule(6, seed=92)])
+        amask = np.asarray(batch.atom_mask)
+        selection = amask.copy()
+        idx = np.nonzero(amask)[0]
+        selection[idx[::2]] = False  # drop every other real atom
+        try:
+            out = model.forward(
+                params, batch, [aux], jnp.asarray(selection)
+            )
+        except (NotImplementedError, KeyError, AttributeError):
+            pytest.skip("architecture exposes no last-layer features")
+        if aux not in out:
+            pytest.skip("architecture exposes no last-layer features")
+        block = out[aux].block(0)
+        values = np.asarray(block.values)
+        assert np.isfinite(values).all()
+        dropped = amask & ~selection
+        assert np.all(values[dropped] == 0.0)
+        kept = amask & selection
+        assert np.any(values[kept] != 0.0)
+
+    def test_prediction_energy_subset_elements(self, model_and_params):
+        """A model trained on several atomic types predicts on a system
+        containing only a subset of them (reference
+        ``output.py:470-500``)."""
+        model, params = model_and_params
+        subset_type = model.dataset_info.atomic_types[-1]
+        system = System(
+            positions=np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.2]]),
+            types=np.full(2, subset_type, dtype=np.int32),
+            cell=np.zeros((3, 3)),
+            pbc=np.zeros(3, dtype=bool),
+        )
+        batch = self._batch(model, [system])
+        name = self.primary_output
+        out = model.forward(params, batch, [name])[name].block(0)
+        assert np.isfinite(np.asarray(out.values)).all()

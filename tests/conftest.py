@@ -70,6 +70,14 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+def pytest_configure(config):
+    # enforce per-class skip budgets on the shared architecture suites
+    # (a capability flag that silently skips too much fails the run)
+    from metatrain_tpu.testing.skip_budget import SkipBudgetPlugin
+
+    config.pluginmanager.register(SkipBudgetPlugin(), "mtt-skip-budget")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -49,6 +49,7 @@ class TestSoapBpnn(ArchitectureTests):
     supported_target_types = (
         "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
         "cartesian_rank2", "spherical_l2", "multispherical",
+        "spherical_atomic_basis",
     )
     equivariant_target_types = (
         "cartesian_rank1", "cartesian_rank2", "spherical_l2"
@@ -74,7 +75,7 @@ class TestMACE(ArchitectureTests):
     supports_forces = True
     supported_target_types = (
         "scalar", "multi_property", "cartesian_rank1", "spherical_l2",
-        "multispherical",
+        "multispherical", "spherical_atomic_basis",
     )
     equivariant_target_types = ("cartesian_rank1", "spherical_l2")
 
@@ -99,6 +100,7 @@ class TestSPACE(ArchitectureTests):
         "cartesian_rank2",
         "spherical_l2",
         "multispherical",
+        "spherical_atomic_basis",
     )
     equivariant_target_types = (
         "cartesian_rank1", "cartesian_rank2", "spherical_l2"
@@ -129,6 +131,15 @@ class TestDPA3(ArchitectureTests):
         "mlp_width": 8,
     }
     supports_forces = True
+    # reference DPA3 adds a fitting net for every dataset target
+    # (experimental/dpa3/model.py:196-197): the generic-target matrix
+    # runs on the native invariant head (non-equivariant, like the
+    # reference's learned-equivariance design)
+    supported_target_types = (
+        "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
+        "cartesian_rank2", "spherical_l2", "multispherical",
+        "spherical_atomic_basis",
+    )
 
 
 class TestGAP(ArchitectureTests):
