@@ -127,6 +127,23 @@ def main():
         p = optax.apply_updates(p, updates)
         return p, opt_state, loss
 
+    if os.environ.get("MTT_TRAIN_BENCH_MEMSTATS", "0") == "1":
+        # compile-time HBM breakdown: where does the double-backward
+        # program's memory go (the ~5k-atom ceiling diagnosis)
+        compiled = train_step.lower(params, opt_state, batch.positions).compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            for field in (
+                "temp_size_in_bytes",
+                "argument_size_in_bytes",
+                "output_size_in_bytes",
+                "alias_size_in_bytes",
+                "generated_code_size_in_bytes",
+            ):
+                val = getattr(ma, field, None)
+                if val is not None:
+                    print(f"# {field}: {val/2**30:.2f} GiB", flush=True)
+
     state = train_step(params, opt_state, batch.positions)
     jax.block_until_ready(state[2])
 

@@ -100,3 +100,59 @@ def get_adaptive_cutoffs(
     return r - (n_diff - n_target) / jnp.maximum(
         jax.lax.stop_gradient(dn0), 1e-10
     )
+
+
+def get_probe_adaptive_cutoffs(
+    distances: jnp.ndarray,  # (A, M) NEF distances
+    mask: jnp.ndarray,  # (A, M)
+    n_target: float,
+    max_cutoff: float,
+    cutoff_width: float = 1.0,
+) -> jnp.ndarray:
+    """SPACE's probe-grid adaptive cutoff on the NEF layout.
+
+    Reference ``experimental/space/modules/adaptive_cutoff.py:19-76`` (the
+    repo's own JAX port at ``eqx.py:235-301``): evaluate a grid of probe
+    cutoffs, compute each atom's smooth effective neighbor count per
+    probe, add the cubic uniform-density baseline, weight the probes with
+    a Gaussian centered at ``n_target`` (width from the numerical
+    probe-axis gradient), and return the weighted mean probe cutoff.
+    Differentiable end to end (no solver); padded edges excluded by
+    ``mask``.
+    """
+    from .modules import cutoff_func_bump
+
+    min_cutoff = MIN_PROBE_CUTOFF
+    spacing = cutoff_width / 4.0
+    n_probes = max(1, int((max_cutoff - min_cutoff) / spacing))
+    probes = jnp.linspace(
+        min_cutoff, max_cutoff - spacing, n_probes, dtype=distances.dtype
+    )
+
+    # (A, M, P) probe weights -> per-atom effective counts (A, P)
+    f = cutoff_func_bump(
+        distances[:, :, None], probes[None, None, :], cutoff_width
+    )
+    # the bump helper clamps its argument, so fully-inside edges need the
+    # explicit value 1 and fully-outside edges 0 (reference cutoff_func)
+    scaled = (distances[:, :, None] - (probes[None, None, :] - cutoff_width)) / (
+        cutoff_width
+    )
+    f = jnp.where(scaled <= 0.0, 1.0, jnp.where(scaled >= 1.0, 0.0, f))
+    f = jnp.where(mask[:, :, None], f, 0.0)
+    counts = jnp.sum(f, axis=1)  # (A, P)
+
+    diff = counts - n_target
+    x = jnp.linspace(0.0, 1.0, n_probes, dtype=distances.dtype)
+    diff = diff + n_target * x[None, :] ** 3
+
+    if n_probes > 1:
+        width_t = jnp.clip(jnp.abs(jnp.gradient(diff, axis=-1)), 1e-12, None)
+    else:
+        width_t = jnp.abs(diff) * 0.5 + 1e-12
+
+    logw = -0.5 * (diff / width_t) ** 2
+    logw = logw - jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w @ probes

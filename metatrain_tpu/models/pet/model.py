@@ -145,7 +145,15 @@ class PET(AtomisticNNModel):
         neighbor_species_index = species_index[batch.nbr_indices]
 
         if self.num_neighbors_adaptive is not None:
-            atomic_cutoffs = get_adaptive_cutoffs(
+            if self.hypers.get("adaptive_cutoff_method") == "probe":
+                # SPACE's probe-grid scheme (reference
+                # experimental/space/modules/adaptive_cutoff.py)
+                from .adaptive import get_probe_adaptive_cutoffs
+
+                adaptive_fn = get_probe_adaptive_cutoffs
+            else:
+                adaptive_fn = get_adaptive_cutoffs
+            atomic_cutoffs = adaptive_fn(
                 distances,
                 batch.nbr_mask,
                 float(self.num_neighbors_adaptive),

@@ -720,7 +720,15 @@ class PETBackbone(nn.Module):
                 if conditioning is not None:
                     out_node = out_node + conditioning
                 node_state = out_node
-                reversed_edges = reverse_edges(out_edges, batch_data)
+                # fan-out pair: out_edges feeds BOTH the permute and the
+                # combination stage; the pair primitive fuses the two
+                # backward cotangents into the permute kernel
+                # (ops/pallas/color_gather.reverse_pair)
+                from ...ops.pallas.color_gather import reverse_pair
+
+                out_edges, reversed_edges = reverse_pair(
+                    out_edges, batch_data
+                )
                 from .fused_stages import combination_math
 
                 cat_example = jnp.concatenate(
@@ -762,8 +770,12 @@ class PETBackbone(nn.Module):
                 if conditioning is not None:
                     out_node = out_node + conditioning
                 node_features.append(out_node)
+                from ...ops.pallas.color_gather import reverse_pair
+
+                out_edges, reversed_edges = reverse_pair(
+                    out_edges, batch_data
+                )
                 edge_features.append(out_edges)
-                reversed_edges = reverse_edges(out_edges, batch_data)
                 input_messages = 0.5 * (input_messages + reversed_edges)
 
         return node_features, edge_features

@@ -104,6 +104,10 @@ class Scaler(ModelInterface):
                     system, tmap = sample.system, sample.targets[name]
                     for b, block in enumerate(tmap.blocks()):
                         values = np.asarray(block.values, dtype=np.float64)
+                        if values.shape[0] == 0:
+                            # atomic-basis blocks: a system can lack a
+                            # block's atom type entirely
+                            continue
                         P = values.shape[-1]
                         flat = values.reshape(values.shape[0], -1, P)
                         finite = np.isfinite(flat)

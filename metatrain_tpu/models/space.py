@@ -41,6 +41,9 @@ DEFAULT_MODEL_HYPERS: Dict[str, Any] = {
     "cutoff": 5.0,
     "cutoff_width": 0.5,
     "num_neighbors_adaptive": None,
+    # SPACE's probe-grid adaptive scheme (reference
+    # space/modules/adaptive_cutoff.py; PET's Newton solver also accepted)
+    "adaptive_cutoff_method": "probe",
     "cutoff_width_adaptive": 1.0,
     "num_radial": 8,
     "k_max_l": [64, 32, 16],  # per-L channel budgets (defines max_ell)
@@ -202,6 +205,49 @@ class SpaceModule(nn.Module):
                     distances, hp["cutoff"], n_max_l, hp["cutoff_width"]
                 )
             ]
+        elif rb_cfg.get("type") == "physical":
+            # splined physical basis (reference
+            # space/modules/physical_basis.py + splines.py; tables either
+            # shipped -- e.g. imported from a reference checkpoint -- or
+            # generated from the eigenstate family, ops/radial)
+            from ..ops.radial import (
+                hermite_spline_basis,
+                physical_spline_tables,
+            )
+
+            tables = rb_cfg.get("spline_tables")
+            if tables is not None:
+                values = np.asarray(tables["values"], np.float64)
+                derivs = np.asarray(tables["derivatives"], np.float64)
+                spacing = float(tables["spacing"])
+                n_max_l = [int(n) for n in tables["n_per_l"]]
+            else:
+                values, derivs, spacing, n_max_l = physical_spline_tables(
+                    float(rb_cfg.get("E_max", 20.0)), hp["cutoff"]
+                )
+            n_max_l = n_max_l[: lmax + 1]
+            if len(n_max_l) < lmax + 1:
+                raise ValueError(
+                    f"radial_basis.E_max={rb_cfg.get('E_max')} leaves no "
+                    f"radial functions for l={len(n_max_l)} (lmax={lmax}); "
+                    "raise E_max"
+                )
+            rb_all = hermite_spline_basis(
+                distances,
+                jnp.asarray(values, distances.dtype),
+                jnp.asarray(derivs, distances.dtype),
+                spacing,
+            )
+            radial = []
+            off = 0
+            for n_l in n_max_l:
+                feat = rb_all[:, :, off : off + n_l] * weight[:, :, None]
+                radial.append(
+                    jnp.where(
+                        batch_data["nbr_mask"][:, :, None], feat, 0.0
+                    ).astype(self.dtype)
+                )
+                off += n_l
         else:
             shared = radial_basis(
                 distances, hp["cutoff"], hp["num_radial"], "bessel",

@@ -375,9 +375,14 @@ def _grouped_band_dma(
 
 
 def _grouped_kernel(
-    idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, *scratch,
-    A, M, D, BA, K, groups, mgx, k_split=0, ov_base=0,
+    idx_ref, dstloc_ref, vals_ref, x_hbm, *rest,
+    A, M, D, BA, K, groups, mgx, k_split=0, ov_base=0, has_acc=False,
 ):
+    if has_acc:
+        acc_ref, out_ref, *scratch = rest
+    else:
+        acc_ref = None
+        out_ref, *scratch = rest
     """Grouped-window variant: slots are partitioned into sigma-paired
     groups, each with its own (narrow) circular window at offset delta
     -- the one-hot matmul width drops ~3x vs the all-slots band (the
@@ -522,7 +527,13 @@ def _grouped_kernel(
             )
             res_all = res_flat.reshape(M, BA, D)
 
-    out_ref[:] = jnp.swapaxes(res_all, 0, 1)
+    out = jnp.swapaxes(res_all, 0, 1)
+    if acc_ref is not None:
+        # fused accumulate: out = permute(x) + acc in one store, saving
+        # the separate XLA add's full read+write round trip (the r4
+        # profile's add_any cotangent adds)
+        out = out + acc_ref[:]
+    out_ref[:] = out
 
 
 def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[int, int]]:
@@ -567,7 +578,7 @@ def grouped_geometry(A: int, groups, M: Optional[int] = None) -> Optional[Tuple[
 
 def _kernel_impl_grouped(
     x, nbr_indices, fixup_src, fixup_dst, groups, interpret: bool,
-    fixup_split=(0, 0),
+    fixup_split=(0, 0), acc=None,
 ):
     A, M, D = x.shape
     BA, mgx = grouped_geometry(A, groups, M)
@@ -599,25 +610,37 @@ def _kernel_impl_grouped(
     ] + [pltpu.SemaphoreType.DMA((len(groups), 2, 2))]
 
     k_split, ov_base = fixup_split
+    block3 = pl.BlockSpec(
+        (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    operands = [
+        nbr_indices,
+        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
+        vals,
+        xT,
+    ]
+    in_specs = [
+        pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if acc is not None:
+        operands.append(acc)
+        in_specs.append(block3)
     return pl.pallas_call(
         functools.partial(
             _grouped_kernel, A=A, M=M, D=D, BA=BA, K=K, groups=groups,
             mgx=mgx, k_split=int(k_split), ov_base=int(ov_base),
+            has_acc=acc is not None,
         ),
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=block3,
         out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -625,18 +648,18 @@ def _kernel_impl_grouped(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        nbr_indices,
-        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
-        vals,
-        xT,
-    )
+    )(*operands)
 
 
 def _kernel(
-    idx_ref, dstloc_ref, vals_ref, x_hbm, out_ref, band, sems,
-    *, A, M, D, W, mg, BA, K, ext, roll=False,
+    idx_ref, dstloc_ref, vals_ref, x_hbm, *rest,
+    A, M, D, W, mg, BA, K, ext, roll=False, has_acc=False,
 ):
+    if has_acc:
+        acc_ref, out_ref, band, sems = rest
+    else:
+        acc_ref = None
+        out_ref, band, sems = rest
     g = pl.program_id(0)
     G = pl.num_programs(0)
 
@@ -736,10 +759,14 @@ def _kernel(
         res_flat = res_all.reshape(M * BA, D) * keep + corr
         res_all = res_flat.reshape(M, BA, D)
 
-    out_ref[:] = jnp.swapaxes(res_all, 0, 1)
+    out = jnp.swapaxes(res_all, 0, 1)
+    if acc_ref is not None:
+        out = out + acc_ref[:]  # fused accumulate (see _grouped_kernel)
+    out_ref[:] = out
 
 
-def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpret: bool):
+def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int,
+                 interpret: bool, acc=None):
     A, M, D = x.shape
     BA, mg, W = kernel_geometry(A, band_width)
     G = A // BA
@@ -782,25 +809,36 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
     else:
         vals = jnp.zeros((G, 1, D), x.dtype)
 
+    block3 = pl.BlockSpec(
+        (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    operands = [
+        nbr_indices,
+        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
+        vals,
+        xT,
+    ]
+    in_specs = [
+        pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if acc is not None:
+        operands.append(acc)
+        in_specs.append(block3)
     return pl.pallas_call(
         functools.partial(
             _kernel, A=A, M=M, D=D, W=W, mg=mg, BA=BA, K=K, ext=use_ext,
-            roll=use_roll,
+            roll=use_roll, has_acc=acc is not None,
         ),
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, max(K, 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, max(K, 1), D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (BA, M, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=block3,
         out_shape=jax.ShapeDtypeStruct((A, M, D), x.dtype),
         scratch_shapes=(
             [
@@ -818,12 +856,7 @@ def _kernel_impl(x, nbr_indices, fixup_src, fixup_dst, band_width: int, interpre
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        nbr_indices,
-        fixup_dst.reshape(G, 1, -1) if K else jnp.zeros((G, 1, 1), jnp.int32),
-        vals,
-        xT,
-    )
+    )(*operands)
 
 
 # -- primitive ---------------------------------------------------------------
@@ -996,4 +1029,218 @@ mlir.register_lowering(
     mlir.lower_fun(
         functools.partial(_impl, interpret=None), multiple_results=False
     ),
+)
+
+
+# -- fused permute + accumulate ----------------------------------------------
+#
+# ``colored_permute_acc(x, acc, ...) == colored_permute(x, ...) + acc`` with
+# the add fused into the permute kernel's store (one read of ``acc`` instead
+# of the separate XLA add's read-read-write round trip). Linear in both
+# array operands, so the transpose stays closed under the colored family:
+# d_x = permute(ct), d_acc = ct.
+
+colored_permute_acc_p = jex_core.Primitive("colored_permute_acc")
+
+
+def colored_permute_acc(
+    x, acc, rev, nbr_indices, fixup_src, fixup_dst, *, band: int,
+    groups=(), fixup_split=(0, 0),
+):
+    return colored_permute_acc_p.bind(
+        x, acc, rev, nbr_indices, fixup_src, fixup_dst,
+        band=int(band),
+        groups=tuple(tuple(int(v) for v in g) for g in groups),
+        fixup_split=(int(fixup_split[0]), int(fixup_split[1])),
+    )
+
+
+def _impl_acc(x, acc, rev, nbr_indices, fixup_src, fixup_dst, *, band,
+              groups=(), fixup_split=(0, 0), interpret=None):
+    from . import pallas_enabled
+
+    A, M, D = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret and pallas_enabled():
+        if groups and use_kernel_grouped(x.shape, x.dtype, groups):
+            return _kernel_impl_grouped(
+                x, nbr_indices, fixup_src, fixup_dst, groups,
+                interpret=False, fixup_split=fixup_split, acc=acc,
+            )
+        if not groups and use_kernel(x.shape, x.dtype, band):
+            return _kernel_impl(
+                x, nbr_indices, fixup_src, fixup_dst, band,
+                interpret=False, acc=acc,
+            )
+    flat = x.reshape(A * M, D)
+    return jnp.take(flat, rev, axis=0).reshape(A, M, D) + acc
+
+
+def _abstract_eval_acc(x, acc, *rest, **params):
+    return x.update(shape=x.shape, dtype=x.dtype)
+
+
+def _jvp_acc(primals, tangents, *, band, groups=(), fixup_split=(0, 0)):
+    x, acc, rev, idx, fsrc, fdst = primals
+    dx, dacc = tangents[0], tangents[1]
+    out = colored_permute_acc(
+        x, acc, rev, idx, fsrc, fdst, band=band, groups=groups,
+        fixup_split=fixup_split,
+    )
+    dx_zero = type(dx) is ad.Zero
+    dacc_zero = type(dacc) is ad.Zero
+    if dx_zero and dacc_zero:
+        return out, ad.Zero.from_primal_value(out)
+    if dx_zero:
+        return out, dacc
+    if dacc_zero:
+        dout = colored_permute(
+            dx, rev, idx, fsrc, fdst, band=band, groups=groups,
+            fixup_split=fixup_split,
+        )
+        return out, dout
+    dout = colored_permute_acc(
+        dx, dacc, rev, idx, fsrc, fdst, band=band, groups=groups,
+        fixup_split=fixup_split,
+    )
+    return out, dout
+
+
+def _transpose_acc(ct, x, acc, rev, idx, fsrc, fdst, *, band, groups=(),
+                   fixup_split=(0, 0)):
+    if type(ct) is ad.Zero:
+        zero = ad.Zero.from_primal_value(x)
+        return (zero, zero, None, None, None, None)
+    d_x = colored_permute(
+        ct, rev, idx, fsrc, fdst, band=band, groups=groups,
+        fixup_split=fixup_split,
+    )
+    return (d_x, ct, None, None, None, None)
+
+
+colored_permute_acc_p.def_impl(functools.partial(_impl_acc, interpret=None))
+colored_permute_acc_p.def_abstract_eval(_abstract_eval_acc)
+ad.primitive_jvps[colored_permute_acc_p] = _jvp_acc
+ad.primitive_transposes[colored_permute_acc_p] = _transpose_acc
+mlir.register_lowering(
+    colored_permute_acc_p,
+    mlir.lower_fun(
+        functools.partial(_impl_acc, interpret=None), multiple_results=False
+    ),
+)
+
+
+# -- fan-out pair -------------------------------------------------------------
+#
+# ``reverse_pair(x, ...) -> (x, permute(x))``: the model consumes BOTH the
+# edge array and its reversal (combination stage / residual message mix).
+# Expressed as one primitive, the cotangent fan-in ``d_x = ct_x +
+# permute(ct_p)`` lowers to the FUSED accumulate kernel above instead of an
+# XLA add_any -- the r4 profile's 1.9 ms of cotangent adds.
+
+reverse_pair_p = jex_core.Primitive("colored_reverse_pair")
+reverse_pair_p.multiple_results = True
+
+
+def reverse_pair(x, batch_data):
+    """(x, reversed(x)) with the backward add fused into the permute.
+
+    Drop-in replacement for ``(x, reverse_edges(x, batch_data))`` when
+    both values are consumed downstream. Falls back to the involution/
+    gather path exactly like :func:`reverse_edges` would.
+    """
+    band = batch_data.get("color_band", 0)
+    groups = batch_data.get("color_groups", ())
+    if (band or groups) and x.ndim == 3:
+        return tuple(
+            reverse_pair_p.bind(
+                x,
+                batch_data["nbr_reverse"].reshape(-1),
+                batch_data["nbr_indices"],
+                batch_data["nbr_fixup_src"],
+                batch_data["nbr_fixup_dst"],
+                band=int(band),
+                groups=tuple(
+                    tuple(int(v) for v in g) for g in groups
+                ),
+                fixup_split=tuple(
+                    int(v) for v in batch_data.get("color_fixup_split", (0, 0))
+                ),
+            )
+        )
+    from ...ops.involution import permute_rows
+
+    A, M = x.shape[:2]
+    flat = x.reshape((A * M,) + x.shape[2:])
+    rev = permute_rows(flat, batch_data["nbr_reverse"].reshape(-1)).reshape(
+        x.shape
+    )
+    return x, rev
+
+
+def _pair_impl(x, rev, idx, fsrc, fdst, *, band, groups=(),
+               fixup_split=(0, 0)):
+    return (
+        x,
+        _impl(x, rev, idx, fsrc, fdst, band=band, groups=groups,
+              fixup_split=fixup_split),
+    )
+
+
+def _pair_abstract(x, *rest, **params):
+    out = x.update(shape=x.shape, dtype=x.dtype)
+    return (out, out)
+
+
+def _pair_jvp(primals, tangents, *, band, groups=(), fixup_split=(0, 0)):
+    x, rev, idx, fsrc, fdst = primals
+    dx = tangents[0]
+    outs = tuple(
+        reverse_pair_p.bind(
+            x, rev, idx, fsrc, fdst, band=band, groups=groups,
+            fixup_split=fixup_split,
+        )
+    )
+    if type(dx) is ad.Zero:
+        z = ad.Zero.from_primal_value(outs[0])
+        return outs, (z, z)
+    douts = tuple(
+        reverse_pair_p.bind(
+            dx, rev, idx, fsrc, fdst, band=band, groups=groups,
+            fixup_split=fixup_split,
+        )
+    )
+    return outs, douts
+
+
+def _pair_transpose(cts, x, rev, idx, fsrc, fdst, *, band, groups=(),
+                    fixup_split=(0, 0)):
+    ct_x, ct_p = cts
+    x_zero = type(ct_x) is ad.Zero
+    p_zero = type(ct_p) is ad.Zero
+    if x_zero and p_zero:
+        return (ad.Zero.from_primal_value(x), None, None, None, None)
+    if p_zero:
+        return (ct_x, None, None, None, None)
+    if x_zero:
+        d_x = colored_permute(
+            ct_p, rev, idx, fsrc, fdst, band=band, groups=groups,
+            fixup_split=fixup_split,
+        )
+        return (d_x, None, None, None, None)
+    d_x = colored_permute_acc(
+        ct_p, ct_x, rev, idx, fsrc, fdst, band=band, groups=groups,
+        fixup_split=fixup_split,
+    )
+    return (d_x, None, None, None, None)
+
+
+reverse_pair_p.def_impl(_pair_impl)
+reverse_pair_p.def_abstract_eval(_pair_abstract)
+ad.primitive_jvps[reverse_pair_p] = _pair_jvp
+ad.primitive_transposes[reverse_pair_p] = _pair_transpose
+mlir.register_lowering(
+    reverse_pair_p,
+    mlir.lower_fun(_pair_impl, multiple_results=True),
 )

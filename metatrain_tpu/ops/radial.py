@@ -186,6 +186,67 @@ def le_radial_basis(
     return out
 
 
+#: cached (e_max, cutoff, n_knots) -> spline-table tuples (host build
+#: cost is ~10 ms; MD/eval re-traces should not repeat it)
+_PHYS_SPLINE_CACHE: dict = {}
+
+
+def physical_spline_tables(e_max: float, cutoff: float, n_knots: int = 256):
+    """Hermite-spline tables of the physical (eigenstate) radial basis.
+
+    Reference SPACE splines its physical-basis eigenfunctions once and
+    evaluates the spline in the hot path
+    (``space/modules/physical_basis.py:9-76`` + ``splines.py``; the
+    repo's JAX port consumes the same tables, ``eqx.py:37-70``). The
+    generating family here is the Laplacian-eigenstate basis (the
+    ``physical_basis`` package that tabulates the reference's confined
+    eigenfunctions is not installable in this environment -- exact
+    tables from a reference checkpoint can be passed through
+    ``radial_basis.spline_tables`` instead, same consumption path as the
+    SOAP-BPNN spex import). Values carry the reference's sphere-volume
+    normalization ``sqrt(r_cut^3 / 3)``.
+
+    :return: ``(values (n_knots, n_cols), derivatives, spacing,
+        n_max_l)`` numpy arrays; columns l-major (all n of l=0, then
+        l=1, ...).
+    """
+    key = (float(e_max), float(cutoff), int(n_knots))
+    cached = _PHYS_SPLINE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from scipy.special import spherical_jn
+
+    n_max_l = le_channel_budgets(e_max, cutoff)
+    spacing = cutoff / (n_knots - 1)
+    r = np.linspace(0.0, cutoff, n_knots)
+    norm_sphere = np.sqrt(cutoff**3 / 3.0)
+    cols_v, cols_d = [], []
+    for l, n_max in enumerate(n_max_l):
+        zeros = np.asarray(spherical_bessel_zeros(l, n_max))
+        norms = (
+            np.sqrt(2.0)
+            / (cutoff**1.5 * np.abs(spherical_jn(l + 1, zeros)))
+            * norm_sphere
+        )
+        x = zeros[None, :] * (r[:, None] / cutoff)  # (n_knots, n_max)
+        safe_x = np.maximum(x, 1e-10)
+        jl = spherical_jn(l, safe_x)
+        djl = spherical_jn(l, safe_x, derivative=True)
+        if l > 0:  # j_l(0) = 0 for l > 0; the guard above breaks that
+            jl = np.where(x < 1e-10, 0.0, jl)
+            djl = np.where(x < 1e-10, (1.0 / 3.0) if l == 1 else 0.0, djl)
+        cols_v.append(jl * norms[None, :])
+        cols_d.append(djl * (zeros[None, :] / cutoff) * norms[None, :])
+    out = (
+        np.concatenate(cols_v, axis=1),
+        np.concatenate(cols_d, axis=1),
+        float(spacing),
+        [int(n) for n in n_max_l],
+    )
+    _PHYS_SPLINE_CACHE[key] = out
+    return out
+
+
 def _spherical_jl(l: int, x: jnp.ndarray) -> jnp.ndarray:
     """j_l(x) by the closed-form ascending recurrence (stable for the
     small l used here; x is bounded away from 0)."""

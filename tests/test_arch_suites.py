@@ -120,6 +120,21 @@ class TestSPACELEBasis(ArchitectureTests):
     supported_target_types = ("scalar",)
 
 
+class TestSPACEPhysical(ArchitectureTests):
+    """SPACE with the splined physical radial basis AND the probe-grid
+    adaptive cutoff (reference space/modules/{physical_basis,
+    adaptive_cutoff}.py)."""
+
+    architecture = "experimental.space"
+    minimal_model_hypers = dict(
+        TestSPACE.minimal_model_hypers,
+        radial_basis={"type": "physical", "E_max": 25.0},
+        num_neighbors_adaptive=6.0,
+    )
+    supports_forces = True
+    supported_target_types = ("scalar",)
+
+
 class TestDPA3(ArchitectureTests):
     architecture = "experimental.dpa3"
     minimal_model_hypers = {
