@@ -223,30 +223,36 @@ def main():
     # r3/r4 dynamic-absmax overhead is gone). Inference-only; accuracy
     # adjudicated by the force guard AND the MAE parity gate below.
     candidates = [
+        ("qside+grouped+gnn",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
+          "MTT_FUSED_GNN": "1", "MTT_COLOR_GROUPED": "1"},
+         "grouped"),
         ("qside+grouped+i8s",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "1",
+          "MTT_FUSED_GNN": "0",
           "MTT_COLOR_GROUPED": "1"},
          "grouped"),
         ("qside+grouped",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
-          "MTT_COLOR_GROUPED": "1"},
+          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "1"},
          "grouped"),
         ("qside+wrap",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
-          "MTT_COLOR_GROUPED": "0"},
+          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "0"},
          "banded"),
         ("kq+wrap",
          {"MTT_QSIDE": "0", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
-          "MTT_COLOR_GROUPED": "0"},
+          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "0"},
          "banded"),
         ("qside+ext",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "1", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
-          "MTT_COLOR_GROUPED": "0"},
+          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "0"},
          "banded"),  # r2 driver A/B winner (62.7 ms)
     ]
     candidates = [

@@ -424,6 +424,76 @@ class FusedTransformerLayer(nn.Module):
         return out_node, edge_out
 
 
+class _FusedLayerParams(nn.Module):
+    """Parameter holder with EXACTLY :class:`FusedTransformerLayer`'s
+    tree (same names, same shapes -- checkpoints are interchangeable),
+    returning the weight tensors for the fused GNN-block megakernel
+    instead of running per-layer compute."""
+
+    d_model: int
+    d_node: int
+    d_feedforward: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_example, edge_example):
+        from ...ops.pallas.fused_layer import CenterWeights, LayerWeights
+
+        D = self.d_model
+        expanded = self.d_node != D
+
+        def param(name, shape, init=nn.initializers.lecun_normal()):
+            if len(shape) == 1 and name.startswith("b_"):
+                init = nn.initializers.zeros
+            if name.startswith("norm_"):
+                init = nn.initializers.ones
+            return self.param(name, init, shape)
+
+        lw = LayerWeights(
+            norm_attn=param("norm_attn", (D,)),
+            w_qkv=param("w_qkv", (D, 3 * D)),
+            b_qkv=param("b_qkv", (3 * D,)),
+            w_out=param("w_out", (D, D)),
+            b_out=param("b_out", (D,)),
+            norm_mlp=param("norm_mlp", (D,)),
+            w_in=param("w_in", (D, 2 * self.d_feedforward)),
+            b_in=param("b_in", (2 * self.d_feedforward,)),
+            w_ffn_out=param("w_ffn_out", (self.d_feedforward, D)),
+            b_ffn_out=param("b_ffn_out", (D,)),
+        )
+        if not expanded:
+            return lw, None
+        wc, bc = _dense_params(
+            self, "center_contraction", D, node_example, self.dtype
+        )
+        we, be = _dense_params(
+            self, "center_expansion", self.d_node, edge_example, self.dtype
+        )
+        norm_c = nn.RMSNorm(
+            epsilon=rmsnorm_eps(self.dtype),
+            dtype=self.dtype,
+            name="norm_center_features",
+        )
+        if self.is_initializing():
+            norm_c(node_example[:1])
+        nc_scale = self.scope.get_variable("params", "norm_center_features")[
+            "scale"
+        ]
+        mlp = FeedForward(
+            self.d_node, 2 * self.d_node, "SwiGLU", self.dtype,
+            name="center_mlp",
+        )
+        if self.is_initializing():
+            mlp(node_example[:1])
+        mp = self.scope.get_variable("params", "center_mlp")
+        cw = CenterWeights(
+            w_contr=wc, b_contr=bc, w_exp=we, b_exp=be, norm_c=nc_scale,
+            w_in_c=mp["w_in"]["kernel"], b_in_c=mp["w_in"]["bias"],
+            w_out_c=mp["w_out"]["kernel"], b_out_c=mp["w_out"]["bias"],
+        )
+        return lw, cw
+
+
 class CartesianTransformer(nn.Module):
     """One GNN layer: geometric edge tokens -> windowed attention.
 
@@ -514,6 +584,59 @@ class CartesianTransformer(nn.Module):
                 [jnp.ones((cf.shape[0], 1), dtype=cf.dtype), cf], axis=1
             )
             attn_bias = jnp.log(jnp.clip(cf_first, EPSILON_ATTN, None))
+        from ...ops.pallas import pallas_enabled
+        from ...ops.pallas.fused_layer import use_gnn_megakernel
+
+        import os as _os
+
+        use_megakernel = (
+            use_fused_layer
+            and pallas_enabled()
+            and (
+                jax.default_backend() == "tpu"
+                or _os.environ.get("MTT_FUSED_GNN") == "force"
+            )
+            and self.dtype in (jnp.float32, jnp.bfloat16)
+            and use_gnn_megakernel(
+                edge_tokens.shape[1], self.d_pet, self.num_heads
+            )
+        )
+        if use_megakernel:
+            # one kernel for the WHOLE GNN layer: every attention layer
+            # plus the between-layer center stream
+            # (ops/pallas/fused_layer.fused_gnn_block); the parameter
+            # tree is identical to the per-layer path
+            from ...ops.pallas.fused_layer import _flatten_gnn_weights
+            from ...ops.pallas.fused_layer import (
+                fused_gnn_block,
+            )
+
+            expanded = self.d_node != self.d_pet
+            lws, cws = [], []
+            for i in range(self.num_attention_layers):
+                lw, cw = _FusedLayerParams(
+                    d_model=self.d_pet,
+                    d_node=self.d_node,
+                    d_feedforward=self.d_feedforward,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(node_emb, edge_tokens[:, 0])
+                lws.append(lw)
+                cws.append(cw)
+            head_dim = self.d_pet // self.num_heads
+            scale = 1.0 / (head_dim**0.5 * self.temperature)
+            out_edges, out_node = fused_gnn_block(
+                edge_tokens.astype(self.dtype),
+                node_emb.astype(self.dtype),
+                cf_tokens,
+                tuple(_flatten_gnn_weights(lws, cws, expanded)),
+                self.num_heads,
+                scale,
+                self.num_attention_layers,
+                expanded,
+            )
+            return out_node, out_edges
+
         out_node, out_edges = node_emb, edge_tokens
         for i in range(self.num_attention_layers):
             if use_fused_layer:

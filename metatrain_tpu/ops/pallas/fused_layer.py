@@ -1357,6 +1357,488 @@ def reference_fused_layer(edges, center, cf, weights, num_heads, scale):
     return _layer_math(edges, center, cf, weights, num_heads, scale)
 
 
+# ---------------------------------------------------------------------------
+# Fused GNN block (r5): ALL attention layers of one CartesianTransformer --
+# including the between-layer center-token stream (contraction/expansion +
+# center MLP, reference transformer.py:155-262) -- in ONE kernel pair.
+# The edge block makes a single HBM round trip per GNN layer instead of one
+# per attention layer, and the O(A x d_node) center ops stop being separate
+# XLA fusions between kernel launches (part of the r4 profile's unattributed
+# "misc" band).
+# ---------------------------------------------------------------------------
+
+
+class CenterWeights(NamedTuple):
+    """Between-layer node-stream weights of one attention layer (empty
+    tensors when ``d_node == d_pet``: the center token IS the node)."""
+
+    w_contr: jax.Array  # (N, D)
+    b_contr: jax.Array  # (D,)
+    w_exp: jax.Array  # (D, N)
+    b_exp: jax.Array  # (N,)
+    norm_c: jax.Array  # (N,)
+    w_in_c: jax.Array  # (N, 4N)  (center FeedForward: d_ff = 2N, SwiGLU)
+    b_in_c: jax.Array  # (4N,)
+    w_out_c: jax.Array  # (2N, N)
+    b_out_c: jax.Array  # (N,)
+
+
+def _center_update(node, cattn, cw: CenterWeights, cd):
+    """Expanded-path node update: expansion residual + center MLP
+    (reference transformer.py:218-262 / modules.py FusedTransformerLayer)."""
+    acc = jnp.promote_types(jnp.float32, cd)
+    n_mid = node + _matmul_bias(cattn, cw.w_exp.astype(cd),
+                                cw.b_exp.astype(cd), cd)
+    eps = _rms_eps(cd)
+    x2 = n_mid.astype(acc)
+    r2 = jax.lax.rsqrt(jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps)
+    hn = (x2 * r2 * cw.norm_c.astype(acc)).astype(cd)
+    vg = _matmul_bias(hn, cw.w_in_c.astype(cd), cw.b_in_c.astype(cd))
+    d_ff = cw.w_out_c.shape[0]
+    v, g = vg[:, :d_ff], vg[:, d_ff:]
+    h = (v * jax.nn.sigmoid(g)).astype(cd)
+    return n_mid + _matmul_bias(h, cw.w_out_c.astype(cd),
+                                cw.b_out_c.astype(cd), cd)
+
+
+def _gnn_block_math(edges, node, cf, layer_ws, center_ws, num_heads, scale,
+                    expanded):
+    """Forward of one full GNN layer on one block of atoms."""
+    cd = edges.dtype
+    for w, cw in zip(layer_ws, center_ws):
+        if expanded:
+            center = _matmul_bias(
+                node, cw.w_contr.astype(cd), cw.b_contr.astype(cd), cd
+            )
+        else:
+            center = node
+        edges, cattn = _layer_math(edges, center, cf, w, num_heads, scale)
+        if expanded:
+            node = _center_update(node, cattn, CenterWeights(
+                *(t.astype(cd) if hasattr(t, "astype") else t for t in cw)
+            ), cd)
+        else:
+            node = cattn
+    return edges, node
+
+
+def _gnn_block_bwd_math(
+    edges0, node0, cf, layer_ws, center_ws, g_edge, g_node,
+    num_heads, scale, weight_grads, expanded,
+):
+    """Hand-written backward of :func:`_gnn_block_math`: chains the
+    per-layer :func:`_layer_bwd_math` with an explicit center-stream
+    backward. Pure jnp -- runs inside the Pallas bwd kernel AND as the
+    pure-XLA grad-of-grad replay."""
+    cd = edges0.dtype
+    acc = jnp.promote_types(jnp.float32, cd)
+    eps = _rms_eps(cd)
+    n_layers = len(layer_ws)
+
+    # ---- forward recompute, saving per-layer inputs -------------------
+    saved = []
+    e, n = edges0, node0
+    for w, cw in zip(layer_ws, center_ws):
+        if expanded:
+            center = _matmul_bias(
+                n, cw.w_contr.astype(cd), cw.b_contr.astype(cd), cd
+            )
+        else:
+            center = n
+        e_next, cattn = _layer_math(e, center, cf, w, num_heads, scale)
+        if expanded:
+            wcd = CenterWeights(*(t.astype(cd) for t in cw))
+            n_mid = n + _matmul_bias(cattn, wcd.w_exp, wcd.b_exp, cd)
+            x2 = n_mid.astype(acc)
+            r2 = jax.lax.rsqrt(
+                jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps
+            )
+            hn = (x2 * r2 * wcd.norm_c.astype(acc)).astype(cd)
+            vg = _matmul_bias(hn, wcd.w_in_c, wcd.b_in_c)
+            d_ffc = wcd.w_out_c.shape[0]
+            v, g = vg[:, :d_ffc], vg[:, d_ffc:]
+            sig = jax.nn.sigmoid(g)
+            h = (v * sig).astype(cd)
+            n_next = n_mid + _matmul_bias(h, wcd.w_out_c, wcd.b_out_c, cd)
+            saved.append((e, n, center, cattn,
+                          (n_mid, x2, r2, hn, v, sig, h)))
+        else:
+            n_next = cattn
+            saved.append((e, n, center, cattn, None))
+        e, n = e_next, n_next
+
+    # ---- backward -----------------------------------------------------
+    def dot_t(a, wmat):
+        return jax.lax.dot_general(
+            a, wmat,
+            dimension_numbers=(((a.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )
+
+    def dot_rows(a2d, b2d):
+        return jax.lax.dot_general(
+            a2d, b2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    d_e = g_edge
+    d_n = g_node.astype(acc)
+    d_cf = None
+    dws = [None] * n_layers
+    dcs = [None] * n_layers
+    for i in reversed(range(n_layers)):
+        w, cw = layer_ws[i], center_ws[i]
+        e_in, n_in, center, cattn, extras = saved[i]
+        if expanded:
+            wcd = CenterWeights(*(t.astype(cd) for t in cw))
+            n_mid, x2, r2, hn, v, sig, h = extras
+            d_ffc = wcd.w_out_c.shape[0]
+            # n_next = n_mid + h @ w_out_c + b_out_c
+            d_n_cd = d_n.astype(cd)
+            d_h = dot_t(d_n_cd, wcd.w_out_c)  # (BA, 2N) f32
+            d_v = d_h * sig
+            d_g = d_h * v * sig * (1.0 - sig)
+            d_vg = jnp.concatenate([d_v, d_g], axis=-1).astype(cd)
+            d_hn = dot_t(d_vg, wcd.w_in_c)  # (BA, N) f32
+            gs = d_hn * (r2 * wcd.norm_c.astype(acc))
+            N = x2.shape[-1]
+            d_nmid_norm = gs - x2 * (
+                r2 * r2 * jnp.sum(gs * x2, axis=-1, keepdims=True) / N
+            )
+            d_nmid = d_n + d_nmid_norm  # f32
+            d_cattn = dot_t(d_nmid.astype(cd), wcd.w_exp).astype(cd)
+            if weight_grads:
+                dcs[i] = {
+                    "w_exp": dot_rows(cattn, d_nmid.astype(cd)),
+                    "b_exp": jnp.sum(d_nmid, axis=0).astype(jnp.float32),
+                    "norm_c": jnp.sum(
+                        (d_hn * (x2 * r2)).astype(jnp.float32), axis=0
+                    ),
+                    "w_in_c": dot_rows(hn, d_vg),
+                    "b_in_c": jnp.sum(
+                        d_vg.astype(jnp.float32), axis=0
+                    ),
+                    "w_out_c": dot_rows(h, d_n_cd),
+                    "b_out_c": jnp.sum(d_n, axis=0).astype(jnp.float32),
+                }
+        else:
+            d_nmid = None
+            d_cattn = d_n.astype(cd)
+        d_e, d_center, d_cf_l, dw = _layer_bwd_math(
+            e_in, center, cf, w, d_e, d_cattn, num_heads, scale,
+            weight_grads,
+        )
+        dws[i] = dw
+        d_cf = d_cf_l if d_cf is None else d_cf + d_cf_l
+        if expanded:
+            d_n_in = d_nmid + dot_t(d_center, wcd.w_contr)
+            if weight_grads:
+                dcs[i]["w_contr"] = dot_rows(n_in, d_center)
+                dcs[i]["b_contr"] = jnp.sum(
+                    d_center.astype(jnp.float32), axis=0
+                )
+            d_n = d_n_in
+        else:
+            d_n = d_center.astype(acc)
+    d_node0 = d_n.astype(node0.dtype)
+    if not weight_grads:
+        return d_e, d_node0, d_cf, None
+    dcs_t = [
+        CenterWeights(
+            w_contr=c["w_contr"], b_contr=c["b_contr"], w_exp=c["w_exp"],
+            b_exp=c["b_exp"], norm_c=c["norm_c"], w_in_c=c["w_in_c"],
+            b_in_c=c["b_in_c"], w_out_c=c["w_out_c"], b_out_c=c["b_out_c"],
+        )
+        if c is not None
+        else None
+        for c in dcs
+    ]
+    return d_e, d_node0, d_cf, (tuple(dws), tuple(dcs_t))
+
+
+def _flatten_gnn_weights(layer_ws, center_ws, expanded):
+    flat = [t for w in layer_ws for t in w]
+    if expanded:
+        flat += [t for cw in center_ws for t in cw]
+    return flat
+
+
+def _unflatten_gnn_weights(flat, n_layers, expanded):
+    nl = len(LayerWeights._fields)
+    nc = len(CenterWeights._fields)
+    layer_ws = tuple(
+        LayerWeights(*flat[i * nl : (i + 1) * nl]) for i in range(n_layers)
+    )
+    off = n_layers * nl
+    if expanded:
+        center_ws = tuple(
+            CenterWeights(*flat[off + i * nc : off + (i + 1) * nc])
+            for i in range(n_layers)
+        )
+    else:
+        center_ws = tuple(None for _ in range(n_layers))
+    return layer_ws, center_ws
+
+
+def _gnn_fwd_kernel(
+    edges_ref, node_ref, cf_ref, *rest, n_layers, expanded, num_heads, scale
+):
+    n_w = n_layers * len(LayerWeights._fields) + (
+        n_layers * len(CenterWeights._fields) if expanded else 0
+    )
+    weight_refs, rest = rest[:n_w], rest[n_w:]
+    edge_out_ref, node_out_ref = rest
+    layer_ws, center_ws = _unflatten_gnn_weights(
+        [r[:] for r in weight_refs], n_layers, expanded
+    )
+    edge_out, node_out = _gnn_block_math(
+        edges_ref[:], node_ref[:], cf_ref[:], layer_ws, center_ws,
+        num_heads, scale, expanded,
+    )
+    edge_out_ref[:] = edge_out
+    node_out_ref[:] = node_out.astype(node_out_ref.dtype)
+
+
+def _gnn_bwd_kernel(
+    edges_ref, node_ref, cf_ref, *rest,
+    n_layers, expanded, num_heads, scale, weight_grads,
+):
+    n_w = n_layers * len(LayerWeights._fields) + (
+        n_layers * len(CenterWeights._fields) if expanded else 0
+    )
+    weight_refs, rest = rest[:n_w], rest[n_w:]
+    g_edge_ref, g_node_ref = rest[:2]
+    d_edges_ref, d_node_ref, d_cf_ref = rest[2:5]
+    dw_refs = rest[5:]
+    layer_ws, center_ws = _unflatten_gnn_weights(
+        [r[:] for r in weight_refs], n_layers, expanded
+    )
+    d_edges, d_node, d_cf, dw = _gnn_block_bwd_math(
+        edges_ref[:], node_ref[:], cf_ref[:], layer_ws, center_ws,
+        g_edge_ref[:], g_node_ref[:], num_heads, scale, weight_grads,
+        expanded,
+    )
+    d_edges_ref[:] = d_edges.astype(d_edges_ref.dtype)
+    d_node_ref[:] = d_node.astype(d_node_ref.dtype)
+    d_cf_ref[:] = d_cf.astype(d_cf_ref.dtype)
+    if weight_grads:
+        dws, dcs = dw
+        flat = _flatten_gnn_weights(
+            dws, dcs if expanded else (), expanded
+        )
+        is_first = pl.program_id(0) == 0
+        for ref, val in zip(dw_refs, flat):
+            val32 = val.astype(jnp.float32)
+
+            @pl.when(is_first)
+            def _(ref=ref, val32=val32):
+                ref[:] = val32
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(ref=ref, val32=val32):
+                ref[:] = ref[:] + val32
+
+
+def _gnn_block_atoms(T: int, backward: bool = False) -> int:
+    env = os.environ.get(
+        "MTT_GNN_BA_BWD" if backward else "MTT_GNN_BA_FWD"
+    )
+    if env:
+        return int(env)
+    # the block processes every attention layer sequentially, so live
+    # VMEM per layer matches the single-layer kernel; per-layer saved
+    # inputs in the bwd add ~2x -- start from the single-layer blocks
+    return 64 if backward else 128
+
+
+def _gnn_forward_impl(
+    edges, node, cf, layer_ws, center_ws, num_heads, scale, expanded
+):
+    A, M, D = edges.shape
+    BA = _gnn_block_atoms(M)
+    n_layers = len(layer_ws)
+    edges_p = _pad_atoms(edges, BA)
+    node_p = _pad_atoms(node, BA)
+    cf_p = _pad_atoms(cf, BA, value=1.0)
+    A_p = edges_p.shape[0]
+    N = node.shape[-1]
+
+    flat_w = _flatten_gnn_weights(layer_ws, center_ws, expanded)
+    spec3 = pl.BlockSpec((BA, M, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((BA, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _gnn_fwd_kernel, n_layers=n_layers, expanded=expanded,
+            num_heads=num_heads, scale=scale,
+        ),
+        grid=(A_p // BA,),
+        in_specs=[spec3, spec_n, spec2] + [_weight_spec(w) for w in flat_w],
+        out_specs=(spec3, spec_n),
+        out_shape=(
+            jax.ShapeDtypeStruct((A_p, M, D), edges.dtype),
+            jax.ShapeDtypeStruct((A_p, N), node.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_use_interpret(),
+    )(edges_p, node_p, cf_p, *flat_w)
+    return out[0][:A], out[1][:A]
+
+
+def _make_gnn_bwd_op(num_heads, scale, n_layers, expanded, weight_grads):
+    @jax.custom_vjp
+    def bwd_op(edges, node, cf, flat_w, g_edge, g_node):
+        A, M, D = edges.shape
+        BA = _gnn_block_atoms(M, backward=True)
+        edges_p = _pad_atoms(edges, BA)
+        node_p = _pad_atoms(node, BA)
+        cf_p = _pad_atoms(cf, BA, value=1.0)
+        g_edge_p = _pad_atoms(g_edge, BA)
+        g_node_p = _pad_atoms(g_node, BA)
+        A_p = edges_p.shape[0]
+        N = node.shape[-1]
+
+        spec3 = pl.BlockSpec((BA, M, D), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        spec2 = pl.BlockSpec((BA, M), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        spec_n = pl.BlockSpec((BA, N), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        dw_specs = [_weight_spec(w) for w in flat_w] if weight_grads else []
+        dw_shapes = (
+            [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_w]
+            if weight_grads
+            else []
+        )
+        outs = pl.pallas_call(
+            functools.partial(
+                _gnn_bwd_kernel, n_layers=n_layers, expanded=expanded,
+                num_heads=num_heads, scale=scale,
+                weight_grads=weight_grads,
+            ),
+            grid=(A_p // BA,),
+            in_specs=[spec3, spec_n, spec2]
+            + [_weight_spec(w) for w in flat_w]
+            + [spec3, spec_n],
+            out_specs=(spec3, spec_n, spec2, *dw_specs),
+            out_shape=(
+                jax.ShapeDtypeStruct((A_p, M, D), edges.dtype),
+                jax.ShapeDtypeStruct((A_p, N), node.dtype),
+                jax.ShapeDtypeStruct((A_p, M), jnp.float32),
+                *dw_shapes,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    ("arbitrary",) if weight_grads else ("parallel",)
+                ),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=_use_interpret(),
+        )(edges_p, node_p, cf_p, *flat_w, g_edge_p, g_node_p)
+        d_edges, d_node, d_cf, *dw = outs
+        if not weight_grads:
+            dw = [jnp.zeros(w.shape, jnp.float32) for w in flat_w]
+        return d_edges[:A], d_node[:A], d_cf[:A], tuple(dw)
+
+    def bwd_op_fwd(edges, node, cf, flat_w, g_edge, g_node):
+        return (
+            bwd_op(edges, node, cf, flat_w, g_edge, g_node),
+            (edges, node, cf, flat_w, g_edge, g_node),
+        )
+
+    def bwd_op_bwd(residuals, cotangents):
+        # grad-of-grad: rematerialized pure-XLA replay of the same
+        # hand-written backward (the fused_transformer_layer pattern)
+        def replay(edges, node, cf, flat_w, g_edge, g_node):
+            layer_ws, center_ws = _unflatten_gnn_weights(
+                list(flat_w), n_layers, expanded
+            )
+            d_e, d_n, d_cf, dw = _gnn_block_bwd_math(
+                edges, node, cf, layer_ws, center_ws, g_edge, g_node,
+                num_heads, scale, True, expanded,
+            )
+            dws, dcs = dw
+            flat_dw = _flatten_gnn_weights(
+                dws, dcs if expanded else (), expanded
+            )
+            return d_e, d_n, d_cf, tuple(
+                x.astype(jnp.float32) for x in flat_dw
+            )
+
+        _, vjp = jax.vjp(jax.checkpoint(replay), *residuals)
+        return vjp(cotangents)
+
+    bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
+    return bwd_op
+
+
+_GNN_BWD_OPS = {}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_gnn_block(
+    edges, node, cf, flat_w, num_heads, scale, n_layers, expanded
+):
+    """All attention layers of one GNN layer in one fused kernel:
+    ((A, M, D) edge tokens, (A, N) node features, (A, M) cf) ->
+    ((A, M, D) edge tokens, (A, N) node features).
+
+    ``flat_w``: flattened per-layer weights
+    (:func:`_flatten_gnn_weights`). PreLN/RMSNorm/SwiGLU only, mexp
+    attention geometry required."""
+    layer_ws, center_ws = _unflatten_gnn_weights(
+        list(flat_w), n_layers, expanded
+    )
+    return _gnn_forward_impl(
+        edges, node, cf, layer_ws, center_ws, num_heads, scale, expanded
+    )
+
+
+def _fused_gnn_fwd(edges, node, cf, flat_w, num_heads, scale, n_layers,
+                   expanded):
+    out = fused_gnn_block(
+        edges, node, cf, flat_w, num_heads, scale, n_layers, expanded
+    )
+    return out, (edges, node, cf, flat_w)
+
+
+def _fused_gnn_bwd(num_heads, scale, n_layers, expanded, residuals, g):
+    from ..inference import param_grads_needed
+
+    edges, node, cf, flat_w = residuals
+    g_edge, g_node = g
+    weight_grads = param_grads_needed()
+    key = (num_heads, float(scale), n_layers, expanded, weight_grads)
+    if key not in _GNN_BWD_OPS:
+        _GNN_BWD_OPS[key] = _make_gnn_bwd_op(
+            num_heads, scale, n_layers, expanded, weight_grads
+        )
+    d_edges, d_node, d_cf, dw = _GNN_BWD_OPS[key](
+        edges, node, cf, tuple(flat_w), g_edge, g_node
+    )
+    dw_cast = tuple(
+        x.astype(w.dtype) for x, w in zip(dw, flat_w)
+    )
+    return d_edges, d_node, d_cf.astype(cf.dtype), dw_cast
+
+
+fused_gnn_block.defvjp(_fused_gnn_fwd, _fused_gnn_bwd)
+
+
+def use_gnn_megakernel(T: int, D: int, num_heads: int) -> bool:
+    """Trace-time gate for the fused GNN-block kernel (A/B knob; the
+    single-layer fused path remains the fallback)."""
+    if os.environ.get("MTT_FUSED_GNN", "0") not in ("1", "force"):
+        return False  # "force" additionally bypasses the TPU-backend
+        # gate in the module (interpret-mode tests)
+    return _use_mexp(T, D, num_heads)
+
+
 # -- W8A8 calibration --------------------------------------------------------
 
 

@@ -50,6 +50,7 @@ _SLOW_MODULES = {
     "test_finetuning",
     "test_flashmd",
     "test_flashmd_symplectic",
+    "test_fused_gnn",
     "test_fused_layer",
     "test_llpr",
     "test_mace",
