@@ -75,7 +75,12 @@ def synthetic_state_nonres(seed=11, scale=0.5):
         np.arange(1, N_BESSEL + 1) * math.pi / R_MAX
     )
     feats = [(C, 0, 1)]
-    out_irreps = [(C, 0, 1)]  # last (only) layer: scalars
+    # mace's MACE class gives the FIRST interaction the FULL hidden
+    # irreps even when it is the only one (the scalars-only restriction
+    # applies to layers built in the range(num_interactions-1) loop)
+    from test_mace_compat import _hidden_irreps
+
+    out_irreps = _hidden_irreps(False)
     inter = _interaction_irreps()
     pre = "interactions.0."
     st[pre + "linear_up.weight"] = rnd(_o3_linear_size(feats, feats))
@@ -243,8 +248,10 @@ def _ref_model_nonres(state, cfg, positions, species):
     out2 = np.einsum("ijk,ekc,bcj,be->bci", U2, w2, x_cat, onehot)
     c1 = np.einsum("ik,ekc,be->bci", U1, w1, onehot) + out2
     prod = np.einsum("bci,bci->bc", c1, x_cat)  # (A, C)
-    # products linear (scalars)
-    W_pl = state["products.0.linear.weight"].reshape(C, C)
+    # products linear: block-diagonal per irrep; the scalar output
+    # consumes the FIRST C*C weight slice (instruction order l0 -> l0
+    # first), and only the scalar channel feeds the readout
+    W_pl = state["products.0.linear.weight"][: C * C].reshape(C, C)
     feats = prod @ W_pl / math.sqrt(C)
     # non-linear readout
     W1 = state["readouts.0.linear_1.weight"].reshape(C, 8)
@@ -306,3 +313,49 @@ def test_residual_states_still_take_residual_path():
     species = np.array([0, 1, 0, 1])
     e = compat.forward(state, _batch_data(positions, species), np)
     assert np.isfinite(e).all()
+
+
+def _mixed_state(seed=21, scale=0.5):
+    """Two-interaction state in mace's ``MACE``-class layout: NON-residual
+    FIRST interaction (skip_tp on the message, target -> target, product
+    without self connection), residual second."""
+    from test_mace_compat import _hidden_irreps, synthetic_state
+
+    st = synthetic_state(seed=seed, scale=scale)
+    rng = np.random.default_rng(seed + 100)
+    inter = _interaction_irreps()
+    # replace interaction 0's residual skip with the non-residual layout
+    st["interactions.0.skip_tp.weight"] = rng.normal(
+        size=sum(
+            mi * N_EL * mo
+            for mi, li, pi in inter
+            for mo, lo, po in inter
+            if (li, pi) == (lo, po)
+        )
+    ) * scale
+    return st
+
+
+def test_mixed_first_nonresidual_layout():
+    """Per-block class detection: non-residual first + residual second
+    (the real mace ``MACE``-class layout) imports, evaluates finitely,
+    rotation-invariantly, and differently from the all-residual state
+    with the same tensors (the skip layout is actually honored)."""
+    from test_mace_compat import _config, synthetic_state
+
+    state = _mixed_state()
+    compat = MACECompat(_config())
+    rng = np.random.default_rng(7)
+    positions = rng.uniform(0, 3.0, size=(6, 3))
+    species = np.array([0, 1, 0, 1, 0, 1])
+    e = compat.forward(state, _batch_data(positions, species), np)
+    assert np.isfinite(e).all()
+    assert np.abs(e).max() > 1e-8
+
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    e_rot = compat.forward(
+        state, _batch_data(positions @ q.T + 0.25, species), np
+    )
+    np.testing.assert_allclose(e_rot, e, rtol=1e-9, atol=1e-10)
