@@ -164,6 +164,34 @@ def main():
         f"{n_atoms/per_step:.0f} atom-steps/s/chip "
         f"(A={batch.n_atoms_padded})"
     )
+    if os.environ.get("MTT_TRAIN_BENCH_RECORD", "0") == "1":
+        # BENCH-style artifact next to the force-call number (VERDICT r4
+        # #3): recorded training throughput at this batch scale. No
+        # torch/A100 comparison value is recorded: the reference
+        # publishes no training benchmarks (BASELINE.md) and none was
+        # measured here.
+        import json
+
+        rec = {
+            "metric": "pet_force_train_step_throughput",
+            "value": round(n_atoms / per_step, 1),
+            "unit": "atom-steps/s/chip",
+            "ms_per_step": round(per_step * 1e3, 1),
+            "batch_atoms": n_atoms,
+            "config": {
+                "remat": os.environ.get("MTT_TRAIN_BENCH_REMAT", "0"),
+                "fused_gnn": os.environ.get("MTT_FUSED_GNN", "0"),
+                "colored": os.environ.get("MTT_TRAIN_BENCH_COLORED", "1"),
+            },
+            "torch_reference": "not published (BASELINE.md); not measured",
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_TRAIN.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"# recorded {out}")
 
 
 if __name__ == "__main__":

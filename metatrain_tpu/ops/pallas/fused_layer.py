@@ -1308,17 +1308,99 @@ def _make_bwd_op(num_heads, scale, weight_grads=True, int8=False, calib=None):
         )
 
     def bwd_op_bwd(residuals, cotangents):
-        # grad-of-grad (training with forces): rematerialize the pure-XLA
-        # replay -- without this the second-order sweep stores every
-        # (A, T, 3D) temp of all layers at once (~46 GB at 10k atoms)
-        replay = jax.checkpoint(
-            lambda *args: _bwd_math_reference(*args, num_heads, scale)
+        # grad-of-grad (training with forces): differentiate a CHUNKED
+        # pure-XLA replay. The replay's row-independent math would
+        # otherwise materialize full-batch f32 (A, H*T, D) and
+        # (A, T, H*T) temps in HBM -- the measured ~5k-atom training
+        # ceiling (v5e OOM dump: 1008M + 3x378M + 6x252M allocations,
+        # all in the second-order sweep of this replay). Atoms are
+        # independent rows and weight grads are row sums, so scanning
+        # over atom chunks is exact and bounds the live temps to one
+        # chunk's worth.
+        return _chunked_replay_bwd(
+            residuals,
+            cotangents,
+            lambda *args: _bwd_math_reference(*args, num_heads, scale),
+            n_array_inputs=3,  # edges, center, cf (then weights, g...)
         )
-        _, vjp = jax.vjp(replay, *residuals)
-        return vjp(cotangents)
 
     bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
     return bwd_op
+
+
+def _chunked_replay_bwd(residuals, cotangents, replay_fn, n_array_inputs):
+    """vjp of a row-independent backward replay, scanned over atom
+    chunks.
+
+    ``residuals`` = (x_1..x_k, weights, g_1..g_m) where every x_i / g_j
+    has a leading atom axis and ``weights`` is an arbitrary (shared)
+    pytree; ``replay_fn(x_1..x_k, weights, g_1..g_m)`` returns
+    per-row outputs plus a row-summed weight-grad pytree as its last
+    element. Returns the cotangents for every residual in order.
+    """
+    xs_in = residuals[:n_array_inputs]
+    weights = residuals[n_array_inputs]
+    gs_in = residuals[n_array_inputs + 1 :]
+    ct_rows = cotangents[:-1]  # per-row output cotangents
+    ct_dw = cotangents[-1]  # weight-grad cotangent (shared per chunk)
+
+    A = xs_in[0].shape[0]
+    chunk = int(os.environ.get("MTT_BWD2_CHUNK", "1024"))
+    chunk = max(min(chunk, A), 1)
+
+    def pad_to(arr, n, value=0.0):
+        p = (-arr.shape[0]) % n
+        if p:
+            arr = jnp.pad(
+                arr,
+                ((0, p),) + ((0, 0),) * (arr.ndim - 1),
+                constant_values=value,
+            )
+        return arr
+
+    # cf (the last x input) pads with 1: all-zero cutoff rows would put
+    # a 0/0 NaN in the padded rows' replay, which poisons the weight
+    # cotangent through NaN * 0 (same reason as _pad_atoms value=1.0)
+    rows = [
+        pad_to(a, chunk, 1.0 if i == n_array_inputs - 1 else 0.0)
+        for i, a in enumerate((*xs_in, *gs_in, *ct_rows))
+    ]
+    n_chunks = rows[0].shape[0] // chunk
+    stacked = [
+        a.reshape((n_chunks, chunk) + a.shape[1:]) for a in rows
+    ]
+    n_x = len(xs_in)
+    n_g = len(gs_in)
+
+    replay = jax.checkpoint(replay_fn)
+
+    def body(carry, xs):
+        cx = xs[:n_x]
+        cg = xs[n_x : n_x + n_g]
+        cct = xs[n_x + n_g :]
+
+        def f(*args):
+            xa = args[:n_x]
+            w = args[n_x]
+            ga = args[n_x + 1 :]
+            return replay(*xa, w, *ga)
+
+        _, vjp = jax.vjp(f, *cx, weights, *cg)
+        grads = vjp((*cct, ct_dw))
+        d_x = grads[:n_x]
+        d_w = grads[n_x]
+        d_g = grads[n_x + 1 :]
+        carry = jax.tree_util.tree_map(jnp.add, carry, d_w)
+        return carry, (*d_x, *d_g)
+
+    d_w0 = jax.tree_util.tree_map(jnp.zeros_like, weights)
+    d_w, ys = jax.lax.scan(body, d_w0, tuple(stacked))
+    outs = [
+        y.reshape((-1,) + y.shape[2:])[:A] for y in ys
+    ]
+    d_xs = outs[:n_x]
+    d_gs = outs[n_x:]
+    return (*d_xs, d_w, *d_gs)
 
 
 _BWD_OPS = {}
@@ -1752,8 +1834,10 @@ def _make_gnn_bwd_op(num_heads, scale, n_layers, expanded, weight_grads):
         )
 
     def bwd_op_bwd(residuals, cotangents):
-        # grad-of-grad: rematerialized pure-XLA replay of the same
-        # hand-written backward (the fused_transformer_layer pattern)
+        # grad-of-grad: CHUNKED rematerialized pure-XLA replay of the
+        # same hand-written backward (see _chunked_replay_bwd -- the
+        # unchunked replay's full-batch f32 temps are the training
+        # memory ceiling)
         def replay(edges, node, cf, flat_w, g_edge, g_node):
             layer_ws, center_ws = _unflatten_gnn_weights(
                 list(flat_w), n_layers, expanded
@@ -1770,8 +1854,9 @@ def _make_gnn_bwd_op(num_heads, scale, n_layers, expanded, weight_grads):
                 x.astype(jnp.float32) for x in flat_dw
             )
 
-        _, vjp = jax.vjp(jax.checkpoint(replay), *residuals)
-        return vjp(cotangents)
+        return _chunked_replay_bwd(
+            residuals, cotangents, replay, n_array_inputs=3
+        )
 
     bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
     return bwd_op
