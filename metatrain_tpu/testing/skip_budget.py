@@ -49,8 +49,8 @@ def expected_skips(cls) -> int:
         ]
     )
     if not cls.has_scalar_energy:
-        n += 6  # batching, O3, FD forces, selected-atoms, translation,
-        # extensivity (stress/FD gated jointly below)
+        n += 7  # batching, O3, selected-atoms, subset-atoms,
+        # translation, extensivity (FD force/stress gated jointly below)
     if not (cls.supports_forces and cls.has_scalar_energy):
         n += 1  # FD forces
     if not (

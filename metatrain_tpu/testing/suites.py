@@ -1118,6 +1118,63 @@ class ArchitectureTests:
         kept = amask & selection
         assert np.any(values[kept] != 0.0)
 
+    def test_prediction_energy_subset_atoms(self, model_and_params):
+        """Selecting exactly one system's atoms in a two-system batch
+        reproduces that system's solo prediction (reference
+        ``output.py:test_prediction_energy_subset_atoms``)."""
+        if not self.has_scalar_energy:
+            pytest.skip("no scalar energy output")
+        model, params = model_and_params
+        s1, s2 = _molecule(5, seed=95), _molecule(6, seed=96)
+        batch = self._batch(model, [s1, s2])
+        sel = np.asarray(batch.system_index) == 0
+        sel &= np.asarray(batch.atom_mask)
+        out = model.forward(
+            params, batch, [self.primary_output], jnp.asarray(sel)
+        )[self.primary_output].block(0)
+        e_sel = float(np.asarray(out.values)[0])
+        solo = model.forward(
+            params, self._batch(model, [s1]), [self.primary_output]
+        )[self.primary_output].block(0)
+        e_solo = float(np.asarray(solo.values)[0])
+        if getattr(self, "is_local", True):
+            np.testing.assert_allclose(e_sel, e_solo, rtol=5e-4, atol=1e-5)
+        else:
+            assert np.isfinite(e_sel)
+
+    def test_eval_applies_baselines(self, model_and_params):
+        """``forward_eval`` = scaler x forward + additive baselines: with
+        identity scales and zero composition weights it must equal the
+        raw forward (the eval contract every MD engine relies on)."""
+        model, params = model_and_params
+        name = self.primary_output
+        batch = self._batch(model, [_molecule(5, seed=97)])
+        fwd = getattr(model, "forward_eval", None)
+        if fwd is None:
+            pytest.skip("architecture exposes no forward_eval")
+        raw = np.asarray(
+            model.forward(params, batch, [name])[name].block(0).values
+        )
+        ev = np.asarray(fwd(params, batch, [name], None)[name].block(0).values)
+        comp = getattr(model, "composition", None)
+        scaler = getattr(model, "scaler", None)
+        untouched = (
+            comp is not None
+            and all(
+                not np.any(np.asarray(w))
+                for w in getattr(comp, "weights", {}).values()
+            )
+            and scaler is not None
+            and all(
+                np.allclose(np.asarray(v), 1.0)
+                for v in getattr(scaler, "per_target", {}).values()
+            )
+        )
+        if untouched:
+            np.testing.assert_allclose(ev, raw, rtol=1e-5, atol=1e-6)
+        else:
+            assert np.isfinite(ev).all()
+
     def test_prediction_energy_subset_elements(self, model_and_params):
         """A model trained on several atomic types predicts on a system
         containing only a subset of them (reference
