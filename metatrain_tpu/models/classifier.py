@@ -112,6 +112,10 @@ class Classifier(ModelInterface):
         self, params, batch: SystemBatch, outputs: Sequence[str],
         selected_atoms=None,  # per-structure classifier: selection is n/a
     ) -> Dict[str, TensorMap]:
+        if self.target_name not in outputs:
+            # requested-outputs contract: nothing asked, nothing computed
+            # (reference ``utils/testing/output.py:156-177``)
+            return {}
         logits = self.head.apply(params, self._features(batch))
         block = TensorBlock(
             values=logits,
@@ -124,6 +128,8 @@ class Classifier(ModelInterface):
 
     def forward_eval(self, params, batch, outputs, selected_atoms=None):
         results = self.forward(params, batch, outputs, selected_atoms)
+        if self.target_name not in results:
+            return results
         block = results[self.target_name].block(0)
         probabilities = jax.nn.softmax(block.values, axis=-1)
         new_block = TensorBlock(
