@@ -1564,6 +1564,17 @@ def _gnn_block_bwd_math(
             preferred_element_type=jnp.float32,
         )
 
+    def colsum(x2d):
+        # column sum as a ones-row matmul: Mosaic rejects
+        # vector.multi_reduction over sublane-offset layouts (d_center is
+        # a [:, M-1, :] slice, offset 7), and the MXU form is layout-free
+        ones = jnp.ones((1, x2d.shape[0]), x2d.dtype)
+        return jax.lax.dot_general(
+            ones, x2d,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+
     d_e = g_edge
     d_n = g_node.astype(acc)
     d_cf = None
@@ -1593,16 +1604,12 @@ def _gnn_block_bwd_math(
             if weight_grads:
                 dcs[i] = {
                     "w_exp": dot_rows(cattn, d_nmid.astype(cd)),
-                    "b_exp": jnp.sum(d_nmid, axis=0).astype(jnp.float32),
-                    "norm_c": jnp.sum(
-                        (d_hn * (x2 * r2)).astype(jnp.float32), axis=0
-                    ),
+                    "b_exp": colsum(d_nmid),
+                    "norm_c": colsum(d_hn * (x2 * r2)),
                     "w_in_c": dot_rows(hn, d_vg),
-                    "b_in_c": jnp.sum(
-                        d_vg.astype(jnp.float32), axis=0
-                    ),
+                    "b_in_c": colsum(d_vg.astype(jnp.float32)),
                     "w_out_c": dot_rows(h, d_n_cd),
-                    "b_out_c": jnp.sum(d_n, axis=0).astype(jnp.float32),
+                    "b_out_c": colsum(d_n),
                 }
         else:
             d_nmid = None
@@ -1617,9 +1624,7 @@ def _gnn_block_bwd_math(
             d_n_in = d_nmid + dot_t(d_center, wcd.w_contr)
             if weight_grads:
                 dcs[i]["w_contr"] = dot_rows(n_in, d_center)
-                dcs[i]["b_contr"] = jnp.sum(
-                    d_center.astype(jnp.float32), axis=0
-                )
+                dcs[i]["b_contr"] = colsum(d_center.astype(jnp.float32))
             d_n = d_n_in
         else:
             d_n = d_center.astype(acc)
