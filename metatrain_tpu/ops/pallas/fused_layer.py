@@ -1770,7 +1770,7 @@ def _gnn_forward_impl(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=_use_interpret(),
     )(edges_p, node_p, cf_p, *flat_w)
@@ -1823,7 +1823,7 @@ def _make_gnn_bwd_op(num_heads, scale, n_layers, expanded, weight_grads):
                 dimension_semantics=(
                     ("arbitrary",) if weight_grads else ("parallel",)
                 ),
-                vmem_limit_bytes=110 * 1024 * 1024,
+                vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=_use_interpret(),
         )(edges_p, node_p, cf_p, *flat_w, g_edge_p, g_node_p)
