@@ -61,7 +61,12 @@ class TargetInfo:
         comp_names = [c.names for c in block.components]
         if len(comp_names) == 0:
             self.is_scalar = True
-        elif any("o3_mu" in names for names in comp_names):
+        elif any(
+            any(str(n).startswith("o3_mu") for n in names)
+            for names in comp_names
+        ):
+            # "o3_mu" (plain spherical) or "o3_mu_1"/"o3_mu_2"
+            # (product="cartesian" rank-2 spherical tensors)
             self.is_spherical = True
         elif all(names[0].startswith("xyz") for names in comp_names if names):
             self.is_cartesian = True
@@ -174,6 +179,7 @@ def get_generic_target_info(
     rank: int = 1,
     irreps: Optional[Sequence[Dict[str, int]]] = None,
     property_name: str = "properties",
+    product: Optional[str] = None,
 ) -> TargetInfo:
     """TargetInfo for scalar / Cartesian / spherical targets.
 
@@ -207,6 +213,68 @@ def get_generic_target_info(
         layout = TensorMap(
             Labels.single(), [_empty_block(sample_names, components, properties)]
         )
+    elif target_type == "spherical" and product == "cartesian":
+        # rank-2 spherical tensor in the uncoupled (Cartesian-product)
+        # basis: one block per ORDERED irrep pair, keys
+        # (o3_lambda_1, o3_lambda_2, o3_sigma_1, o3_sigma_2) [+
+        # atom_type for the atomic-basis variant], components
+        # o3_mu_1 x o3_mu_2, properties n_1 x n_2 (reference
+        # ``utils/data/target_info.py:618-701,753-775``)
+        if not irreps:
+            raise ValueError("spherical product targets need `irreps`")
+
+        def pair_blocks(irrep_list, extra_key=()):
+            import itertools
+
+            rows, blks = [], []
+            for ir1, ir2 in itertools.product(irrep_list, irrep_list):
+                l1, s1 = int(ir1["o3_lambda"]), int(ir1.get("o3_sigma", 1))
+                l2, s2 = int(ir2["o3_lambda"]), int(ir2.get("o3_sigma", 1))
+                n1 = int(ir1.get("num", 1)) * num_properties
+                n2 = int(ir2.get("num", 1)) * num_properties
+                rows.append([l1, l2, s1, s2, *extra_key])
+                components = [
+                    Labels(
+                        ["o3_mu_1"],
+                        np.arange(-l1, l1 + 1, dtype=np.int32).reshape(-1, 1),
+                    ),
+                    Labels(
+                        ["o3_mu_2"],
+                        np.arange(-l2, l2 + 1, dtype=np.int32).reshape(-1, 1),
+                    ),
+                ]
+                props = Labels(
+                    ["n_1", "n_2"],
+                    np.array(
+                        [[i, j] for i in range(n1) for j in range(n2)],
+                        dtype=np.int32,
+                    ).reshape(-1, 2),
+                )
+                blks.append(_empty_block(sample_names, components, props))
+            return rows, blks
+
+        if isinstance(irreps, dict):
+            if not per_atom:
+                raise ValueError(
+                    "atomic-basis spherical targets are per-atom"
+                )
+            key_rows, blocks = [], []
+            for atom_type in sorted(int(t) for t in irreps):
+                r, b = pair_blocks(irreps[atom_type], (atom_type,))
+                key_rows += r
+                blocks += b
+            keys = Labels(
+                ["o3_lambda_1", "o3_lambda_2", "o3_sigma_1", "o3_sigma_2",
+                 "atom_type"],
+                np.array(key_rows, dtype=np.int32),
+            )
+        else:
+            key_rows, blocks = pair_blocks(list(irreps))
+            keys = Labels(
+                ["o3_lambda_1", "o3_lambda_2", "o3_sigma_1", "o3_sigma_2"],
+                np.array(key_rows, dtype=np.int32),
+            )
+        layout = TensorMap(keys, blocks)
     elif target_type == "spherical" and isinstance(irreps, dict):
         # atomic-basis layout: one block per (irrep, atom_type); blocks
         # carry only samples of atoms of their type. The multiplicity

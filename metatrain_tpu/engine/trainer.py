@@ -424,9 +424,17 @@ class NNTrainer(TrainerInterface):
 
         loss_agg = LossAggregator(target_infos, hp["loss"])
         per_structure = list(hp["per_structure_targets"])
+        # per-BLOCK metric-unscaling rows: multi-block targets can carry
+        # different property counts per block (atomic-basis layouts), so
+        # one flat scale cannot broadcast across the whole TensorMap
         scales = {
-            name: jnp.asarray(scaler.scale_value(name))
-            for name in target_infos
+            name: tuple(
+                jnp.asarray(rows[0])
+                for rows in scaler.scales.get(
+                    name, [np.ones((1, 1))] * len(info.layout)
+                )
+            )
+            for name, info in target_infos.items()
         }
 
         if mesh is not None:
@@ -704,13 +712,21 @@ def _compute_loss_and_errors(
     loss = loss_agg(predictions, targets, batch.extra_data)
 
     # metrics are reported in physical units: undo the target scaling
+    # (per block: block property counts can differ within one target)
+    def _unscale(tmap, block_scales):
+        from ..containers import TensorMap as _TM
+
+        blocks = [
+            b.map_values(lambda v, s=s: v * s.astype(v.dtype))
+            for b, s in zip(tmap.blocks(), block_scales)
+        ]
+        return _TM(tmap.keys, blocks)
+
     scaled_predictions = {
-        n: t.map_values(lambda v, s=scales[n]: v * s.astype(v.dtype))
-        for n, t in predictions.items()
+        n: _unscale(t, scales[n]) for n, t in predictions.items()
     }
     scaled_targets = {
-        n: t.map_values(lambda v, s=scales[n]: v * s.astype(v.dtype))
-        for n, t in targets.items()
+        n: _unscale(t, scales[n]) for n, t in targets.items()
     }
     errors = batch_errors(scaled_predictions, scaled_targets, batch.extra_data)
     return loss, errors

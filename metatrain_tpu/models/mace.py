@@ -632,6 +632,13 @@ class MACE(AtomisticNNModel):
                 )
             elif info.is_spherical:
                 names = info.layout.keys.names
+                if "o3_lambda" not in names:
+                    raise NotImplementedError(
+                        f"MACE target '{name}': spherical "
+                        "product='cartesian' (o3_lambda_1/2) targets "
+                        "have no equivariant readout here; use a "
+                        "generic-head architecture (pet, dpa3)"
+                    )
                 for key_tuple, block in info.layout.items():
                     specs.append(
                         {

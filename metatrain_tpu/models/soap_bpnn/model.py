@@ -105,6 +105,13 @@ class SoapBpnn(AtomisticNNModel):
                 for _ in info.layout.blocks():
                     specs.append({"type": "scalar"})
             elif info.is_spherical:
+                if "o3_lambda" not in info.layout.keys.names:
+                    raise NotImplementedError(
+                        f"SOAP-BPNN target '{name}': spherical "
+                        "product='cartesian' (o3_lambda_1/2) targets "
+                        "have no equivariant readout here; use a "
+                        "generic-head architecture (pet, dpa3)"
+                    )
                 for key_tuple, block in info.layout.items():
                     names = info.layout.keys.names
                     specs.append(

@@ -452,6 +452,13 @@ class SPACE(AtomisticNNModel):
                     specs.append({"type": "scalar"})
             elif info.is_spherical:
                 names = info.layout.keys.names
+                if "o3_lambda" not in names:
+                    raise NotImplementedError(
+                        f"SPACE target '{name}': spherical "
+                        "product='cartesian' (o3_lambda_1/2) targets "
+                        "have no equivariant readout here; use a "
+                        "generic-head architecture (pet, dpa3)"
+                    )
                 for key_tuple, block in info.layout.items():
                     lam = int(key_tuple[names.index("o3_lambda")])
                     if lam > lmax:

@@ -32,7 +32,7 @@ def expected_skips(cls) -> int:
     all_kinds = (
         "per_atom_scalar", "multi_property", "cartesian_rank1",
         "cartesian_rank2", "spherical_l2", "multispherical",
-        "spherical_atomic_basis",
+        "spherical_atomic_basis", "spherical_rank2_product",
     )
     unsupported = [
         k for k in all_kinds if k not in cls.supported_target_types

@@ -371,7 +371,7 @@ class ArchitectureTests:
         scope="class",
         params=["per_atom_scalar", "multi_property", "cartesian_rank1",
                 "cartesian_rank2", "spherical_l2", "multispherical",
-                "spherical_atomic_basis"],
+                "spherical_atomic_basis", "spherical_rank2_product"],
     )
     def typed_dataset(self, request):
         kind = request.param
@@ -384,6 +384,40 @@ class ArchitectureTests:
         for i in range(8):
             s = _molecule(5, seed=20 + i)
             systems.append(s)
+        if kind == "spherical_rank2_product":
+            # rank-2 spherical tensor in the uncoupled product basis
+            # (reference ``utils/testing/architectures.py:300-336``:
+            # product="cartesian", keys o3_lambda_1/2, o3_sigma_1/2)
+            info = get_generic_target_info(
+                "spherical", 2, "", "rank2",
+                irreps=[{"o3_lambda": 2, "o3_sigma": 1}],
+                product="cartesian",
+            )
+            from ..containers import Labels, TensorBlock, TensorMap
+
+            target_maps = []
+            for s_ in systems:
+                blocks = []
+                for layout_key, layout_block in info.layout.items():
+                    shape = (1,) + tuple(
+                        len(c) for c in layout_block.components
+                    ) + (len(layout_block.properties),)
+                    blocks.append(
+                        TensorBlock(
+                            values=jnp.asarray(rng.normal(size=shape)),
+                            samples=Labels(
+                                ["system"], np.zeros((1, 1), dtype=np.int32)
+                            ),
+                            components=tuple(layout_block.components),
+                            properties=layout_block.properties,
+                        )
+                    )
+                target_maps.append(TensorMap(info.layout.keys, blocks))
+            types = sorted({int(t) for s_ in systems for t in s_.types})
+            dataset = Dataset(systems, {"target": target_maps})
+            return kind, dataset, DatasetInfo(
+                "angstrom", types, {"target": info}
+            )
         if kind == "spherical_atomic_basis":
             # per-type irrep basis (reference ``utils/testing/
             # architectures.py:339-386``): blocks keyed (lambda, sigma,

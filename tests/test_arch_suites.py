@@ -153,7 +153,7 @@ class TestDPA3(ArchitectureTests):
     supported_target_types = (
         "scalar", "per_atom_scalar", "multi_property", "cartesian_rank1",
         "cartesian_rank2", "spherical_l2", "multispherical",
-        "spherical_atomic_basis",
+        "spherical_atomic_basis", "spherical_rank2_product",
     )
 
 
