@@ -217,12 +217,23 @@ def main():
     # buffer's 3.9x band-DMA saving did not land (the permute is
     # compute-bound on the one-hot matmul; DMA already overlapped),
     # which motivated the grouped layout (3x less matmul).
+    # Candidate order is MEASURED-BEST-FIRST (r5): the A/B time budget
+    # must never leave the best config unexplored on a cold cache.
+    # r5 on-chip: qside+grouped 60.4 ms (winner, fused cotangent adds);
+    # +gnn megakernel 66.3 (lost: 2-layer residuals shrink bwd
+    # blocking); +i8s 63.4 (lost: kernels are VPU-bound, int8 MXU
+    # savings don't land -- PERF_ANALYSIS.md section 2).
     # r5: "+i8s" = static-scale W8A8 int8 (QKV/scores/FFN matmuls at the
     # doubled int8 MXU rate; quantization scales are calibrated statics
     # so the round/clip chains fuse into existing output stages -- the
     # r3/r4 dynamic-absmax overhead is gone). Inference-only; accuracy
     # adjudicated by the force guard AND the MAE parity gate below.
     candidates = [
+        ("qside+grouped",
+         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
+          "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
+          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "1"},
+         "grouped"),
         ("qside+grouped+gnn",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
@@ -233,11 +244,6 @@ def main():
           "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "1",
           "MTT_FUSED_GNN": "0",
           "MTT_COLOR_GROUPED": "1"},
-         "grouped"),
-        ("qside+grouped",
-         {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",
-          "MTT_INT8_SCORES": "0", "MTT_INT8_STATIC": "0",
-          "MTT_FUSED_GNN": "0", "MTT_COLOR_GROUPED": "1"},
          "grouped"),
         ("qside+wrap",
          {"MTT_QSIDE": "1", "MTT_COLOR_EXT": "0", "MTT_COLOR_ROLL": "0",

@@ -139,7 +139,24 @@ def test_fused_layer_backward_onchip():
 @pytest.fixture(scope="module")
 def colored_batch():
     """A periodic crystal batch through the real colored-NEF pipeline,
-    large enough (A*M >= 65536 rows) that the banded kernel is active."""
+    large enough (A*M >= 65536 rows) that the banded kernel is active.
+    The BANDED layout is pinned: at 2048 atoms the grouped sigma-paired
+    layout would otherwise win the host cost model (it has its own
+    coverage in tests/test_color_grouped.py and the bench A/B)."""
+    import os
+
+    prior = os.environ.get("MTT_COLOR_GROUPED")
+    os.environ["MTT_COLOR_GROUPED"] = "0"
+    try:
+        yield _build_colored_batch()
+    finally:
+        if prior is None:
+            os.environ.pop("MTT_COLOR_GROUPED", None)
+        else:
+            os.environ["MTT_COLOR_GROUPED"] = prior
+
+
+def _build_colored_batch():
     from metatrain_tpu.containers import (
         System,
         batch_from_systems,
