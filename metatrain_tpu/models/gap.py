@@ -151,6 +151,9 @@ class GAP(ModelInterface):
         outputs: Sequence[str],
         selected_atoms=None,
     ) -> Dict[str, TensorMap]:
+        if self.target_name not in outputs:
+            # requested-outputs contract (reference output.py:156-177)
+            return {}
         amask = batch.atom_mask
         if selected_atoms is not None:
             amask = amask & selected_atoms
@@ -198,6 +201,8 @@ class GAP(ModelInterface):
 
     def forward_eval(self, params, batch, outputs, selected_atoms=None):
         results = self.forward(params, batch, outputs, selected_atoms)
+        if not results:
+            return results
         comp_params = self.composition._device_params(dtype=jnp.float32)
         additive = self.composition.forward(
             comp_params, batch, list(results), selected_atoms

@@ -418,7 +418,19 @@ def _space_equivariant_readout(mod, features, spec, lmax, name,
 
 class SPACE(AtomisticNNModel):
     ARCHITECTURE_NAME = "experimental.space"
-    __checkpoint_version__ = 2
+    __checkpoint_version__ = 3
+
+    @classmethod
+    def upgrade_v2_v3(cls, checkpoint):
+        """v3 records ``adaptive_cutoff_method`` explicitly (the r5
+        probe-grid scheme is the new default). v2 models behaved as the
+        Newton solver shared with PET: pin that so their predictions are
+        unchanged. Parameters untouched."""
+        hypers = dict(checkpoint["hypers"])
+        hypers.setdefault("adaptive_cutoff_method", "solver")
+        checkpoint = dict(checkpoint)
+        checkpoint["hypers"] = hypers
+        return checkpoint
     __supported_dtypes__ = [jnp.float64, jnp.float32]
 
     @classmethod

@@ -73,7 +73,7 @@ class SkipBudgetPlugin:
 
     # flag-independent skips (features / last-layer exposure x3, trainer
     # hypers x2, fixed compute dtypes) plus environment-dependent ones
-    SLACK = 6
+    SLACK = 7
 
     def __init__(self):
         self._skips = defaultdict(list)

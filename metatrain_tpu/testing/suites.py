@@ -1166,11 +1166,11 @@ class ArchitectureTests:
         out = model.forward(
             params, batch, [self.primary_output], jnp.asarray(sel)
         )[self.primary_output].block(0)
-        e_sel = float(np.asarray(out.values)[0])
+        e_sel = float(np.asarray(out.values).ravel()[0])
         solo = model.forward(
             params, self._batch(model, [s1]), [self.primary_output]
         )[self.primary_output].block(0)
-        e_solo = float(np.asarray(solo.values)[0])
+        e_solo = float(np.asarray(solo.values).ravel()[0])
         if getattr(self, "is_local", True):
             np.testing.assert_allclose(e_sel, e_solo, rtol=5e-4, atol=1e-5)
         else:
@@ -1192,8 +1192,12 @@ class ArchitectureTests:
         ev = np.asarray(fwd(params, batch, [name], None)[name].block(0).values)
         comp = getattr(model, "composition", None)
         scaler = getattr(model, "scaler", None)
+        extra_additives = bool(
+            getattr(model, "extra_removal_transforms", lambda: [])()
+        )
         untouched = (
-            comp is not None
+            not extra_additives
+            and comp is not None
             and all(
                 not np.any(np.asarray(w))
                 for w in getattr(comp, "weights", {}).values()
