@@ -532,7 +532,11 @@ def main():
     try:
         from metatrain_tpu.utils.autotune import store_tuned_env
 
-        if store_tuned_env(best_env, best_name, best_t * 1e3):
+        if best_name == "pinned":
+            # an explicitly pinned run is an override experiment, not a
+            # measured selection -- never let it clobber the cache
+            pass
+        elif store_tuned_env(best_env, best_name, best_t * 1e3):
             print(f"# autotune cache updated: {best_name}", flush=True)
     except Exception as err:  # pragma: no cover
         print(f"# autotune cache write failed: {err}", flush=True)

@@ -32,6 +32,8 @@ TUNED_KNOBS = (
     "MTT_COLOR_ROLL",
     "MTT_COLOR_GROUPED",
     "MTT_INT8_SCORES",
+    "MTT_INT8_STATIC",
+    "MTT_FUSED_GNN",
 )
 
 
